@@ -1,0 +1,201 @@
+package graft.core
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+import java.util.Base64
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+/** Exception type carrying reference-identical error messages (the
+  * SQLLogicTests in /root/reference/test/sql match message substrings —
+  * SURVEY.md §5.3 catalog). */
+final class AgeInvalidInputException(msg: String) extends RuntimeException(msg)
+
+/** age v1 wire format (age-encryption.org/v1): textual header with X25519
+  * stanzas + header HMAC, then a 16-byte payload nonce and ChaCha20-Poly1305
+  * encrypted 64 KiB chunks (STREAM construction).
+  *
+  * Functional mirror of /root/reference rust/src/lib.rs:40-110 (encrypt),
+  * :145-212 (decrypt), :214-304 (multi-recipient) — re-implemented on
+  * `javax.crypto` (X25519 ECDH + HKDF-SHA256 + ChaCha20-Poly1305), no FFI.
+  */
+object AgeFormat {
+  private val V1Line = "age-encryption.org/v1"
+  private val X25519Label = "age-encryption.org/v1/X25519"
+  private val ChunkSize = 64 * 1024
+  private val TagLen = 16
+  private val b64e = Base64.getEncoder.withoutPadding()
+  private val b64d = Base64.getDecoder
+
+  private def chacha(mode: Int, key: Array[Byte], nonce: Array[Byte],
+                     data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("ChaCha20-Poly1305")
+    c.init(mode, new SecretKeySpec(key, "ChaCha20"), new IvParameterSpec(nonce))
+    c.doFinal(data)
+  }
+
+  private def seal(key: Array[Byte], nonce: Array[Byte], pt: Array[Byte]) =
+    chacha(Cipher.ENCRYPT_MODE, key, nonce, pt)
+
+  private def open(key: Array[Byte], nonce: Array[Byte], ct: Array[Byte]) =
+    chacha(Cipher.DECRYPT_MODE, key, nonce, ct)
+
+  private def chunkNonce(counter: Long, fin: Boolean): Array[Byte] = {
+    val n = new Array[Byte](12)
+    var c = counter
+    var i = 10
+    while (c != 0 && i >= 0) { n(i) = (c & 0xff).toByte; c >>>= 8; i -= 1 }
+    n(11) = if (fin) 1 else 0
+    n
+  }
+
+  private def wrapKey(shared: Array[Byte], eph: Array[Byte], recipient: Array[Byte]) =
+    Hkdf.derive(shared, eph ++ recipient, X25519Label, 32)
+
+  /** Encrypt for N parsed recipients (32-byte public u-coords). One fresh
+    * ephemeral share per stanza, one payload pass — multi-recipient adds
+    * only header stanzas (reference claim FUNCTIONS.md:468). */
+  def encrypt(plaintext: Array[Byte], recipients: Seq[Array[Byte]]): Array[Byte] = {
+    require(recipients.nonEmpty, "at least one recipient")
+    val fileKey = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(fileKey)
+
+    val header = new StringBuilder
+    header.append(V1Line).append('\n')
+    recipients.foreach { rec =>
+      val (ephPriv, ephPub) = X25519.generateKeyPair()
+      val shared = X25519.sharedSecret(ephPriv, rec)
+      val wrapped = seal(wrapKey(shared, ephPub, rec), new Array[Byte](12), fileKey)
+      header.append("-> X25519 ").append(b64e.encodeToString(ephPub)).append('\n')
+      header.append(b64e.encodeToString(wrapped)).append('\n')
+    }
+    val hmacKey = Hkdf.derive(fileKey, Array.emptyByteArray, "header", 32)
+    val macInput = (header.toString + "---").getBytes(UTF_8)
+    val mac = Hkdf.hmacSha256(hmacKey, macInput)
+    header.append("--- ").append(b64e.encodeToString(mac)).append('\n')
+
+    val nonce = new Array[Byte](16)
+    new java.security.SecureRandom().nextBytes(nonce)
+    val payloadKey = Hkdf.derive(fileKey, nonce, "payload", 32)
+
+    val out = new ByteArrayOutputStream(
+      header.length + 16 + plaintext.length + TagLen * (plaintext.length / ChunkSize + 1))
+    out.write(header.toString.getBytes(UTF_8))
+    out.write(nonce)
+    var off = 0
+    var counter = 0L
+    var done = false
+    while (!done) {
+      val n = math.min(ChunkSize, plaintext.length - off)
+      val fin = off + n == plaintext.length
+      out.write(seal(payloadKey, chunkNonce(counter, fin),
+        java.util.Arrays.copyOfRange(plaintext, off, off + n)))
+      off += n
+      counter += 1
+      done = fin
+    }
+    out.toByteArray
+  }
+
+  private def fail(cause: String): Nothing =
+    throw new AgeInvalidInputException(s"Decryption failed: $cause")
+
+  /** Parsed header stanza: type args + binary body. */
+  private final case class Stanza(args: Seq[String], body: Array[Byte])
+
+  /** Decrypt with one identity (32-byte private scalar). Error messages
+    * mirror rust/src/lib.rs:188 (`Decryption failed: <cause>`). */
+  def decrypt(ciphertext: Array[Byte], identityScalar: Array[Byte]): Array[Byte] = {
+    // --- parse textual header (lines up to and including the "--- " mac line)
+    var pos = 0
+    def readLine(): String = {
+      val nl = {
+        var i = pos
+        while (i < ciphertext.length && ciphertext(i) != '\n') i += 1
+        if (i >= ciphertext.length) fail("truncated header")
+        i
+      }
+      val s = new String(ciphertext, pos, nl - pos, UTF_8)
+      pos = nl + 1
+      s
+    }
+    if (readLine() != V1Line) fail("not an age v1 file")
+    val stanzas = collection.mutable.ArrayBuffer[Stanza]()
+    var headerThroughStanzas = new StringBuilder(V1Line + "\n")
+    var mac: Array[Byte] = null
+    var parsing = true
+    while (parsing) {
+      val line = readLine()
+      if (line.startsWith("-> ")) {
+        headerThroughStanzas.append(line).append('\n')
+        val args = line.drop(3).split(' ').toSeq
+        val body = new ByteArrayOutputStream()
+        var bodyDone = false
+        while (!bodyDone) {
+          val bl = readLine()
+          headerThroughStanzas.append(bl).append('\n')
+          body.write(try b64d.decode(bl) catch {
+            case _: IllegalArgumentException => fail("malformed stanza body")
+          })
+          if (bl.length < 64) bodyDone = true
+        }
+        stanzas += Stanza(args, body.toByteArray)
+      } else if (line.startsWith("--- ")) {
+        mac = try b64d.decode(line.drop(4)) catch {
+          case _: IllegalArgumentException => fail("malformed header MAC")
+        }
+        parsing = false
+      } else fail("malformed header")
+    }
+    if (stanzas.isEmpty) fail("no recipient stanzas")
+
+    // --- unwrap the file key with our identity
+    val scalar = X25519.clamp(identityScalar)
+    val ourPub = X25519.derivePublic(scalar)
+    var fileKey: Array[Byte] = null
+    stanzas.foreach { st =>
+      if (fileKey == null && st.args.headOption.contains("X25519") && st.args.length == 2) {
+        try {
+          val eph = b64d.decode(st.args(1))
+          if (eph.length == 32 && st.body.length == 32) {
+            val shared = X25519.sharedSecret(scalar, eph)
+            fileKey = open(wrapKey(shared, eph, ourPub), new Array[Byte](12), st.body)
+          }
+        } catch { case _: Exception => () /* not our stanza / wrong key */ }
+      }
+    }
+    if (fileKey == null) fail("no matching key found")
+
+    // --- verify header MAC
+    val hmacKey = Hkdf.derive(fileKey, Array.emptyByteArray, "header", 32)
+    val expect = Hkdf.hmacSha256(hmacKey, (headerThroughStanzas.toString + "---").getBytes(UTF_8))
+    if (!MessageDigest.isEqual(expect, mac)) fail("header MAC mismatch")
+
+    // --- payload
+    if (ciphertext.length - pos < 16 + TagLen) fail("truncated payload")
+    val nonce = java.util.Arrays.copyOfRange(ciphertext, pos, pos + 16)
+    pos += 16
+    val payloadKey = Hkdf.derive(fileKey, nonce, "payload", 32)
+    val out = new ByteArrayOutputStream(ciphertext.length - pos)
+    var counter = 0L
+    var remaining = ciphertext.length - pos
+    while (remaining > ChunkSize + TagLen) {
+      val ct = java.util.Arrays.copyOfRange(ciphertext, pos, pos + ChunkSize + TagLen)
+      out.write(try open(payloadKey, chunkNonce(counter, fin = false), ct) catch {
+        case _: Exception => fail("payload chunk authentication failed")
+      })
+      pos += ChunkSize + TagLen
+      remaining -= ChunkSize + TagLen
+      counter += 1
+    }
+    if (remaining < TagLen) fail("truncated payload")
+    val last = java.util.Arrays.copyOfRange(ciphertext, pos, ciphertext.length)
+    val pt = try open(payloadKey, chunkNonce(counter, fin = true), last) catch {
+      case _: Exception => fail("payload chunk authentication failed")
+    }
+    if (pt.isEmpty && counter > 0) fail("empty final chunk in multi-chunk payload")
+    out.write(pt)
+    out.toByteArray
+  }
+}

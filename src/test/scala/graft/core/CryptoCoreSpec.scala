@@ -1,0 +1,154 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class CryptoCoreSpec extends AnyFunSuite {
+  private val rng = new scala.util.Random(42)
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+  private def toHex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  // --- Bech32 (BIP-173 vectors) ---
+  test("bech32 valid vectors decode") {
+    Seq("A12UEL5L", "a12uel5l",
+      "abcdef1qpzry9x8gf2tvdw0s3jn54khce6mua7lmqqqxw",
+      "split1checkupstagehandshakeupstreamerranterredcaperred2y9e3w").foreach { v =>
+      assert(Bech32.decode(v).isRight, v)
+    }
+  }
+  test("bech32 invalid vectors rejected") {
+    Seq("A12Uel5l" /* mixed case */, "pzry9x0s3jn54khce6mufdeluckylast" /* no hrp */,
+      "abcdef1qpzrz9x8gf2tvdw0s3jn54khce6mufdeluckylast" /* bad checksum */).foreach { v =>
+      assert(Bech32.decode(v).isLeft, v)
+    }
+  }
+  test("bech32 roundtrip") {
+    (1 to 50).foreach { _ =>
+      val b = Array.fill[Byte](32)(rng.nextInt().toByte)
+      val enc = Bech32.encode("age", b)
+      val Right((hrp, back)) = Bech32.decode(enc)
+      assert(hrp == "age" && back.sameElements(b))
+    }
+  }
+
+  // --- X25519 (RFC 7748 §5.2 / §6.1 vectors) ---
+  test("x25519 scalar mult vector") {
+    val out = X25519.sharedSecret(
+      hex("a546e36bf0527c9d3b16154b82465edd62144c0ac1fc5a18506a2244ba449ac4"),
+      hex("e6db6867583030db3594c1a424b15f7c726624ec26b3353b10a903a6d0ab1c4c"))
+    assert(toHex(out) == "c3da55379de9c6908e94ea4df28d084f32eccf03491c71f754b4075577a28552")
+  }
+  test("x25519 derive public (RFC 7748 §6.1 Alice/Bob)") {
+    assert(toHex(X25519.derivePublic(
+      hex("77076d0a7318a57d3c16c17251b26645df4c2f87ebc0992ab177fba51db92c2a")))
+      == "8520f0098930a754748b7ddcb43ef75a0dbf3a0d26381af4eba4a98eaa9b4e6a")
+    assert(toHex(X25519.derivePublic(
+      hex("5dab087e624a8a4b79e17f8b83800ee66f3bb1292618b6fd1c2f8b27ff88e0eb")))
+      == "de9edb7d7b7dc1b4d35b61c2ece435373f8343c85b78674dadfc7e146f882b4f")
+  }
+  test("x25519 DH agreement both directions") {
+    val a = hex("77076d0a7318a57d3c16c17251b26645df4c2f87ebc0992ab177fba51db92c2a")
+    val b = hex("5dab087e624a8a4b79e17f8b83800ee66f3bb1292618b6fd1c2f8b27ff88e0eb")
+    val shared = "4a5d9d5ba4ce2de1728e3bf480350f25e07e21c947d19e3376f09b3c1e161742"
+    assert(toHex(X25519.sharedSecret(a, X25519.derivePublic(b))) == shared)
+    assert(toHex(X25519.sharedSecret(b, X25519.derivePublic(a))) == shared)
+  }
+
+  // --- key encodings against the reference's well-known keys
+  // (/root/repo/FIXTURES.md §1.2, originally from the real age tooling —
+  // this is a cross-tool interop check on bech32 + key derivation).
+  val pubA = "age1j2tqev8spvn9s9ktkr750ntl03sy20f7dck0mdyetway3cj2naasngwz3u"
+  val privA = "AGE-SECRET-KEY-1DMYUTPVUSD3M7HMU4K5KXNZ65JZVC9J04MSVV2J8Y4NE8GZCVU6ST7DRT2"
+  test("reference keypair: derivePublic(privA) == pubA") {
+    val Right(scalar) = AgeKeys.parseIdentity(privA)
+    val Right(pub) = AgeKeys.parseRecipient(pubA)
+    assert(X25519.derivePublic(scalar).sameElements(pub))
+  }
+  test("key encode/parse roundtrip + prefixes") {
+    val kp = AgeKeys.generate()
+    assert(kp.publicKey.startsWith("age1"))
+    assert(kp.privateKey.startsWith("AGE-SECRET-KEY-1"))
+    assert(AgeKeys.parseRecipient(kp.publicKey).isRight)
+    assert(AgeKeys.parseIdentity(kp.privateKey).isRight)
+  }
+  test("from_seed is deterministic and differs across seeds") {
+    val k1 = AgeKeys.fromSeed("seed-1".getBytes)
+    val k2 = AgeKeys.fromSeed("seed-1".getBytes)
+    val k3 = AgeKeys.fromSeed("seed-2".getBytes)
+    assert(k1 == k2)
+    assert(k1 != k3)
+    assert(k1.publicKey.startsWith("age1"))
+    // public key is consistent with private scalar
+    val Right(sc) = AgeKeys.parseIdentity(k1.privateKey)
+    val Right(pb) = AgeKeys.parseRecipient(k1.publicKey)
+    assert(X25519.derivePublic(sc).sameElements(pb))
+  }
+
+  // --- age v1 format ---
+  private def rt(pt: Array[Byte]): Unit = {
+    val kp = AgeKeys.generate()
+    val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
+    val Right(id) = AgeKeys.parseIdentity(kp.privateKey)
+    val ct = AgeFormat.encrypt(pt, Seq(rec))
+    assert(new String(ct.takeWhile(_ != '\n'), "UTF-8") == "age-encryption.org/v1")
+    assert(ct.length > pt.length)
+    assert(AgeFormat.decrypt(ct, id).sameElements(pt))
+  }
+  test("roundtrip: small payloads") {
+    rt("hello world".getBytes("UTF-8")); rt(Array.emptyByteArray); rt(Array[Byte](0))
+  }
+  test("roundtrip: chunk boundaries (64KiB -1/0/+1, 2 chunks)") {
+    Seq(64 * 1024 - 1, 64 * 1024, 64 * 1024 + 1, 2 * 64 * 1024 + 7).foreach { n =>
+      val pt = Array.tabulate[Byte](n)(i => (i * 31 + 7).toByte)
+      rt(pt)
+    }
+  }
+  test("roundtrip property (seeded random payloads)") {
+    val kp = AgeKeys.generate()
+    val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
+    val Right(id) = AgeKeys.parseIdentity(kp.privateKey)
+    (1 to 30).foreach { _ =>
+      val pt = Array.fill[Byte](rng.nextInt(5000))(rng.nextInt().toByte)
+      assert(AgeFormat.decrypt(AgeFormat.encrypt(pt, Seq(rec)), id).sameElements(pt))
+    }
+  }
+  test("multi-recipient: all identities decrypt; stranger fails") {
+    val kps = Seq.fill(3)(AgeKeys.generate())
+    val recs = kps.map(k => AgeKeys.parseRecipient(k.publicKey).toOption.get)
+    val pt = "multi test".getBytes("UTF-8")
+    val ct = AgeFormat.encrypt(pt, recs)
+    kps.foreach { k =>
+      val Right(id) = AgeKeys.parseIdentity(k.privateKey)
+      assert(AgeFormat.decrypt(ct, id).sameElements(pt))
+    }
+    val stranger = AgeKeys.generate()
+    val Right(sid) = AgeKeys.parseIdentity(stranger.privateKey)
+    val e = intercept[AgeInvalidInputException](AgeFormat.decrypt(ct, sid))
+    assert(e.getMessage.startsWith("Decryption failed"))
+  }
+  test("tampering fails: header, mac, payload") {
+    val kp = AgeKeys.generate()
+    val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
+    val Right(id) = AgeKeys.parseIdentity(kp.privateKey)
+    val ct = AgeFormat.encrypt("payload to tamper".getBytes, Seq(rec))
+    // flip one payload byte (last byte = inside final chunk tag)
+    val t1 = ct.clone(); t1(t1.length - 1) = (t1(t1.length - 1) ^ 1).toByte
+    assert(intercept[AgeInvalidInputException](AgeFormat.decrypt(t1, id))
+      .getMessage.startsWith("Decryption failed"))
+    // garbage input
+    assert(intercept[AgeInvalidInputException](
+      AgeFormat.decrypt("not an age file at all".getBytes, id))
+      .getMessage.startsWith("Decryption failed"))
+  }
+  test("ciphertext header structure: v1 line, X25519 stanza, mac line") {
+    val kp = AgeKeys.generate()
+    val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
+    val ct = AgeFormat.encrypt("x".getBytes, Seq(rec))
+    val text = new String(ct, "ISO-8859-1")
+    val lines = text.split('\n')
+    assert(lines(0) == "age-encryption.org/v1")
+    assert(lines(1).startsWith("-> X25519 ") && lines(1).length == 10 + 43)
+    assert(lines(2).length == 43) // b64(32-byte wrapped file key), unpadded
+    assert(lines(3).startsWith("--- ") && lines(3).length == 4 + 43)
+  }
+}
