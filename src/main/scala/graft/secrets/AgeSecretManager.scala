@@ -1,0 +1,122 @@
+package graft.secrets
+
+import graft.core.AgeInvalidInputException
+import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** Options for CREATE SECRET (TYPE age) — mirrors the reference's named
+  * parameters (/root/reference/src/age_extension.cpp:155-159). */
+final case class AgeSecretOptions(
+    publicKey: Option[String] = None,
+    privateKey: Option[String] = None,
+    publicKeyFile: Option[String] = None,
+    privateKeyFile: Option[String] = None,
+    keyId: Option[String] = None)
+
+/** A registered age secret. `toString` redacts the private key, mirroring
+  * the reference's `redact_keys` marking (src/age_extension.cpp:120-121). */
+final case class AgeSecret(
+    name: String,
+    publicKey: Option[String],
+    privateKey: Option[String],
+    keyId: Option[String]) {
+  override def toString: String =
+    s"AgeSecret($name, public_key=${publicKey.getOrElse("")}, " +
+      s"private_key=${if (privateKey.isDefined) "***REDACTED***" else ""}, " +
+      s"key_id=${keyId.getOrElse("")})"
+}
+
+/** Driver-side secret registry with the reference's validation ladder
+  * (/root/reference/src/age_extension.cpp:73-142) and error strings
+  * (SURVEY.md §5.3). Key files are read on the driver only; executors see
+  * only the resolved key map, snapshotted into UDF closures at function
+  * registration (graft.sql.AgeFunctions re-registers on every mutation, so
+  * a cluster run ships a fresh immutable snapshot with the task closures —
+  * the Spark-native equivalent of the reference's per-row catalog lookup).
+  */
+object AgeSecretManager {
+  private val secrets = TrieMap[String, AgeSecret]()
+  private val listeners = new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  /** Max key-file size, mirroring src/age_extension.cpp:58-60. */
+  private val MaxKeyFileBytes = 1024 * 1024
+
+  private def fail(msg: String): Nothing = throw new AgeInvalidInputException(msg)
+
+  /** Mirrors ReadKeyFromFile (src/age_extension.cpp:47-71): existence check,
+    * 1 MB cap, whitespace trim. */
+  private def readKeyFromFile(path: String): String = {
+    val p = Paths.get(path)
+    if (!Files.isReadable(p))
+      fail(s"Key file does not exist or cannot be opened: $path")
+    if (Files.size(p) > MaxKeyFileBytes)
+      fail(s"Key file too large (max 1MB): $path")
+    new String(Files.readAllBytes(p), "UTF-8").trim
+  }
+
+  def create(name: String, opts: AgeSecretOptions): AgeSecret = {
+    // public key: inline XOR file (ladder order mirrors the reference)
+    if (opts.publicKey.isDefined && opts.publicKeyFile.isDefined)
+      fail("Cannot specify both 'public_key' and 'public_key_file'")
+    val pub: Option[String] = opts.publicKey match {
+      case Some(k) =>
+        if (!k.startsWith("age1")) fail("Age public key must start with 'age1'")
+        Some(k)
+      case None => opts.publicKeyFile.map { path =>
+        try {
+          val k = readKeyFromFile(path)
+          if (!k.startsWith("age1"))
+            fail("Age public key from file must start with 'age1'")
+          k
+        } catch {
+          case e: AgeInvalidInputException =>
+            fail(s"Failed to read public key file: ${e.getMessage}")
+        }
+      }
+    }
+    if (opts.privateKey.isDefined && opts.privateKeyFile.isDefined)
+      fail("Cannot specify both 'private_key' and 'private_key_file'")
+    val priv: Option[String] = opts.privateKey match {
+      case Some(k) =>
+        if (!k.startsWith("AGE-SECRET-KEY-1"))
+          fail("Age private key must start with 'AGE-SECRET-KEY-1'")
+        Some(k)
+      case None => opts.privateKeyFile.map { path =>
+        try {
+          val k = readKeyFromFile(path)
+          if (!k.startsWith("AGE-SECRET-KEY-1"))
+            fail("Age private key from file must start with 'AGE-SECRET-KEY-1'")
+          k
+        } catch {
+          case e: AgeInvalidInputException =>
+            fail(s"Failed to read private key file: ${e.getMessage}")
+        }
+      }
+    }
+    val secret = AgeSecret(name, pub, priv, opts.keyId)
+    secrets.put(name, secret)
+    listeners.forEach(_.apply())
+    secret
+  }
+
+  def drop(name: String): Unit = {
+    if (secrets.remove(name).isEmpty) fail(s"Secret '$name' not found")
+    listeners.forEach(_.apply())
+  }
+
+  def get(name: String): Option[AgeSecret] = secrets.get(name)
+
+  /** Immutable (public, private) key snapshot for UDF closures. */
+  def snapshot: Map[String, (Option[String], Option[String])] =
+    secrets.readOnlySnapshot().toMap.map { case (n, s) => n -> (s.publicKey, s.privateKey) }
+
+  /** Redacted listing rows, the `duckdb_secrets()` equivalent
+    * (test/sql/age_secret.test:22-26). */
+  def list: Seq[(String, String, String)] =
+    secrets.readOnlySnapshot().toMap.keys.toSeq.sorted.map(n => (n, "age", "config"))
+
+  def clear(): Unit = { secrets.clear(); listeners.forEach(_.apply()) }
+
+  /** Registered by AgeFunctions so UDF snapshots refresh on every mutation. */
+  private[graft] def onChange(f: () => Unit): Unit = listeners.add(f)
+}
