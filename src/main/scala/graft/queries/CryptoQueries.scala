@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.sql.AgeFunctions
+import graft.secrets.{AgeSecretManager, AgeSecretOptions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference extension's own operator surface (SURVEY.md §2A) as
+  * verifiable queries. Ciphertexts and fresh keys are random by design
+  * (rust/src/lib.rs:100-107), so every projection is a deterministic
+  * invariant — round-trip equality, prefix predicates, length relations —
+  * and the DuckDB oracle states the expected constant outcome
+  * (SURVEY.md §5.4 determinism discipline).
+  */
+object CryptoQueries {
+  val pubA = "age1j2tqev8spvn9s9ktkr750ntl03sy20f7dck0mdyetway3cj2naasngwz3u"
+  val privA = "AGE-SECRET-KEY-1DMYUTPVUSD3M7HMU4K5KXNZ65JZVC9J04MSVV2J8Y4NE8GZCVU6ST7DRT2"
+  private val wrongKey =
+    "AGE-SECRET-KEY-1AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+
+  private def prepared(s: SparkSession, d: String): DataFrame = {
+    AgeFunctions.register(s)
+    Tables.load(s, d, "customer").filter(col("c_custkey") <= 50)
+      .createOrReplaceTempView("customer_small")
+    s.table("customer_small")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("age01_version_ok", (s, d) => {
+      AgeFunctions.register(s)
+      s.sql("SELECT age_version() IS NOT NULL AS ok")
+    }, Some("SELECT true AS ok")),
+
+    // test/sql/age.test:9-17
+    QueryDef("age02_keygen_format", (s, d) => {
+      AgeFunctions.register(s)
+      s.sql("""
+        SELECT (age_keygen()).public_key LIKE 'age1%' AS pub_ok,
+               (age_keygen()).private_key LIKE 'AGE-SECRET-KEY-1%' AS priv_ok""")
+    }, Some("SELECT true AS pub_ok, true AS priv_ok")),
+
+    // test/sql/age.test:53-57 (roundtrip) over 50 rows of real data
+    QueryDef("age03_roundtrip", (s, d) => {
+      prepared(s, d)
+      s.sql(s"""
+        SELECT c_custkey,
+               age_decrypt(age_encrypt(CAST(c_name AS BINARY), '$pubA'), '$privA')
+                 = CAST(c_name AS BINARY) AS ok
+        FROM customer_small ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
+    // test/sql/age.test:102-111 (multi-recipient, fresh keypair per run)
+    QueryDef("age04_roundtrip_multi", (s, d) => {
+      prepared(s, d)
+      s.sql(s"""
+        WITH k AS (SELECT age_keygen() AS kp),
+        enc AS (
+          SELECT c.c_custkey, kp.private_key AS sk,
+                 age_encrypt_multi(CAST(c.c_name AS BINARY),
+                                   array('$pubA', kp.public_key)) AS ct,
+                 CAST(c.c_name AS BINARY) AS pt
+          FROM customer_small c CROSS JOIN k)
+        SELECT c_custkey, age_decrypt(ct, '$privA') = pt AS ok1,
+               age_decrypt(ct, sk) = pt AS ok2
+        FROM enc ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS ok1, true AS ok2 FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
+    // deterministic seeded keygen (SURVEY.md §1.4.3 — fixed vs reference)
+    QueryDef("age05_seed_deterministic", (s, d) => {
+      prepared(s, d)
+      s.sql("""
+        SELECT c_custkey,
+               age_keygen_from_seed(CAST(c_name AS BINARY)) =
+                 age_keygen_from_seed(CAST(c_name AS BINARY)) AS same,
+               (age_keygen_from_seed(CAST(c_name AS BINARY))).public_key
+                 LIKE 'age1%' AS pub_ok
+        FROM customer_small ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS same, true AS pub_ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
+    // secret-name resolution end-to-end (test/sql/age.test:59-75)
+    QueryDef("age06_secret_roundtrip", (s, d) => {
+      AgeSecretManager.get("verify_secret") match {
+        case None =>
+          AgeSecretManager.create("verify_secret",
+            AgeSecretOptions(publicKey = Some(pubA), privateKey = Some(privA)))
+        case Some(_) => ()
+      }
+      prepared(s, d)
+      s.sql("""
+        SELECT c_custkey,
+               age_decrypt(age_encrypt(CAST(c_name AS BINARY), 'verify_secret'),
+                           'verify_secret') = CAST(c_name AS BINARY) AS ok
+        FROM customer_small ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
+    // wrong key fails per row (age.test:83-90), surfaced as NULL
+    QueryDef("age07_wrong_key_null", (s, d) => {
+      prepared(s, d)
+      s.sql(s"""
+        SELECT c_custkey,
+               age_try_decrypt(age_encrypt(CAST(c_name AS BINARY), '$pubA'),
+                               '$wrongKey') IS NULL AS failed
+        FROM customer_small ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS failed FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
+    // structural invariant: age ciphertext = header + nonce + chunked AEAD,
+    // so length exceeds plaintext (only length-class assertion allowed, §5.4)
+    QueryDef("age08_ciphertext_len", (s, d) => {
+      prepared(s, d)
+      s.sql(s"""
+        SELECT c_custkey,
+               length(age_encrypt(CAST(c_name AS BINARY), '$pubA'))
+                 > length(CAST(c_name AS BINARY)) AS longer,
+               length(age_encrypt_multi(CAST(c_name AS BINARY), array('$pubA')))
+                 > length(CAST(c_name AS BINARY)) AS longer_multi
+        FROM customer_small ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS longer, true AS longer_multi FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
+    // encrypted-column pipeline: encrypt → filter/join on plaintext-derived
+    // cols → decrypt (the composition the rebuild exists for)
+    QueryDef("age09_pipeline_joined", (s, d) => {
+      AgeFunctions.register(s)
+      Tables.registerViews(s, d)
+      s.sql(s"""
+        WITH enc AS (
+          SELECT c_custkey, c_nationkey,
+                 age_encrypt(CAST(c_name AS BINARY), '$pubA') AS name_enc
+          FROM customer WHERE c_custkey <= 30)
+        SELECT e.c_custkey, n.n_name,
+               CAST(age_decrypt(e.name_enc, '$privA') AS STRING) AS name_dec
+        FROM enc e JOIN nation n ON e.c_nationkey = n.n_nationkey
+        ORDER BY e.c_custkey""")
+    }, Some("""
+      SELECT c_custkey, n_name, c_name AS name_dec
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_custkey <= 30 ORDER BY c_custkey"""))
+  )
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata derived by decode/feature ops. The container has no codec
+  * libraries, so decode is a deterministic header-arithmetic fake
+  * (graft.ops.Multimodal carries the real mapPartitions plumbing and the
+  * stubbed codec boundary); these queries prove the Spark-side schema,
+  * partitioning, and expression plumbing against the DuckDB oracle.
+  */
+object MultimodalQueries {
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- mm01: binary payload + deterministic "decode" to typed metadata
+    QueryDef("mm01_decode_meta", (s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("payload")).as("n_bytes"),
+          (lit(16) + (length(col("payload")) % 64) * 10).as("width"),
+          (lit(16) + (floor(length(col("payload")) / 64).cast("int") % 48) * 10).as("height"),
+          (length(col("payload")) % 3 + 1).as("channels"),
+          when(length(col("payload")) % 3 === 0, "rgb")
+            .when(length(col("payload")) % 3 === 1, "gray")
+            .otherwise("rgba").as("format"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+             CAST(16 + (octet_length(CAST(text AS BLOB)) % 64) * 10 AS INTEGER) AS width,
+             CAST(16 + (CAST(FLOOR(octet_length(CAST(text AS BLOB)) / 64) AS INTEGER) % 48) * 10 AS INTEGER) AS height,
+             CAST(octet_length(CAST(text AS BLOB)) % 3 + 1 AS INTEGER) AS channels,
+             CASE octet_length(CAST(text AS BLOB)) % 3
+               WHEN 0 THEN 'rgb' WHEN 1 THEN 'gray' ELSE 'rgba' END AS format,
+             CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- mm02: frame sampling over a fake video payload — every 10th
+    // 100-byte "frame"; exercises explode(sequence) fan-out plumbing
+    QueryDef("mm02_frame_sample", (s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("n_frames", floor(length(col("text").cast("binary")) / 50).cast("int"))
+        .filter(col("n_frames") >= 1)
+        .select(col("doc_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_idx"))
+        .groupBy(col("doc_id"), col("n_frames"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("frame_idx") * 50).as("first_offset"),
+          max(col("frame_idx") * 50).as("last_offset"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, CAST(FLOOR(octet_length(CAST(text AS BLOB)) / 50) AS INTEGER) AS n_frames
+        FROM documents
+        WHERE CAST(FLOOR(octet_length(CAST(text AS BLOB)) / 50) AS INTEGER) >= 1),
+      sampled AS (
+        SELECT doc_id, n_frames, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+        FROM f)
+      SELECT doc_id, n_frames, COUNT(*) AS n_sampled,
+             CAST(MIN(frame_idx*50) AS INTEGER) AS first_offset,
+             CAST(MAX(frame_idx*50) AS INTEGER) AS last_offset
+      FROM sampled GROUP BY doc_id, n_frames ORDER BY doc_id"""))
+  )
+}

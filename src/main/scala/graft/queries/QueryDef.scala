@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One verifiable operator: a Spark implementation plus (usually) an
+  * equivalent DuckDB SQL oracle over the same parquet tables. Queries with
+  * no SQL-expressible oracle (None) get the driver's weaker rows-only check.
+  *
+  * Determinism discipline (SURVEY.md §5.4): every query projects only
+  * deterministic values — money sums go through exact integer cents
+  * (FLOOR(x*100) as BIGINT), ratios/similarities are floored at 1e-4
+  * (FLOOR(x*10000)), and every result carries a total ORDER BY, so the
+  * DuckDB hash-compare is bit-stable across engines.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Tables {
+  val names = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one testdata table. `events.ts` is TIMESTAMP(NANOS) parquet,
+    * which Spark 4 only reads as Long via the legacy flag — normalize it
+    * back to a (microsecond) timestamp here so queries see a real ts. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  /** Register all tables as temp views (idempotent). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,392 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational surface (SURVEY.md §2B): the host-engine constructs the
+  * reference's tests/docs exercise, expressed Spark-first (DataFrame API
+  * for the core shapes, Spark SQL for the rest) and oracle-checked against
+  * DuckDB on the same parquet.
+  *
+  * Money math goes through exact integer cents (`FLOOR(x*100)::BIGINT`)
+  * so engine-order-dependent double summation can never flip a hash.
+  */
+object Relational {
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** floor(x*100) as long — exact cents from a double column. */
+  private def cents(c: org.apache.spark.sql.Column) = floor(c * 100).cast("long")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- q01: TPC-H Q1 shape — scan + filter + groupBy aggregate (map-side
+    // partial agg; no shuffle beyond the 6-group exchange)
+    QueryDef("q01_agg_pricing", (s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty_cents",
+          floor(col("sum_qty_cents").cast("double") / col("count_order")).cast("long"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+             COUNT(*) AS count_order,
+             CAST(FLOOR(CAST(SUM(CAST(FLOOR(l_quantity*100) AS BIGINT)) AS DOUBLE)/COUNT(*)) AS BIGINT) AS avg_qty_cents
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---- q02: order-by + limit (top-k, driver gets k rows only)
+    QueryDef("q02_topn", (s, d) => {
+      t(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+        .orderBy(col("price_cents").desc, col("o_orderkey"))
+        .limit(10)
+    }, Some("""
+      SELECT o_orderkey, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS price_cents
+      FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""")),
+
+    // ---- q03: TPC-H Q3 shape — 3-way join, small dim side broadcastable
+    QueryDef("q03_join_topn", (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = t(s, d, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY l_orderkey ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""")),
+
+    // ---- q04: TPC-H Q4 shape — EXISTS correlated subquery (→ semi join)
+    QueryDef("q04_exists_agg", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q05: TPC-H Q5 shape — 6-way join through the star schema,
+    // dims broadcast, fact-fact shuffle on orderkey
+    QueryDef("q05_join5_agg", (s, d) => {
+      val r = t(s, d, "region"); val n = t(s, d, "nation"); val c = t(s, d, "customer")
+      val o = t(s, d, "orders"); val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("n_name"))
+    }, Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- q06: TPC-H Q6 shape — selective scan, pushdown-friendly predicate
+    QueryDef("q06_selective_sum", (s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_cents"),
+          count(lit(1)).as("n"))
+    }, Some("""
+      SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+             COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""")),
+
+    // ---- q07: window row_number over a unique ordering
+    QueryDef("q07_window_rownum", (s, d) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      t(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2 && col("l_orderkey") <= 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, rn FROM (
+        SELECT l_orderkey, l_linenumber,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        FROM lineitem) WHERE rn <= 2 AND l_orderkey <= 200
+      ORDER BY l_orderkey, l_linenumber""")),
+
+    // ---- q08: running sum window (exact cents so frame order can't drift)
+    QueryDef("q08_window_running", (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").filter(col("o_custkey") <= 100)
+        .withColumn("running_cents", sum(cents(col("o_totalprice"))).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+      FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey""")),
+
+    // ---- q09/q10: set operations
+    QueryDef("q09_setops_except", (s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("k")).distinct()
+      c.except(su).orderBy("k")
+    }, Some("""
+      SELECT DISTINCT c_nationkey AS k FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier ORDER BY k""")),
+
+    QueryDef("q10_setops_intersect", (s, d) => {
+      val c = t(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
+      val su = t(s, d, "supplier").select(col("s_nationkey").as("k")).distinct()
+      c.intersect(su).orderBy("k")
+    }, Some("""
+      SELECT DISTINCT c_nationkey AS k FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey AS k FROM supplier ORDER BY k""")),
+
+    // ---- q11: multi-CTE chain (reference idiom, FUNCTIONS.md:165-177)
+    QueryDef("q11_cte_above_avg", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        WITH nat_avg AS (
+          SELECT c_nationkey,
+                 CAST(FLOOR(AVG(CAST(FLOOR(c_acctbal*100) AS BIGINT))) AS BIGINT) AS avg_cents
+          FROM customer GROUP BY c_nationkey),
+        rich AS (
+          SELECT c.c_custkey, c.c_nationkey
+          FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+          WHERE CAST(FLOOR(c.c_acctbal*100) AS BIGINT) > a.avg_cents)
+        SELECT c_nationkey, COUNT(*) AS n_above FROM rich
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    }, Some("""
+      WITH nat_avg AS (
+        SELECT c_nationkey,
+               CAST(FLOOR(AVG(CAST(FLOOR(c_acctbal*100) AS BIGINT))) AS BIGINT) AS avg_cents
+        FROM customer GROUP BY c_nationkey),
+      rich AS (
+        SELECT c.c_custkey, c.c_nationkey
+        FROM customer c JOIN nat_avg a ON c.c_nationkey = a.c_nationkey
+        WHERE CAST(FLOOR(c.c_acctbal*100) AS BIGINT) > a.avg_cents)
+      SELECT c_nationkey, COUNT(*) AS n_above FROM rich
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---- q12: CASE WHEN aggregation (TPC-H Q12 shape)
+    QueryDef("q12_casewhen_priority", (s, d) => {
+      t(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("high_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).as("low_count"))
+        .orderBy("yr")
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+             CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+      FROM orders GROUP BY 1 ORDER BY yr""")),
+
+    // ---- q13: LIKE + IN + grouping
+    QueryDef("q13_like_in_grouping", (s, d) => {
+      t(s, d, "part")
+        .filter(col("p_type").like("%ECO%") ||
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("p_retailprice"))).as("retail_cents"))
+        .orderBy("p_brand")
+    }, Some("""
+      SELECT p_brand, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(p_retailprice*100) AS BIGINT)) AS BIGINT) AS retail_cents
+      FROM part WHERE p_type LIKE '%ECO%' OR p_brand IN ('Brand#1','Brand#2','Brand#3')
+      GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---- q14: cross join (comma-list idiom, age.test:109)
+    QueryDef("q14_crossjoin_regions", (s, d) => {
+      val r1 = t(s, d, "region").select(col("r_name").as("a"))
+      val r2 = t(s, d, "region").select(col("r_name").as("b"))
+      r1.crossJoin(r2).filter(col("a") < col("b")).orderBy("a", "b")
+    }, Some("""
+      SELECT r1.r_name AS a, r2.r_name AS b FROM region r1, region r2
+      WHERE r1.r_name < r2.r_name ORDER BY a, b""")),
+
+    // ---- q15: struct literal + field extraction + 1-based list indexing
+    // (DuckDB (s).f / l[1] idioms — Spark: named_struct / element_at)
+    QueryDef("q15_struct_array_ops", (s, d) => {
+      t(s, d, "nation")
+        .withColumn("st", struct(col("n_name").as("name"), col("n_regionkey").as("rk")))
+        .withColumn("arr", array(col("n_nationkey"), col("n_regionkey")))
+        .select(
+          col("st.name").as("name"),
+          element_at(col("arr"), 1).as("first_elem"),
+          element_at(col("arr"), -1).as("last_elem"),
+          size(col("arr")).as("arr_len"))
+        .orderBy("name")
+    }, Some("""
+      SELECT n_name AS name, n_nationkey AS first_elem, n_regionkey AS last_elem,
+             2 AS arr_len
+      FROM nation ORDER BY name""")),
+
+    // ---- q16: table generator (generate_series ↔ explode(sequence))
+    QueryDef("q16_series_explode", (s, d) => {
+      s.range(1, 6).select(col("id").as("i"))
+        .withColumn("sq", col("i") * col("i"))
+        .orderBy("i")
+    }, Some("""
+      SELECT CAST(i AS BIGINT) AS i, CAST(i*i AS BIGINT) AS sq
+      FROM generate_series(1, 5) t(i) ORDER BY i""")),
+
+    // ---- q17: array_agg / collect_list with stable ordering
+    QueryDef("q17_array_agg_strings", (s, d) => {
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+        .orderBy("n_regionkey")
+    }, Some("""
+      SELECT n_regionkey, array_to_string(list_sort(array_agg(n_name)), ',') AS nations
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
+
+    // ---- q18: anti join (NOT EXISTS)
+    QueryDef("q18_anti_join", (s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_without_orders"))
+        .orderBy("c_nationkey")
+    }, Some("""
+      SELECT c_nationkey, COUNT(*) AS n_without_orders
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ---- q19: left outer join with zero-count preservation
+    QueryDef("q19_left_join_counts", (s, d) => {
+      val c = t(s, d, "customer").filter(col("c_custkey") <= 200)
+      val o = t(s, d, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      WHERE c_custkey <= 200 GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ---- q20: date functions + monthly rollup
+    QueryDef("q20_month_rollup", (s, d) => {
+      t(s, d, "orders")
+        .withColumn("ym", (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("int"))
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .orderBy("ym")
+    }, Some("""
+      SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS INTEGER) AS ym,
+             COUNT(*) AS n, CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+      FROM orders GROUP BY 1 ORDER BY ym""")),
+
+    // ---- q21: string functions (||, length, upper, substr, LIKE)
+    QueryDef("q21_string_funcs", (s, d) => {
+      t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(
+          col("c_custkey"),
+          concat(upper(col("c_mktsegment")), lit(":"), col("c_name")).as("tag"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          col("c_name").like("%1%").as("has_one"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, upper(c_mktsegment) || ':' || c_name AS tag,
+             CAST(length(c_name) AS INTEGER) AS name_len,
+             substr(c_name, 1, 8) AS prefix, c_name LIKE '%1%' AS has_one
+      FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""")),
+
+    // ---- q22: VARCHAR↔BLOB casts + md5 over binary (BLOB machinery, §2B)
+    QueryDef("q22_binary_md5", (s, d) => {
+      t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(
+          col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("name_md5"),
+          length(col("c_name").cast("binary")).as("byte_len"),
+          col("c_name").cast("binary").cast("string").as("roundtrip"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, md5(c_name) AS name_md5,
+             CAST(octet_length(CAST(c_name AS BLOB)) AS INTEGER) AS byte_len,
+             CAST(CAST(c_name AS BLOB) AS VARCHAR) AS roundtrip
+      FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""")),
+
+    // ---- q23: exact + grouped count distinct
+    QueryDef("q23_count_distinct", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT l_partkey) AS n_part
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q24: JSON extraction from the events props column
+    QueryDef("q24_json_extract", (s, d) => {
+      Tables.load(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""
+        SELECT event_type,
+               SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }, Some("""
+      SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ---- q25: tumbling-window aggregation over the event stream (batch
+    // equivalent of the Structured Streaming pipeline in graft.streaming)
+    QueryDef("q25_events_hourly", (s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .orderBy("hour", "event_type")
+    }, Some("""
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+  )
+}

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * - Brute-force cosine top-k: the correctness baseline; dot products are
+  *   sequential folds over the vector (`zip_with` + `aggregate`), so both
+  *   engines evaluate identical IEEE operation orders.
+  * - Random-hyperplane LSH ANN: the scale path — integer-quantized
+  *   projections (weights and inputs both integers) make bucket assignment
+  *   exactly reproducible in any engine and any aggregation order; the
+  *   candidate join is a bucket equi-join (shuffle on bucket id), never n².
+  */
+object Similarity {
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "embeddings")
+
+  /** cosine(a, b) as a sequential fold (deterministic operation order). */
+  private def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** Deterministic hyperplane weights: w(plane, dim) ∈ [-1000, 1000] from
+    * md5 — reproducible in SQL as (('0x'||substr(md5(p||'_'||d),1,7))::BIGINT) % 2001 - 1000. */
+  private[queries] def planeWeight(plane: Int, dim: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+    val hex = md.take(4).map("%02x".format(_)).mkString.take(7)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- sim01: brute-force cosine top-k (k=5, 10 query vectors)
+    QueryDef("sim01_cosine_topk", (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val scored = q.join(v, col("qid") =!= col("vid"))
+        .withColumn("cos", cosine(col("qe"), col("ve")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("vid"),
+          floor(col("cos") * 10000).cast("long").as("cos_x1e4"), col("rank"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, v.vec_id AS vid,
+               list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cos
+        FROM embeddings q JOIN embeddings v ON q.vec_id < 10 AND q.vec_id <> v.vec_id),
+      ranked AS (
+        SELECT qid, vid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        FROM scored)
+      SELECT qid, vid, CAST(FLOOR(cos*10000) AS BIGINT) AS cos_x1e4, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // ---- sim02: LSH-bucketed ANN — integer-exact bucket assignment,
+    // candidates from same-bucket equi-join
+    QueryDef("sim02_ann_lsh_buckets", (s, d) => {
+      val nPlanes = 8
+      // (vec_id, dim, x) with x integer-quantized
+      val flat = emb(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("xq"))
+      // plane weights as a small broadcast table built driver-side
+      val planes = s.createDataFrame(
+        for { p <- 0 until nPlanes; dim <- 1 to 64 }
+          yield (p, dim, planeWeight(p, dim))
+      ).toDF("plane", "dim", "w")
+      val proj = flat.join(broadcast(planes), "dim")
+        .groupBy(col("vec_id"), col("plane"))
+        .agg(sum(col("xq") * col("w")).as("proj"))
+      val buckets = proj
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("CASE WHEN proj >= 0 THEN shiftleft(CAST(1 AS BIGINT), plane) ELSE CAST(0 AS BIGINT) END"))
+          .as("bucket"))
+      val a = buckets.as("a"); val b = buckets.as("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .filter(col("a.vec_id") < 10)
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("vid"),
+          col("a.bucket").as("bucket"))
+        .orderBy("qid", "vid")
+    }, Some("""
+      WITH planes AS (
+        SELECT p, dim,
+               (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)),1,7))::BIGINT) % 2001 - 1000 AS w
+        FROM generate_series(0, 7) tp(p), generate_series(1, 64) td(dim)),
+      flat AS (
+        SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim)),
+      proj AS (
+        SELECT vec_id, p, CAST(SUM(xq*w) AS BIGINT) AS proj
+        FROM flat JOIN planes USING (dim) GROUP BY vec_id, p),
+      buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id)
+      SELECT a.vec_id AS qid, b.vec_id AS vid, a.bucket AS bucket
+      FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE a.vec_id < 10 ORDER BY qid, vid""")),
+
+    // ---- dd05: embedding-cosine near-duplicate pairs (exact threshold)
+    QueryDef("dd05_embed_neardup", (s, d) => {
+      val e = emb(s, d).filter(col("vec_id") < 200)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      a.join(b, col("ida") < col("idb"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.9)
+        .select(col("ida"), col("idb"), floor(col("cos") * 10000).cast("long").as("cos_x1e4"))
+        .orderBy("ida", "idb")
+    }, Some("""
+      SELECT a.vec_id AS ida, b.vec_id AS idb,
+             CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])*10000) AS BIGINT) AS cos_x1e4
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 200 AND b.vec_id < 200
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+      ORDER BY ida, idb"""))
+  )
+}

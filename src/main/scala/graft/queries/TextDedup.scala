@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for training-data pipelines,
+  * oracle-checked against DuckDB. All built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs in these paths), so the
+  * whole pipeline stays inside WholeStageCodegen and scales by partition.
+  *
+  * Hash discipline: the only cross-engine-stable string hash is md5, so
+  * MinHash/SimHash derive their integer hashes from md5 hex prefixes
+  * (28 bits → products with 20-bit coefficients stay far below 2^63).
+  */
+object TextDedup {
+  // stable 28-bit integer hash of a string, identical in DuckDB:
+  //   ('0x' || substr(md5(s),1,7))::BIGINT
+  private def h28(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+
+  /** Distinct 3-word shingles per doc (doc_id bounded for pair queries). */
+  private def shingles(s: SparkSession, d: String, maxDoc: Long): DataFrame = {
+    docs(s, d).filter(col("doc_id") < maxDoc)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(sequence(lit(1), size(col("ws")) - 2)).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1),
+          element_at(col("ws"), col("i") + 2)).as("sh"))
+      .distinct()
+  }
+
+  // DuckDB v1.0: generate_series cannot take lateral column args in FROM,
+  // but the scalar list form unnest(generate_series(...)) can.
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      |              WHERE doc_id < %d AND len(string_split(text, ' ')) >= 3)))""".stripMargin
+
+  // MinHash coefficients (fixed; < 2^20 so a*h28 < 2^48)
+  private val A = Seq(999983L, 999979L, 999961L, 999959L, 999953L, 999931L, 999917L, 999907L)
+  private val B = Seq(17L, 31L, 47L, 61L, 79L, 97L, 113L, 131L)
+  private val P = 1000000007L
+
+  val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- tx01: token counting (whitespace + BPE-ish length/4 subwords)
+    QueryDef("tx01_tokens", (s, d) => {
+      docs(s, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        aggregate(transform(split(col("text"), " "),
+          w => floor((length(w) + 3) / 4).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_subwords"),
+        length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+             CAST(list_sum(list_transform(string_split(text,' '),
+                      w -> CAST(FLOOR((length(w)+3)/4) AS BIGINT))) AS BIGINT) AS n_subwords,
+             CAST(length(text) AS INTEGER) AS n_chars
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- tx02: quality scoring — length / stopword / distinct-token ratios
+    QueryDef("tx02_quality", (s, d) => {
+      val ws = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      docs(s, d).select(
+        col("doc_id"),
+        size(ws).as("n_tokens"),
+        floor(length(col("text")).cast("double") / size(ws) * 10000).cast("long")
+          .as("avg_toklen_x1e4"),
+        floor(size(filter(ws, w => array_contains(stopArr, w))).cast("double")
+          / size(ws) * 10000).cast("long").as("stop_ratio_x1e4"),
+        floor(size(array_distinct(ws)).cast("double") / size(ws) * 10000)
+          .cast("long").as("uniq_ratio_x1e4"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+             CAST(FLOOR(CAST(length(text) AS DOUBLE)/len(string_split(text,' '))*10000) AS BIGINT) AS avg_toklen_x1e4,
+             CAST(FLOOR(CAST(len(list_filter(string_split(text,' '),
+                  w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+                  / len(string_split(text,' '))*10000) AS BIGINT) AS stop_ratio_x1e4,
+             CAST(FLOOR(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                  / len(string_split(text,' '))*10000) AS BIGINT) AS uniq_ratio_x1e4
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- tx03: language ID — stopword-marker heuristic (CASE-rule n-gram
+    // scoring; the synthetic corpus shares one vocabulary, so the value of
+    // this query is exact rule parity with the oracle, not accuracy)
+    QueryDef("tx03_langid", (s, d) => {
+      val padded = concat(lit(" "), col("text"), lit(" "))
+      def has(w: String) = padded.contains(s" $w ")
+      docs(s, d).select(
+        col("doc_id"), col("lang").as("label"),
+        when(has("der") || has("und") || has("die"), "de")
+          .when(has("le") || has("la") || has("et"), "fr")
+          .when(has("el") || has("los") || has("que"), "es")
+          .when(has("the") || has("a"), "en")
+          .otherwise("unknown").as("predicted"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang AS label,
+             CASE
+               WHEN contains(' '||text||' ', ' der ') OR contains(' '||text||' ', ' und ')
+                    OR contains(' '||text||' ', ' die ') THEN 'de'
+               WHEN contains(' '||text||' ', ' le ') OR contains(' '||text||' ', ' la ')
+                    OR contains(' '||text||' ', ' et ') THEN 'fr'
+               WHEN contains(' '||text||' ', ' el ') OR contains(' '||text||' ', ' los ')
+                    OR contains(' '||text||' ', ' que ') THEN 'es'
+               WHEN contains(' '||text||' ', ' the ') OR contains(' '||text||' ', ' a ') THEN 'en'
+               ELSE 'unknown' END AS predicted
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- tx04: document fingerprinting (md5 of normalized text + 28-bit)
+    QueryDef("tx04_fingerprint", (s, d) => {
+      docs(s, d).select(
+        col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fp"),
+        h28(lower(trim(col("text")))).as("fp28"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, md5(lower(trim(text))) AS fp,
+             ('0x' || substr(md5(lower(trim(text))),1,7))::BIGINT AS fp28
+      FROM documents ORDER BY doc_id""")),
+
+    // ---- dd01: exact dedup via hash-groupBy (map-side combine; the
+    // canonical 100 TB exact-dedup shape: group on fingerprint, keep min id)
+    QueryDef("dd01_exact_dup_groups", (s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy("fp")
+    }, Some("""
+      SELECT md5(text) AS fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ---- dd02: n-gram Jaccard near-dup pairs (3-word shingles, exact
+    // integer set algebra: |A∩B| via shingle-join, sizes via group counts)
+    QueryDef("dd02_jaccard_pairs", (s, d) => {
+      val sh = shingles(s, d, 80).cache()
+      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = sh.as("a"); val b = sh.as("b")
+      val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sz.as("sa"), col("ida") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("idb") === col("sb.doc_id"))
+        .select(col("ida"), col("idb"),
+          floor(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")) * 10000)
+            .cast("long").as("jac_x1e4"))
+        .filter(col("jac_x1e4") >= 100)
+        .orderBy("ida", "idb")
+    }, Some(s"""
+      WITH ${shinglesSql.format(80)},
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT ida, idb,
+             CAST(FLOOR(CAST(c AS DOUBLE)/(sa.n + sb.n - c)*10000) AS BIGINT) AS jac_x1e4
+      FROM common JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+      WHERE CAST(FLOOR(CAST(c AS DOUBLE)/(sa.n + sb.n - c)*10000) AS BIGINT) >= 100
+      ORDER BY ida, idb""")),
+
+    // ---- dd03: MinHash + LSH banding — signatures from 8 stable hash
+    // functions over shingles, 4 bands of 2 rows, candidate pairs via
+    // band-equality shuffle join (the scale path: bucket join, never n²)
+    QueryDef("dd03_minhash_lsh_pairs", (s, d) => {
+      val sh = shingles(s, d, 200).withColumn("h", h28(col("sh")))
+      val mhExprs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+        min((col("h") * a + b) % P).as(s"m$j")
+      }
+      val minhashes = sh.groupBy("doc_id").agg(mhExprs.head, mhExprs.tail: _*)
+      // explode into (band_id, band_key) — LSH bucket join, not n² compare
+      val bands = minhashes.select(col("doc_id"),
+        explode(array((0 until 4).map(bi =>
+          struct(lit(bi).as("band"),
+            concat_ws("_", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val x = bands.as("x"); val y = bands.as("y")
+      x.join(y, col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .agg(count(lit(1)).as("shared_bands"))
+        .orderBy("ida", "idb")
+    }, Some(s"""
+      WITH ${shinglesSql.format(200)},
+      hs AS (SELECT doc_id, ('0x' || substr(md5(sh),1,7))::BIGINT AS h FROM sh),
+      mh AS (SELECT doc_id,
+        ${A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h*$a + $b) % $P) AS m$j" }.mkString(", ")}
+        FROM hs GROUP BY doc_id),
+      bands AS (
+        ${(0 until 4).map(bi =>
+          s"SELECT doc_id, $bi AS band, CAST(m${2 * bi} AS VARCHAR) || '_' || CAST(m${2 * bi + 1} AS VARCHAR) AS key FROM mh")
+          .mkString(" UNION ALL ")})
+      SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS shared_bands
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      GROUP BY 1, 2 ORDER BY ida, idb""")),
+
+    // ---- dd04: SimHash — 28-bit signature from word hashes, near-dup
+    // pairs by hamming distance (bit_count of xor)
+    QueryDef("dd04_simhash_hamming", (s, d) => {
+      val words = docs(s, d)
+        .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
+        .withColumn("h", h28(col("w")))
+      val bits = words
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(27))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END")).as("score"))
+      val sig = bits.groupBy("doc_id")
+        .agg(sum(expr("CASE WHEN score >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+          .as("simhash"))
+      val a = sig.as("a"); val b = sig.as("b")
+      a.join(b, col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .filter(col("hamming") <= 4)
+        .orderBy("ida", "idb")
+    }, Some("""
+      WITH words AS (
+        SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+                                        FROM documents)),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(w),1,7))::BIGINT AS h FROM words),
+      bits AS (
+        SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS score
+        FROM hs, generate_series(0, 27) t(b) GROUP BY doc_id, b),
+      sig AS (
+        SELECT doc_id, CAST(SUM(CASE WHEN score >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS ida, b.doc_id AS idb,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+      ORDER BY ida, idb"""))
+  )
+}
