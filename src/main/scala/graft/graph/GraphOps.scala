@@ -1,0 +1,60 @@
+package graft.graph
+
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GraphX analytics over the star schema (north star — BASELINE.json names
+  * GraphX; nothing in the reference to port, SURVEY.md §7 phase 5).
+  *
+  * Property graph: customer and order vertices, customer→order edges.
+  * Kept isolated in graft.graph so reference-parity checks never depend
+  * on it. Vertex ids are namespaced (orders offset by 1e12) because
+  * GraphX flattens to a single Long id space.
+  */
+object GraphOps {
+  private val OrderOffset = 1000000000000L
+
+  def customerOrderGraph(spark: SparkSession, dir: String): Graph[String, Double] = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val customers = spark.read.parquet(s"$dir/customer.parquet")
+    val vertices = customers
+      .select(col("c_custkey").cast("long"), lit("customer"))
+      .rdd.map(r => (r.getLong(0), r.getString(1)))
+      .union(orders.select((col("o_orderkey") + OrderOffset).cast("long"), lit("order"))
+        .rdd.map(r => (r.getLong(0), r.getString(1))))
+    val edges = orders
+      .select(col("o_custkey").cast("long"), (col("o_orderkey") + OrderOffset).cast("long"),
+        col("o_totalprice"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Graph(vertices, edges)
+  }
+
+  /** Out-degree per customer via GraphX — must agree with the SQL
+    * group-by (graph01_degree's oracle checks exactly that). */
+  def customerDegrees(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val g = customerOrderGraph(spark, dir)
+    g.outDegrees.filter(_._1 < OrderOffset)
+      .map { case (vid, deg) => (vid, deg) }
+      .toDF("c_custkey", "n_orders")
+  }
+
+  /** PageRank over the bipartite graph (demo analytics; no SQL oracle). */
+  def pageRankTop(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    import spark.implicits._
+    val g = customerOrderGraph(spark, dir)
+    val ranks = g.staticPageRank(5).vertices
+    ranks.filter(_._1 < OrderOffset)
+      .map { case (vid, r) => (vid, r) }
+      .toDF("c_custkey", "rank")
+      .orderBy(col("rank").desc, col("c_custkey"))
+      .limit(n)
+  }
+
+  /** Connected components over the customer–order graph. */
+  def componentCount(spark: SparkSession, dir: String): Long = {
+    val g = customerOrderGraph(spark, dir)
+    g.connectedComponents().vertices.map(_._2).distinct().count()
+  }
+}

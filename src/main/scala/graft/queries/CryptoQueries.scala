@@ -117,6 +117,17 @@ object CryptoQueries {
         FROM customer_small ORDER BY c_custkey""")
     }, Some("SELECT c_custkey, true AS longer, true AS longer_multi FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
 
+    // kernel throughput probe: one 64 MiB blob through encrypt+decrypt on a
+    // single core — seconds here convert directly to MB/s against the
+    // reference's 50-100 MB/s claim (FUNCTIONS.md:466-467; BASELINE.md)
+    QueryDef("age10_kernel_64mb", (s, d) => {
+      AgeFunctions.register(s)
+      s.sql(s"""
+        SELECT length(age_decrypt(
+                 age_encrypt(CAST(repeat('x', 67108864) AS BINARY), '$pubA'),
+                 '$privA')) = 67108864 AS ok""")
+    }, Some("SELECT true AS ok")),
+
     // encrypted-column pipeline: encrypt → filter/join on plaintext-derived
     // cols → decrypt (the composition the rebuild exists for)
     QueryDef("age09_pipeline_joined", (s, d) => {

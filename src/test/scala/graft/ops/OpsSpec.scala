@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.TestSpark
+import graft.graph.GraphOps
+import graft.sql.AgeFunctions
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Multimodal mapPartitions plumbing, Structured Streaming, and GraphX. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("multimodal: batch decode emits typed metadata per row") {
+    val media = Multimodal.mediaFromDocuments(spark, sf)
+    val metas = Multimodal.decodeBatch(media)
+    val n = media.count()
+    assert(metas.count() == n)
+    val m = metas.filter(col("doc_id") === 0).head()
+    assert(m.ok && m.n_bytes > 0 && m.width >= 16 && m.channels >= 1)
+    // schema is the contract
+    assert(metas.schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "width", "height", "channels", "format", "ok"))
+  }
+
+  test("multimodal: resize subsamples payloads; frame sampling fans out") {
+    val media = Multimodal.mediaFromDocuments(spark, sf).limit(20)
+    val resized = Multimodal.resizeBatch(media, 4)
+    val pairs = media.collect().map(r => r.doc_id -> r.payload.length).toMap
+    resized.collect().foreach { r =>
+      assert(r.payload.length == math.max(1, pairs(r.doc_id) / 4))
+    }
+    val frames = Multimodal.sampleFrames(media, frameBytes = 50, step = 2)
+    assert(frames.count() > 0)
+    assert(frames.schema.fieldNames.toSeq == Seq("doc_id", "frame_idx", "frame"))
+    // every sampled frame is exactly frameBytes long
+    assert(frames.filter(length(col("frame")) =!= 50).count() == 0)
+  }
+
+  test("multimodal: real codec boundary is stubbed (documented ???)") {
+    intercept[NotImplementedError](Multimodal.decodeReal(Array[Byte](1)))
+  }
+
+  test("streaming: windowed rollup with watermark over MemoryStream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val agg = StreamingOps.hourlyRollup(events)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("hourly_out").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:15:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:45:00")
+    val t2 = Timestamp.valueOf("2024-01-01 11:10:00")
+    val late = Timestamp.valueOf("2024-01-01 20:00:00") // advances watermark past 10-11
+    mem.addData((1L, t0, 7L, "click", 1.5, "{}"), (2L, t1, 8L, "click", 2.5, "{}"),
+      (3L, t2, 7L, "view", 9.0, "{}"))
+    q.processAllAvailable()
+    mem.addData((4L, late, 9L, "view", 1.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("hourly_out").collect()
+    q.stop()
+    // the 10:00 click window is closed by the watermark: n=2, 400 cents
+    val closed = rows.filter(r => r.getAs[String]("event_type") == "click")
+    assert(closed.length == 1)
+    assert(closed(0).getAs[Long]("n") == 2L)
+    assert(closed(0).getAs[Long]("value_cents") == 400L)
+  }
+
+  test("streaming: age_encrypt lifts onto a stream unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    AgeFunctions.register(spark)
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    val events = mem.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val enc = StreamingOps.encryptProps(events, graft.queries.CryptoQueries.pubA)
+    val q = enc.writeStream.outputMode("append")
+      .format("memory").queryName("enc_out").start()
+    mem.addData((1L, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, """{"k": 5}"""))
+    q.processAllAvailable()
+    val out = spark.table("enc_out").collect()
+    q.stop()
+    assert(out.length == 1)
+    val ct = out(0).getAs[Array[Byte]]("props_enc")
+    assert(new String(ct.take(21), "UTF-8") == "age-encryption.org/v1")
+    // decrypt round-trips through the batch UDF
+    val dec = graft.core.AgeFormat.decrypt(ct,
+      graft.core.AgeKeys.parseIdentity(graft.queries.CryptoQueries.privA).toOption.get)
+    assert(new String(dec, "UTF-8") == """{"k": 5}""")
+  }
+
+  test("graphx: degrees match SQL group-by; pagerank and CC run") {
+    val deg = GraphOps.customerDegrees(spark, sf)
+    val sqlDeg = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).cast("int").as("n"))
+    val joined = deg.join(sqlDeg, deg("c_custkey") === sqlDeg("o_custkey"))
+    assert(joined.filter(col("n_orders") =!= col("n")).count() == 0)
+    assert(deg.count() == sqlDeg.count())
+    assert(GraphOps.pageRankTop(spark, sf, 5).count() == 5)
+    assert(GraphOps.componentCount(spark, sf) >= 1)
+  }
+}

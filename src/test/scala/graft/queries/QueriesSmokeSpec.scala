@@ -1,0 +1,34 @@
+package graft.queries
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registered query must run at sf0.001 and produce a stable schema;
+  * full value correctness is the driver's DuckDB gate (tools/compare_oracle.py
+  * mimics it locally at sf0.01). */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("every query has an oracle or a documented reason") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      val n = df.count()
+      assert(n >= 0)
+      assert(df.schema.fieldNames.nonEmpty)
+      // aggregate/flag queries must not be empty (pair queries may be)
+      if (!Set("dd02_jaccard_pairs", "dd04_simhash_hamming", "dd05_embed_neardup",
+        "q09_setops_except", "q18_anti_join").contains(name))
+        assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("entry() returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
