@@ -18,14 +18,12 @@ object Similarity {
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.load(s, d, "embeddings")
 
-  /** cosine(a, b) as a sequential fold (deterministic operation order). */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+  /** cosine(a, b): native codegen Catalyst expression (graft.functions
+    * .CosineSim) — same sequential left-to-right accumulation as the
+    * DuckDB oracle, but a tight primitive loop inside WholeStageCodegen
+    * instead of interpreted higher-order functions. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Deterministic hyperplane weights: w(plane, dim) ∈ [-1000, 1000] from
     * md5 — reproducible in SQL as (('0x'||substr(md5(p||'_'||d),1,7))::BIGINT) % 2001 - 1000. */

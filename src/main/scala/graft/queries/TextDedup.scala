@@ -179,10 +179,12 @@ object TextDedup {
     // band-equality shuffle join (the scale path: bucket join, never n²)
     QueryDef("dd03_minhash_lsh_pairs", (s, d) => {
       val sh = shingles(s, d, 200).withColumn("h", h28(col("sh")))
-      val mhExprs = A.zip(B).zipWithIndex.map { case ((a, b), j) =>
-        min((col("h") * a + b) % P).as(s"m$j")
-      }
-      val minhashes = sh.groupBy("doc_id").agg(mhExprs.head, mhExprs.tail: _*)
+      // one-pass K-way signature via the custom TypedImperativeAggregate
+      // (graft.functions.MinHashAgg) — single buffer instead of K min()s
+      val sig = sh.groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhash_agg(col("h")).as("sig"))
+      val minhashes = sig.select(col("doc_id") +:
+        (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
       // explode into (band_id, band_key) — LSH bucket join, not n² compare
       val bands = minhashes.select(col("doc_id"),
         explode(array((0 until 4).map(bi =>
