@@ -28,9 +28,16 @@ object AgeFormat {
   private val b64e = Base64.getEncoder.withoutPadding()
   private val b64d = Base64.getDecoder
 
+  // Cipher instances are reused per thread: executor task threads run the
+  // per-row kernels millions of times, and Cipher.getInstance dominates
+  // small-payload cost. Safe because each init uses a fresh (key, nonce)
+  // pair (the JDK only rejects re-init with an identical key+nonce).
+  private val cipherTL = ThreadLocal.withInitial[Cipher](
+    () => Cipher.getInstance("ChaCha20-Poly1305"))
+
   private def chacha(mode: Int, key: Array[Byte], nonce: Array[Byte],
                      data: Array[Byte]): Array[Byte] = {
-    val c = Cipher.getInstance("ChaCha20-Poly1305")
+    val c = cipherTL.get()
     c.init(mode, new SecretKeySpec(key, "ChaCha20"), new IvParameterSpec(nonce))
     c.doFinal(data)
   }

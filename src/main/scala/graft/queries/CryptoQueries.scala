@@ -117,16 +117,38 @@ object CryptoQueries {
         FROM customer_small ORDER BY c_custkey""")
     }, Some("SELECT c_custkey, true AS longer, true AS longer_multi FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
 
-    // kernel throughput probe: one 64 MiB blob through encrypt+decrypt on a
-    // single core — seconds here convert directly to MB/s against the
-    // reference's 50-100 MB/s claim (FUNCTIONS.md:466-467; BASELINE.md)
+    // kernel throughput probe: 64 rows x 1 MiB through encrypt+decrypt in
+    // parallel — aggregate MB/s across cores, against the reference's
+    // 50-100 MB/s single-core claim (FUNCTIONS.md:466-467; BASELINE.md).
+    // The raw kernel does ~115 MB/s encrypt / ~150 MB/s decrypt per core
+    // (CryptoCoreSpec-adjacent microbench); this query adds Spark row
+    // plumbing and runs one blob per task.
     QueryDef("age10_kernel_64mb", (s, d) => {
       AgeFunctions.register(s)
+      s.range(0, 64).toDF("row_id")
+        .repartition(32)
+        .selectExpr("row_id",
+          s"length(age_decrypt(age_encrypt(CAST(repeat('x', 1048576) AS BINARY), " +
+            s"'$pubA'), '$privA')) = 1048576 AS ok")
+        .orderBy("row_id")
+    }, Some("SELECT CAST(i AS BIGINT) AS row_id, true AS ok FROM generate_series(0, 63) t(i) ORDER BY row_id")),
+
+    // key rotation (FUNCTIONS.md:422-431 documented workflow): re-encrypt
+    // from key A to a seeded key B and verify the new ciphertext decrypts
+    QueryDef("age11_key_rotation", (s, d) => {
+      prepared(s, d)
       s.sql(s"""
-        SELECT length(age_decrypt(
-                 age_encrypt(CAST(repeat('x', 67108864) AS BINARY), '$pubA'),
-                 '$privA')) = 67108864 AS ok""")
-    }, Some("SELECT true AS ok")),
+        WITH newkey AS (SELECT age_keygen_from_seed(CAST('rotation-2026' AS BINARY)) AS kp),
+        rotated AS (
+          SELECT c.c_custkey,
+                 CAST(c.c_name AS BINARY) AS original,
+                 age_encrypt(age_decrypt(age_encrypt(CAST(c.c_name AS BINARY), '$pubA'),
+                                         '$privA'), kp.public_key) AS ct_new,
+                 kp.private_key AS sk_new
+          FROM customer_small c CROSS JOIN newkey)
+        SELECT c_custkey, age_decrypt(ct_new, sk_new) = original AS rotated_ok
+        FROM rotated ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS rotated_ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
 
     // encrypted-column pipeline: encrypt → filter/join on plaintext-derived
     // cols → decrypt (the composition the rebuild exists for)

@@ -377,6 +377,24 @@ object Relational {
              COUNT(*) AS n
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // ---- q26: ROLLUP grouping sets over the region/nation hierarchy
+    QueryDef("q26_rollup", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+               COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation""")
+    }, Some("""
+      SELECT COALESCE(r_name, 'ALL') AS region, COALESCE(n_name, 'ALL') AS nation,
+             COUNT(*) AS n_customers
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region, nation""")),
+
     // ---- q25: tumbling-window aggregation over the event stream (batch
     // equivalent of the Structured Streaming pipeline in graft.streaming)
     QueryDef("q25_events_hourly", (s, d) => {
