@@ -28,7 +28,9 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div, not `/`: double division of ~1.7e18 ns loses ULPs and
+      // can flip a microsecond (caught by the q27 oracle at row 3167)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -395,6 +395,47 @@ object Relational {
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY region, nation""")),
 
+    // ---- q27: gap-based sessionization via window lag + running sum —
+    // the batch twin of StreamingOps.sessionize (flatMapGroupsWithState)
+    QueryDef("q27_sessionize", (s, d) => {
+      Tables.load(s, d, "events").createOrReplaceTempView("events")
+      s.sql("""
+        WITH marked AS (
+          SELECT user_id, event_id, unix_millis(ts) AS tms,
+                 CASE WHEN unix_millis(ts) -
+                      LAG(unix_millis(ts)) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                      > 1800000 THEN 1 ELSE 0 END AS boundary
+          FROM events),
+        sessions AS (
+          SELECT user_id, event_id, tms,
+                 SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+          FROM marked)
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+               MAX(tms) - MIN(tms) AS dur_ms
+        FROM sessions WHERE user_id <= 50
+        GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS tms,
+               CASE WHEN epoch_ms(ts) -
+                    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                    > 1800000 THEN 1 ELSE 0 END AS boundary
+        FROM events),
+      sessions AS (
+        SELECT user_id, event_id, tms,
+               CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_idx
+        FROM marked)
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             MAX(tms) - MIN(tms) AS dur_ms
+      FROM sessions WHERE user_id <= 50
+      GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
+
     // ---- q25: tumbling-window aggregation over the event stream (batch
     // equivalent of the Structured Streaming pipeline in graft.streaming)
     QueryDef("q25_events_hourly", (s, d) => {

@@ -108,6 +108,57 @@ object Similarity {
       FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       WHERE a.vec_id < 10 ORDER BY qid, vid""")),
 
+    // ---- sim03: IVF-style ANN — fixed coarse quantizer (centroids =
+    // vectors 0..7), every vector assigned to its nearest list, queries
+    // probe the 2 nearest lists and score only those candidates. The
+    // scale path: the scan per query is |2 lists|, not |all vectors|,
+    // and the assignment is one broadcast join over the tiny codebook.
+    QueryDef("sim03_ann_ivf", (s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(col("embedding"), col("ce")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val rn = assign.withColumn("rn", row_number().over(w))
+      val lists = rn.filter(col("rn") === 1).select(col("vec_id").as("vid"), col("cid"))
+      val probes = rn.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cands = probes.join(lists, "cid").filter(col("vid") =!= col("qid"))
+        .select("qid", "vid")
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val scored = cands.join(q, "qid").join(v, "vid")
+        .withColumn("cos", cosine(col("qe"), col("ve")))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      scored.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"),
+          floor(col("cos") * 10000).cast("long").as("cos_x1e4"), col("rank"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, cid) AS rn
+        FROM embeddings e, cents c),
+      lists AS (SELECT vec_id AS vid, cid FROM assign WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM assign WHERE rn <= 2 AND vec_id < 10),
+      cands AS (SELECT p.qid, l.vid FROM probes p JOIN lists l ON p.cid = l.cid
+                WHERE l.vid <> p.qid),
+      scored AS (
+        SELECT qid, vid,
+               list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cos
+        FROM cands JOIN embeddings q ON q.vec_id = qid
+                   JOIN embeddings v ON v.vec_id = vid),
+      ranked AS (SELECT qid, vid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+                 FROM scored)
+      SELECT qid, vid, CAST(FLOOR(cos*10000) AS BIGINT) AS cos_x1e4,
+             CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
     // ---- dd05: embedding-cosine near-duplicate pairs (exact threshold)
     QueryDef("dd05_embed_neardup", (s, d) => {
       val e = emb(s, d).filter(col("vec_id") < 200)

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface. The reference's scalar functions are
@@ -28,6 +29,42 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_cents"))
+
+  final case class SessionEvent(user_id: Long, event_id: Long, tms: Long)
+  final case class SessionState(sessionIdx: Long, lastTms: Long, startTms: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_idx: Long, n_events: Long, dur_ms: Long)
+
+  /** Gap-based sessionization with explicit per-key state
+    * (`flatMapGroupsWithState` — the custom-state tier of Structured
+    * Streaming). Emits a session row whenever a gap larger than `gapMs`
+    * closes the previous session; the open session stays in state (a
+    * production deployment adds a watermark + EventTimeTimeout to flush
+    * idle sessions — ProcessingTimeTimeout keeps micro-batches firing
+    * continuously, which stalls processAllAvailable-style draining).
+    * Batch twin: q27_sessionize (lag + running sum).
+    *
+    * State per user is O(1) (four longs) — the shape that holds at
+    * 100 TB/day event volumes where per-key buffering would not. */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tms, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+          sorted.foreach { e =>
+            st = if (st.lastTms < 0) SessionState(0L, e.tms, e.tms, 1L)
+            else if (e.tms - st.lastTms > gapMs) {
+              closed += SessionOut(userId, st.sessionIdx, st.nEvents, st.lastTms - st.startTms)
+              SessionState(st.sessionIdx + 1, e.tms, e.tms, 1L)
+            } else SessionState(st.sessionIdx, e.tms, st.startTms, st.nEvents + 1L)
+          }
+          state.update(st)
+          closed.iterator
+      }
+  }
 
   /** Stateless crypto transform on a stream: encrypt the props column per
     * event. Works identically on batch and streaming DataFrames — the

@@ -94,6 +94,26 @@ class OpsSpec extends AnyFunSuite {
     assert(new String(dec, "UTF-8") == """{"k": 5}""")
   }
 
+  test("streaming: flatMapGroupsWithState sessionization closes on gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{SessionEvent, SessionOut}
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingOps.sessionize(mem.toDS(), gapMs = 1800000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    // user 1: two events 10 min apart (one session), then a 2-hour gap
+    // closes it and starts session 1
+    try {
+      mem.addData(SessionEvent(1L, 1L, 0L), SessionEvent(1L, 2L, 600000L))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(1L, 3L, 7800000L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").as[SessionOut].collect()
+      assert(rows.toSeq == Seq(SessionOut(1L, 0L, 2L, 600000L)))
+    } finally q.stop()
+  }
+
   test("graphx: degrees match SQL group-by; pagerank and CC run") {
     val deg = GraphOps.customerDegrees(spark, sf)
     val sqlDeg = spark.read.parquet(s"$sf/orders.parquet")
