@@ -105,6 +105,41 @@ object AgeFormat {
     out.toByteArray
   }
 
+  // --- ASCII armor (age spec: strict PEM-style, 64-column base64 body).
+  // Beyond the reference's surface (it emits binary only) but part of the
+  // age v1 spec; real age tooling accepts both, so decrypt auto-detects.
+  private val ArmorBegin = "-----BEGIN AGE ENCRYPTED FILE-----"
+  private val ArmorEnd = "-----END AGE ENCRYPTED FILE-----"
+  private val b64eP = Base64.getEncoder // padded, per armor spec
+
+  def armor(ciphertext: Array[Byte]): String = {
+    val b64 = b64eP.encodeToString(ciphertext)
+    val body = b64.grouped(64).mkString("\n")
+    s"$ArmorBegin\n$body\n$ArmorEnd\n"
+  }
+
+  def isArmored(data: Array[Byte]): Boolean = {
+    var i = 0 // skip leading whitespace, then expect the BEGIN marker
+    while (i < data.length && (data(i) == ' ' || data(i) == '\n' ||
+      data(i) == '\r' || data(i) == '\t')) i += 1
+    data.length - i >= ArmorBegin.length &&
+      new String(data, i, ArmorBegin.length, UTF_8) == ArmorBegin
+  }
+
+  def dearmor(data: Array[Byte]): Array[Byte] = {
+    val text = new String(data, UTF_8).trim
+    if (!text.startsWith(ArmorBegin)) fail("not an armored age file")
+    val endIdx = text.lastIndexOf(ArmorEnd)
+    if (endIdx < 0) fail("armored file missing END marker")
+    val body = text.substring(ArmorBegin.length, endIdx)
+    val lines = body.split('\n').map(_.trim).filter(_.nonEmpty)
+    // strict armor: every line 64 chars except the last (<= 64, non-empty)
+    if (lines.dropRight(1).exists(_.length != 64) ||
+        lines.lastOption.exists(_.length > 64)) fail("malformed armor line length")
+    try Base64.getDecoder.decode(lines.mkString)
+    catch { case _: IllegalArgumentException => fail("malformed armor base64") }
+  }
+
   private def fail(cause: String): Nothing =
     throw new AgeInvalidInputException(s"Decryption failed: $cause")
 
@@ -113,7 +148,8 @@ object AgeFormat {
 
   /** Decrypt with one identity (32-byte private scalar). Error messages
     * mirror rust/src/lib.rs:188 (`Decryption failed: <cause>`). */
-  def decrypt(ciphertext: Array[Byte], identityScalar: Array[Byte]): Array[Byte] = {
+  def decrypt(ciphertext0: Array[Byte], identityScalar: Array[Byte]): Array[Byte] = {
+    val ciphertext = if (isArmored(ciphertext0)) dearmor(ciphertext0) else ciphertext0
     // --- parse textual header (lines up to and including the "--- " mac line)
     var pos = 0
     def readLine(): String = {

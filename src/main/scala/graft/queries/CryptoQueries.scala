@@ -150,6 +150,21 @@ object CryptoQueries {
         FROM rotated ORDER BY c_custkey""")
     }, Some("SELECT c_custkey, true AS rotated_ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
 
+    // ASCII armor (age spec; beyond the reference's binary-only surface):
+    // armored output is strict PEM-style text and decrypt auto-detects it
+    QueryDef("age12_armor_roundtrip", (s, d) => {
+      prepared(s, d)
+      s.sql(s"""
+        WITH armored AS (
+          SELECT c_custkey, CAST(c_name AS BINARY) AS pt,
+                 age_encrypt_armor(CAST(c_name AS BINARY), '$pubA') AS ct_text
+          FROM customer_small)
+        SELECT c_custkey,
+               ct_text LIKE '-----BEGIN AGE ENCRYPTED FILE-----%' AS armored_ok,
+               age_decrypt(CAST(ct_text AS BINARY), '$privA') = pt AS roundtrip_ok
+        FROM armored ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS armored_ok, true AS roundtrip_ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
     // encrypted-column pipeline: encrypt → filter/join on plaintext-derived
     // cols → decrypt (the composition the rebuild exists for)
     QueryDef("age09_pipeline_joined", (s, d) => {

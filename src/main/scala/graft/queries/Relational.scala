@@ -395,6 +395,28 @@ object Relational {
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY region, nation""")),
 
+    // ---- q28: skew-mitigation pattern — salted join. The salt fans the
+    // build side out 8x and co-partitions the probe side by (key, salt),
+    // splitting any hot key across 8 reducers; the result is provably
+    // identical to the plain join (the oracle IS the plain join).
+    QueryDef("q28_salted_join", (s, d) => {
+      val SALT = 8
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          (col("l_linenumber") % SALT).as("salt"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(SALT - 1))).as("salt"))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // ---- q27: gap-based sessionization via window lag + running sum —
     // the batch twin of StreamingOps.sessionize (flatMapGroupsWithState)
     QueryDef("q27_sessionize", (s, d) => {

@@ -121,6 +121,12 @@ object AgeFunctions {
       udf((data: Array[Byte], recipient: String) => encryptImpl(data, recipient, secrets))
         .asNondeterministic())
 
+    spark.udf.register("age_encrypt_armor",
+      udf((data: Array[Byte], recipient: String) =>
+        if (data == null || recipient == null) null
+        else AgeFormat.armor(encryptImpl(data, recipient, secrets)))
+        .asNondeterministic())
+
     spark.udf.register("age_decrypt",
       udf((data: Array[Byte], identity: String) => decryptImpl(data, identity, secrets)))
 

@@ -140,6 +140,32 @@ class CryptoCoreSpec extends AnyFunSuite {
       AgeFormat.decrypt("not an age file at all".getBytes, id))
       .getMessage.startsWith("Decryption failed"))
   }
+  test("armor: strict PEM roundtrip, auto-detect, malformed rejection") {
+    val kp = AgeKeys.generate()
+    val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
+    val Right(id) = AgeKeys.parseIdentity(kp.privateKey)
+    val pt = Array.tabulate[Byte](5000)(i => (i * 17).toByte)
+    val ct = AgeFormat.encrypt(pt, Seq(rec))
+    val armored = AgeFormat.armor(ct)
+    assert(armored.startsWith("-----BEGIN AGE ENCRYPTED FILE-----\n"))
+    assert(armored.endsWith("-----END AGE ENCRYPTED FILE-----\n"))
+    val bodyLines = armored.split('\n').drop(1).dropRight(1)
+    assert(bodyLines.dropRight(1).forall(_.length == 64))
+    // decrypt auto-detects armored input (and leading whitespace)
+    assert(AgeFormat.decrypt(armored.getBytes("UTF-8"), id).sameElements(pt))
+    assert(AgeFormat.decrypt(("  \n" + armored).getBytes("UTF-8"), id).sameElements(pt))
+    // malformed: bad line length
+    val bad = armored.replaceFirst("\n", "\nZZZ\n")
+    assert(intercept[AgeInvalidInputException](
+      AgeFormat.decrypt(bad.getBytes("UTF-8"), id))
+      .getMessage.startsWith("Decryption failed"))
+    // missing end marker
+    val noEnd = armored.replace("-----END AGE ENCRYPTED FILE-----", "")
+    assert(intercept[AgeInvalidInputException](
+      AgeFormat.decrypt(noEnd.getBytes("UTF-8"), id))
+      .getMessage.contains("END marker"))
+  }
+
   test("ciphertext header structure: v1 line, X25519 stanza, mac line") {
     val kp = AgeKeys.generate()
     val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
