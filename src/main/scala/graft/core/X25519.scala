@@ -101,10 +101,19 @@ object X25519 {
     pub
   }
 
+  // Per-thread JDK service instances: getInstance() walks the provider
+  // registry on every call, which dominates per-row DH cost when executor
+  // threads run the kernel millions of times.
+  private val kpgTL = ThreadLocal.withInitial[KeyPairGenerator](
+    () => KeyPairGenerator.getInstance("X25519"))
+  private val kfTL = ThreadLocal.withInitial[KeyFactory](
+    () => KeyFactory.getInstance("XDH"))
+  private val kaTL = ThreadLocal.withInitial[KeyAgreement](
+    () => KeyAgreement.getInstance("XDH"))
+
   /** Fresh random keypair → (privateScalar32, publicU32), both little-endian raw. */
   def generateKeyPair(): (Array[Byte], Array[Byte]) = {
-    val kpg = KeyPairGenerator.getInstance("X25519")
-    val kp = kpg.generateKeyPair()
+    val kp = kpgTL.get().generateKeyPair()
     val priv = kp.getPrivate.asInstanceOf[XECPrivateKey].getScalar.orElseThrow(
       () => new IllegalStateException("JDK X25519 private key has no scalar"))
     val pubU = kp.getPublic.asInstanceOf[XECPublicKey].getU
@@ -113,11 +122,11 @@ object X25519 {
 
   /** X25519 DH via the JDK provider. Throws on all-zero shared secret. */
   def sharedSecret(privateScalar: Array[Byte], publicU: Array[Byte]): Array[Byte] = {
-    val kf = KeyFactory.getInstance("XDH")
+    val kf = kfTL.get()
     val priv = kf.generatePrivate(new XECPrivateKeySpec(paramSpec, clamp(privateScalar)))
     val pub = kf.generatePublic(
       new XECPublicKeySpec(paramSpec, decodeLE(publicU, maskHigh = true)))
-    val ka = KeyAgreement.getInstance("XDH")
+    val ka = kaTL.get()
     ka.init(priv)
     ka.doPhase(pub, true)
     val out = ka.generateSecret()

@@ -57,4 +57,42 @@ object GraphOps {
     val g = customerOrderGraph(spark, dir)
     g.connectedComponents().vertices.map(_._2).distinct().count()
   }
+
+  /** Customer–customer co-purchase projection: an edge per customer pair
+    * sharing a purchased part, weighted by how many parts they share.
+    * Unlike the bipartite graph (where every customer has identical rank —
+    * no in-edges), PageRank differentiates here. Parts with huge buyer
+    * sets are dropped before pairing: the pair fan-out of a hot part is
+    * quadratic, exactly the key-skew shape that melts at scale.
+    */
+  def coPurchaseGraph(spark: SparkSession, dir: String,
+                      maxBuyersPerPart: Int = 40): Graph[Int, Int] = {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val cp = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+      .distinct()
+    val small = cp.groupBy("part").count()
+      .filter(col("count") <= maxBuyersPerPart).select("part")
+    val bounded = cp.join(broadcast(small), "part")
+    val pairs = bounded.as("a").join(bounded.as("b"),
+        col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
+      .groupBy(col("a.cust").as("src"), col("b.cust").as("dst"))
+      .agg(count(lit(1)).cast("int").as("w"))
+    val edges = pairs.rdd.flatMap { r =>
+      val (s, d, w) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      Seq(Edge(s, d, w), Edge(d, s, w)) // undirected → both directions
+    }
+    Graph.fromEdges(edges, defaultValue = 0)
+  }
+
+  /** PageRank over the co-purchase projection — top-n central customers. */
+  def coPurchaseRankTop(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
+    import spark.implicits._
+    coPurchaseGraph(spark, dir).staticPageRank(10).vertices
+      .map { case (vid, r) => (vid, r) }
+      .toDF("c_custkey", "rank")
+      .orderBy(col("rank").desc, col("c_custkey"))
+      .limit(n)
+  }
 }

@@ -124,4 +124,16 @@ class OpsSpec extends AnyFunSuite {
     assert(GraphOps.pageRankTop(spark, sf, 5).count() == 5)
     assert(GraphOps.componentCount(spark, sf) >= 1)
   }
+
+  test("graphx: co-purchase pagerank differentiates customers") {
+    // top-10 can tie (the max-degree clique); differentiation shows over
+    // a wider window — at sf0.001 the projection has ~81 distinct ranks
+    val top = GraphOps.coPurchaseRankTop(spark, sf, 100).collect()
+    assert(top.length == 100)
+    assert(top.map(_.getDouble(1)).distinct.length > 1)
+    // ranked customers are real customers
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(top.forall(r => custs.contains(r.getLong(0))))
+  }
 }
