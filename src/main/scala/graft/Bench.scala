@@ -33,10 +33,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
-    def exec(name: String): Unit =
-      try qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    def exec(name: String): Boolean =
+      try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
     // one untimed pass: JIT + codegen + parquet footer caches warm up, so
     // the timed pass measures steady-state engine throughput (the 100 TB
@@ -44,12 +44,14 @@ object Bench {
     headline.filter(qs.contains).foreach(exec)
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()
-      exec(name)
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = exec(name)
+      // failed queries are marked -1, never reported as a fast success
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qjson = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry -1 in the per-query map; total sums successes only
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
     spark.stop()
   }

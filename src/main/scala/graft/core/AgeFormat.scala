@@ -34,6 +34,8 @@ object AgeFormat {
   // pair (the JDK only rejects re-init with an identical key+nonce).
   private val cipherTL = ThreadLocal.withInitial[Cipher](
     () => Cipher.getInstance("ChaCha20-Poly1305"))
+  private val rngTL = ThreadLocal.withInitial[java.security.SecureRandom](
+    () => new java.security.SecureRandom())
 
   private def chacha(mode: Int, key: Array[Byte], nonce: Array[Byte],
                      data: Array[Byte]): Array[Byte] = {
@@ -66,7 +68,7 @@ object AgeFormat {
   def encrypt(plaintext: Array[Byte], recipients: Seq[Array[Byte]]): Array[Byte] = {
     require(recipients.nonEmpty, "at least one recipient")
     val fileKey = new Array[Byte](16)
-    new java.security.SecureRandom().nextBytes(fileKey)
+    rngTL.get().nextBytes(fileKey)
 
     val header = new StringBuilder
     header.append(V1Line).append('\n')
@@ -83,7 +85,7 @@ object AgeFormat {
     header.append("--- ").append(b64e.encodeToString(mac)).append('\n')
 
     val nonce = new Array[Byte](16)
-    new java.security.SecureRandom().nextBytes(nonce)
+    rngTL.get().nextBytes(nonce)
     val payloadKey = Hkdf.derive(fileKey, nonce, "payload", 32)
 
     val out = new ByteArrayOutputStream(

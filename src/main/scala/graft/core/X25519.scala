@@ -1,7 +1,7 @@
 package graft.core
 
 import java.math.BigInteger
-import java.security.{KeyFactory, KeyPairGenerator, SecureRandom}
+import java.security.{KeyFactory, KeyPairGenerator}
 import java.security.interfaces.{XECPrivateKey, XECPublicKey}
 import java.security.spec.{NamedParameterSpec, XECPrivateKeySpec, XECPublicKeySpec}
 import javax.crypto.KeyAgreement
@@ -20,7 +20,6 @@ object X25519 {
   private val P = BigInteger.TWO.pow(255).subtract(BigInteger.valueOf(19))
   private val A24 = BigInteger.valueOf(121665)
   private val paramSpec = NamedParameterSpec.X25519
-  private val rnd = new SecureRandom()
 
   def clamp(scalar: Array[Byte]): Array[Byte] = {
     require(scalar.length == 32, "X25519 scalar must be 32 bytes")

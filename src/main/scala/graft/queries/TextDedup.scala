@@ -44,10 +44,12 @@ object TextDedup {
       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
       |              WHERE doc_id < %d AND len(string_split(text, ' ')) >= 3)))""".stripMargin
 
-  // MinHash coefficients (fixed; < 2^20 so a*h28 < 2^48)
-  private val A = Seq(999983L, 999979L, 999961L, 999959L, 999953L, 999931L, 999917L, 999907L)
-  private val B = Seq(17L, 31L, 47L, 61L, 79L, 97L, 113L, 131L)
-  private val P = 1000000007L
+  // MinHash coefficients — the single source of truth lives in
+  // graft.functions.MinHashAgg; the oracle SQL below is generated from the
+  // same values the Spark aggregate uses, so they can never drift apart.
+  private val A = graft.functions.MinHashAgg.A.toSeq
+  private val B = graft.functions.MinHashAgg.B.toSeq
+  private val P = graft.functions.MinHashAgg.P
 
   val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
@@ -148,7 +150,7 @@ object TextDedup {
     // ---- dd02: n-gram Jaccard near-dup pairs (3-word shingles, exact
     // integer set algebra: |A∩B| via shingle-join, sizes via group counts)
     QueryDef("dd02_jaccard_pairs", (s, d) => {
-      val sh = shingles(s, d, 80).cache()
+      val sh = shingles(s, d, 80)
       val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val a = sh.as("a"); val b = sh.as("b")
       val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

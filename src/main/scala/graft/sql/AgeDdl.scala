@@ -45,29 +45,37 @@ object AgeDdlParser {
     """(?is)\s*CREATE\s+SECRET\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+SECRET\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+  // progressive, quote-aware scan: commas inside quoted values must not
+  // split parameters (e.g. PUBLIC_KEY_FILE '/tmp/my,dir/key.txt')
   private val ParamRe =
-    """(?is)\s*([A-Za-z_]+)\s+(?:'([^']*)'|([A-Za-z0-9_./-]+))\s*""".r
+    """(?is)\s*([A-Za-z_]+)\s+(?:'([^']*)'|([A-Za-z0-9_./-]+))\s*(?:,|$)""".r
 
   /** Returns a command plan iff the statement is age-secret DDL. */
   def parseSecretDdl(sqlText: String): Option[LogicalPlan] = sqlText match {
     case CreateRe(name, body) =>
       var secretType: Option[String] = None
       var opts = AgeSecretOptions()
-      body.split(",").foreach {
-        case ParamRe(key, quoted, bare) =>
-          val v = if (quoted != null) quoted else bare
-          key.toUpperCase match {
-            case "TYPE"             => secretType = Some(v.toLowerCase)
-            case "PUBLIC_KEY"       => opts = opts.copy(publicKey = Some(v))
-            case "PRIVATE_KEY"      => opts = opts.copy(privateKey = Some(v))
-            case "PUBLIC_KEY_FILE"  => opts = opts.copy(publicKeyFile = Some(v))
-            case "PRIVATE_KEY_FILE" => opts = opts.copy(privateKeyFile = Some(v))
-            case "KEY_ID"           => opts = opts.copy(keyId = Some(v))
-            case other =>
-              throw new AgeInvalidInputException(s"Unknown secret parameter: $other")
-          }
-        case p =>
-          throw new AgeInvalidInputException(s"Malformed secret parameter: $p")
+      var pos = 0
+      while (pos < body.length && body.substring(pos).trim.nonEmpty) {
+        ParamRe.findPrefixMatchOf(body.substring(pos)) match {
+          case Some(m) =>
+            val key = m.group(1)
+            val v = if (m.group(2) != null) m.group(2) else m.group(3)
+            key.toUpperCase match {
+              case "TYPE"             => secretType = Some(v.toLowerCase)
+              case "PUBLIC_KEY"       => opts = opts.copy(publicKey = Some(v))
+              case "PRIVATE_KEY"      => opts = opts.copy(privateKey = Some(v))
+              case "PUBLIC_KEY_FILE"  => opts = opts.copy(publicKeyFile = Some(v))
+              case "PRIVATE_KEY_FILE" => opts = opts.copy(privateKeyFile = Some(v))
+              case "KEY_ID"           => opts = opts.copy(keyId = Some(v))
+              case other =>
+                throw new AgeInvalidInputException(s"Unknown secret parameter: $other")
+            }
+            pos += m.end
+          case None =>
+            throw new AgeInvalidInputException(
+              s"Malformed secret parameter: ${body.substring(pos).trim}")
+        }
       }
       if (!secretType.contains("age"))
         throw new AgeInvalidInputException(

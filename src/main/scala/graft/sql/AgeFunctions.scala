@@ -155,5 +155,8 @@ object AgeFunctions {
   }
 
   private def refreshAll(): Unit =
-    sessions.forEach { s => if (!s.sparkContext.isStopped) register(s) }
+    sessions.forEach { s =>
+      if (s.sparkContext.isStopped) sessions.remove(s) // don't pin dead sessions
+      else register(s)
+    }
 }
