@@ -395,6 +395,24 @@ object Relational {
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY region, nation""")),
 
+    // ---- q29: HAVING + UNION ALL (completes the set-op/grouping surface)
+    QueryDef("q29_having_unionall", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT 'big' AS bucket, c_nationkey, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 60
+        UNION ALL
+        SELECT 'small' AS bucket, c_nationkey, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey HAVING COUNT(*) < 60
+        ORDER BY bucket, c_nationkey""")
+    }, Some("""
+      SELECT 'big' AS bucket, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 60
+      UNION ALL
+      SELECT 'small' AS bucket, c_nationkey, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey HAVING COUNT(*) < 60
+      ORDER BY bucket, c_nationkey""")),
+
     // ---- q28: skew-mitigation pattern — salted join. The salt fans the
     // build side out 8x and co-partitions the probe side by (key, salt),
     // splitting any hot key across 8 reducers; the result is provably
