@@ -37,6 +37,17 @@ final case class AgeSecret(
 object AgeSecretManager {
   private val secrets = TrieMap[String, AgeSecret]()
   private val listeners = new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  private val ver = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Monotonic mutation counter — lets AgeFunctions.register skip the
+    * 8-UDF re-registration when the registry hasn't changed since the last
+    * call on that session (the bench runs each query body repeatedly). */
+  def version: Long = ver.get()
+
+  private def notifyChanged(): Unit = {
+    ver.incrementAndGet()
+    listeners.forEach(_.apply())
+  }
 
   /** Max key-file size, mirroring src/age_extension.cpp:58-60. */
   private val MaxKeyFileBytes = 1024 * 1024
@@ -95,13 +106,13 @@ object AgeSecretManager {
     }
     val secret = AgeSecret(name, pub, priv, opts.keyId)
     secrets.put(name, secret)
-    listeners.forEach(_.apply())
+    notifyChanged()
     secret
   }
 
   def drop(name: String): Unit = {
     if (secrets.remove(name).isEmpty) fail(s"Secret '$name' not found")
-    listeners.forEach(_.apply())
+    notifyChanged()
   }
 
   def get(name: String): Option[AgeSecret] = secrets.get(name)
@@ -115,7 +126,7 @@ object AgeSecretManager {
   def list: Seq[(String, String, String)] =
     secrets.readOnlySnapshot().toMap.keys.toSeq.sorted.map(n => (n, "age", "config"))
 
-  def clear(): Unit = { secrets.clear(); listeners.forEach(_.apply()) }
+  def clear(): Unit = { secrets.clear(); notifyChanged() }
 
   /** Registered by AgeFunctions so UDF snapshots refresh on every mutation. */
   private[graft] def onChange(f: () => Unit): Unit = listeners.add(f)

@@ -99,13 +99,17 @@ object AgeFunctions {
   // ---- registration ----
 
   private val sessions =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Long]()
   private val hookInstalled = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Register all functions + the `age_secrets` view on a session. Safe to
-    * call repeatedly (idempotent; refreshes the secret snapshot). */
+    * call repeatedly (idempotent; refreshes the secret snapshot). Calls are
+    * O(1) no-ops while the secret registry is unchanged — query bodies call
+    * this defensively, and re-binding 8 UDFs per execution is pure planner
+    * overhead (it showed up as ~tens of ms in the bench loop). */
   def register(spark: SparkSession): Unit = {
+    val version = AgeSecretManager.version
+    if (sessions.get(spark) == version) return
     val secrets: Secrets = AgeSecretManager.snapshot
 
     spark.udf.register("age_keygen",
@@ -143,7 +147,7 @@ object AgeFunctions {
 
     refreshSecretsView(spark)
 
-    sessions.add(spark)
+    sessions.put(spark, version)
     if (hookInstalled.compareAndSet(false, true))
       AgeSecretManager.onChange(() => refreshAll())
   }
@@ -155,7 +159,7 @@ object AgeFunctions {
   }
 
   private def refreshAll(): Unit =
-    sessions.forEach { s =>
+    sessions.forEach { (s, _) =>
       if (s.sparkContext.isStopped) sessions.remove(s) // don't pin dead sessions
       else register(s)
     }
