@@ -34,6 +34,41 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
+  /** Integer-exact hyperplane projections for planes [0, nPlanes): one row
+    * per (vec_id, plane) with the signed projection. Weights broadcast;
+    * bucket/band assignment built on top is reproducible in any engine and
+    * any aggregation order (integer sums). Shared by sim02 and dd05. */
+  private[queries] def planeProjections(s: SparkSession, e: DataFrame,
+                                        nPlanes: Int): DataFrame = {
+    val flat = e
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        floor(col("x").cast("double") * 1000).cast("long").as("xq"))
+    val planes = s.createDataFrame(
+      for { p <- 0 until nPlanes; dim <- 1 to 64 }
+        yield (p, dim, planeWeight(p, dim))
+    ).toDF("plane", "dim", "w")
+    flat.join(broadcast(planes), "dim")
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("xq") * col("w")).as("proj"))
+  }
+
+  /** Near-dup candidate pairs from a 4-band × 4-plane LSH over (vec_id,
+    * embedding) rows: pairs agreeing exactly on >= 1 band key. Identical
+    * vectors agree on every band, so exact duplicates are never missed. */
+  private[queries] def lshCandidatePairs(s: SparkSession, e: DataFrame): DataFrame = {
+    val proj = planeProjections(s, e, nPlanes = 16)
+    val bands = proj
+      .groupBy(col("vec_id"), expr("CAST(plane div 4 AS INT)").as("band"))
+      .agg(sum(expr("CASE WHEN proj >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(plane % 4 AS INT)) ELSE CAST(0 AS BIGINT) END"))
+        .as("key"))
+    val x = bands.as("x"); val y = bands.as("y")
+    x.join(y, col("x.band") === col("y.band")
+        && col("x.key") === col("y.key") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("ida"), col("y.vec_id").as("idb"))
+      .distinct()
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- sim01: brute-force cosine top-k (k=5, 10 query vectors)
@@ -65,20 +100,7 @@ object Similarity {
     // ---- sim02: LSH-bucketed ANN — integer-exact bucket assignment,
     // candidates from same-bucket equi-join
     QueryDef("sim02_ann_lsh_buckets", (s, d) => {
-      val nPlanes = 8
-      // (vec_id, dim, x) with x integer-quantized
-      val flat = emb(s, d)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
-        .select(col("vec_id"), (col("dim0") + 1).as("dim"),
-          floor(col("x").cast("double") * 1000).cast("long").as("xq"))
-      // plane weights as a small broadcast table built driver-side
-      val planes = s.createDataFrame(
-        for { p <- 0 until nPlanes; dim <- 1 to 64 }
-          yield (p, dim, planeWeight(p, dim))
-      ).toDF("plane", "dim", "w")
-      val proj = flat.join(broadcast(planes), "dim")
-        .groupBy(col("vec_id"), col("plane"))
-        .agg(sum(col("xq") * col("w")).as("proj"))
+      val proj = planeProjections(s, emb(s, d), nPlanes = 8)
       val buckets = proj
         .groupBy(col("vec_id"))
         .agg(sum(expr("CASE WHEN proj >= 0 THEN shiftleft(CAST(1 AS BIGINT), plane) ELSE CAST(0 AS BIGINT) END"))
@@ -159,8 +181,55 @@ object Similarity {
              CAST(rank AS INTEGER) AS rank
       FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
 
-    // ---- dd05: embedding-cosine near-duplicate pairs (exact threshold)
+    // ---- dd05: embedding-cosine near-duplicate pairs at scale — candidate
+    // pairs from a 4-band × 4-plane LSH bucket join (16 hyperplanes), exact
+    // cosine only on candidates. The all-pairs n² never materializes; the
+    // oracle SQL builds the SAME banded candidates (integer-exact), so the
+    // gate verifies the banding logic in both engines. Recall vs the exact
+    // baseline (dd06) is measured in OpsSpec — near-identical vectors agree
+    // on all bands, and a cos>=0.9 pair splits all 4 bands with prob
+    // (1-p^4)^4 ≈ 4.5e-2 at p = 1 - 25.8°/180° (per-plane agreement).
     QueryDef("dd05_embed_neardup", (s, d) => {
+      val e = emb(s, d).filter(col("vec_id") < 200)
+      val cand = lshCandidatePairs(s, e)
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      cand.join(a, "ida").join(b, "idb")
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .filter(col("cos") >= 0.9)
+        .select(col("ida"), col("idb"), floor(col("cos") * 10000).cast("long").as("cos_x1e4"))
+        .orderBy("ida", "idb")
+    }, Some("""
+      WITH planes AS (
+        SELECT p, dim,
+               (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)),1,7))::BIGINT) % 2001 - 1000 AS w
+        FROM generate_series(0, 15) tp(p), generate_series(1, 64) td(dim)),
+      flat AS (
+        SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 200),
+      proj AS (
+        SELECT vec_id, p, CAST(SUM(xq*w) AS BIGINT) AS proj
+        FROM flat JOIN planes USING (dim) GROUP BY vec_id, p),
+      bands AS (
+        SELECT vec_id, CAST(FLOOR(p/4.0) AS INTEGER) AS band,
+               CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS key
+        FROM proj GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id)
+      SELECT ida, idb,
+             CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])*10000) AS BIGINT) AS cos_x1e4
+      FROM cand JOIN embeddings a ON a.vec_id = ida JOIN embeddings b ON b.vec_id = idb
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+      ORDER BY ida, idb""")),
+
+    // ---- dd06: the exact all-pairs baseline dd05's recall is measured
+    // against — deliberately BOUNDED (vec_id < 200, ~20k pairs): this is
+    // the oracle-checked ground truth, not a scale path. At 100 TB only
+    // the LSH version (dd05) runs; this one exists so recall is a measured
+    // number instead of a claim.
+    QueryDef("dd06_neardup_exact200", (s, d) => {
       val e = emb(s, d).filter(col("vec_id") < 200)
       val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))

@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale guards on the dedup operators (VERDICT r1 items 2/3/5): the
+  * hot-shingle cap bounds dd02's join fan-out, and dd05's LSH candidate
+  * generation finds every exact duplicate while never materializing n².
+  */
+class DedupScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("dd02 cap: degenerate repeated-phrase corpus no longer fans out quadratically") {
+    import spark.implicits._
+    // 60 docs, all the SAME phrase: every shingle has doc-frequency 60.
+    // Uncapped, the shingle self-join fans out 60*59/2 pairs per shingle;
+    // with the cap (df <= 20) every shingle is dropped -> zero join rows.
+    val phrase = (1 to 10).map(i => s"w$i").mkString(" ")
+    val degenerate = (0L until 60L).map(i => (i, phrase)).toDF("doc_id", "text")
+    val sh = TextDedup.shinglesOf(degenerate)
+    val capped = TextDedup.jaccardPairs(sh, minJacX1e4 = 100,
+      maxDf = TextDedup.maxShingleDocFreq)
+    assert(capped.count() == 0)
+    // sanity: without the cap the same corpus produces the full n² pair set
+    val uncapped = TextDedup.jaccardPairs(sh, minJacX1e4 = 100, maxDf = Int.MaxValue)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
+
+  test("dd02 cap does not change results on a benign corpus") {
+    import spark.implicits._
+    // docs share at most 2-doc shingles -> cap never bites
+    val docs = Seq(
+      (0L, "a b c d e f g"), (1L, "a b c d x y z"),
+      (2L, "p q r s t u v"), (3L, "p q r s m n o")).toDF("doc_id", "text")
+    val sh = TextDedup.shinglesOf(docs)
+    val capped = TextDedup.jaccardPairs(sh, 100, TextDedup.maxShingleDocFreq)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val uncapped = TextDedup.jaccardPairs(sh, 100, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == uncapped.toSeq && capped.nonEmpty)
+  }
+
+  test("dd05 LSH candidates: exact duplicates are always candidates; no n² pair set") {
+    import spark.implicits._
+    // 12 well-separated random-ish vectors, each duplicated at id+100:
+    // identical vectors agree on all 4 band keys, so every (i, i+100)
+    // pair MUST appear among candidates (recall 1.0 on exact dups).
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 12).map(_ => Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq((i.toLong, v), (i.toLong + 100, v)) }
+    val e = rows.toDF("vec_id", "embedding")
+    val cands = Similarity.lshCandidatePairs(spark, e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 12).foreach { i =>
+      assert(cands.contains((i.toLong, i.toLong + 100)), s"missing dup pair $i")
+    }
+    // and the candidate set is far smaller than all 24*23/2 pairs —
+    // unrelated gaussian vectors rarely share a 4-plane band key
+    assert(cands.size < 24 * 23 / 2)
+  }
+
+  test("dd05 ⊆ dd06: LSH near-dups are a subset of the exact baseline") {
+    val d = "/root/testdata/sf0.01"
+    val qs = graft.SparkEntry.queries
+    val lsh = qs("dd05_embed_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = qs("dd06_neardup_exact200")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact))
+  }
+}
