@@ -34,10 +34,15 @@ object Bench {
       fs.filter(_.getName.endsWith(".parquet")).map(_.length).sum
     }
     val shufflePartitions =
-      math.max(4L, math.min(totalBytes / (32L << 20), cpus.toInt * 8L))
+      math.max(4L, math.min(totalBytes / (8L << 20), cpus.toInt * 8L))
     // small inputs: split scans finer than the 128 MB default so all cores
     // participate; big inputs: the default already saturates the cluster
     val maxPartitionBytes = math.max(8L << 20, totalBytes / (cpus.toInt * 3L))
+    // compute-dense narrow tables (documents/embeddings) are only a few MB
+    // even when row counts are large — force scans to split so one core
+    // never owns a whole table (tx01 at sf1: 1 scan task = 5x slowdown)
+    val minPartitionNum =
+      math.max(1L, math.min(totalBytes / (4L << 20), cpus.toLong))
     val aqe = totalBytes > (1L << 30)
 
     val spark = SparkSession.builder()
@@ -50,6 +55,8 @@ object Bench {
       .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
+      .config("spark.sql.files.minPartitionNum", minPartitionNum.toString)
+      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
       .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

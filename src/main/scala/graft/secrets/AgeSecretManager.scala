@@ -65,7 +65,18 @@ object AgeSecretManager {
     new String(Files.readAllBytes(p), "UTF-8").trim
   }
 
-  def create(name: String, opts: AgeSecretOptions): AgeSecret = {
+  /** Create a secret. Duplicate-name semantics mirror the host engine's
+    * (DuckDB docs, Secrets Manager): plain CREATE on an existing name is an
+    * error, CREATE OR REPLACE overwrites, CREATE IF NOT EXISTS keeps the
+    * existing secret untouched. */
+  def create(name: String, opts: AgeSecretOptions,
+             replace: Boolean = false, ifNotExists: Boolean = false): AgeSecret = {
+    secrets.get(name) match {
+      case Some(existing) if ifNotExists => return existing
+      case Some(_) if !replace =>
+        fail(s"Secret with name '$name' already exists")
+      case _ => ()
+    }
     // public key: inline XOR file (ladder order mirrors the reference)
     if (opts.publicKey.isDefined && opts.publicKeyFile.isDefined)
       fail("Cannot specify both 'public_key' and 'public_key_file'")
@@ -122,9 +133,13 @@ object AgeSecretManager {
     secrets.readOnlySnapshot().toMap.map { case (n, s) => n -> (s.publicKey, s.privateKey) }
 
   /** Redacted listing rows, the `duckdb_secrets()` equivalent
-    * (test/sql/age_secret.test:22-26). */
-  def list: Seq[(String, String, String)] =
-    secrets.readOnlySnapshot().toMap.keys.toSeq.sorted.map(n => (n, "age", "config"))
+    * (test/sql/age_secret.test:22-26). The reference carries key_id in the
+    * secret's named-value map (age_secret.test:31-35 creates with key_id),
+    * so the listing surfaces it; keys stay redacted. */
+  def list: Seq[(String, String, String, String)] = {
+    val snap = secrets.readOnlySnapshot().toMap
+    snap.keys.toSeq.sorted.map(n => (n, "age", "config", snap(n).keyId.getOrElse("")))
+  }
 
   def clear(): Unit = { secrets.clear(); notifyChanged() }
 

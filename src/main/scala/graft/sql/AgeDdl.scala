@@ -21,12 +21,47 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * src/age_extension.cpp:144-162 (named params: public_key, private_key,
   * public_key_file, private_key_file, key_id; TYPE age required).
   */
-case class CreateAgeSecretCommand(name: String, opts: AgeSecretOptions)
+/** A secret parameter value: a literal, or a scalar subquery evaluated at
+  * command run time — the reference's documented key-rotation workflow is
+  * `CREATE SECRET k (TYPE age, PUBLIC_KEY (SELECT (age_keygen()).public_key))`
+  * (reference FUNCTIONS.md:414-419). */
+sealed trait SecretParamValue
+final case class LitParam(value: String) extends SecretParamValue
+final case class SubqueryParam(sql: String) extends SecretParamValue
+
+case class CreateAgeSecretCommand(name: String,
+                                  params: Seq[(String, SecretParamValue)],
+                                  replace: Boolean = false,
+                                  ifNotExists: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("result", StringType, nullable = false)())
+
+  private def resolve(spark: SparkSession, v: SecretParamValue): String = v match {
+    case LitParam(s) => s
+    case SubqueryParam(q) =>
+      val rows = spark.sql(q).collect()
+      if (rows.length != 1 || rows(0).length != 1)
+        throw new AgeInvalidInputException(
+          s"Secret parameter subquery must return exactly one value: ($q)")
+      Option(rows(0).get(0)).map(_.toString).getOrElse(
+        throw new AgeInvalidInputException(
+          s"Secret parameter subquery returned NULL: ($q)"))
+  }
+
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    AgeSecretManager.create(name, opts)
+    var opts = AgeSecretOptions()
+    params.foreach { case (key, raw) =>
+      val v = resolve(sparkSession, raw)
+      key match {
+        case "PUBLIC_KEY"       => opts = opts.copy(publicKey = Some(v))
+        case "PRIVATE_KEY"      => opts = opts.copy(privateKey = Some(v))
+        case "PUBLIC_KEY_FILE"  => opts = opts.copy(publicKeyFile = Some(v))
+        case "PRIVATE_KEY_FILE" => opts = opts.copy(privateKeyFile = Some(v))
+        case "KEY_ID"           => opts = opts.copy(keyId = Some(v))
+      }
+    }
+    AgeSecretManager.create(name, opts, replace = replace, ifNotExists = ifNotExists)
     Seq(Row(s"Secret '$name' created"))
   }
 }
@@ -41,46 +76,92 @@ case class DropAgeSecretCommand(name: String) extends LeafRunnableCommand {
 }
 
 object AgeDdlParser {
+  // CREATE [OR REPLACE] SECRET [IF NOT EXISTS] name (...): same modifier
+  // grammar as the host engine's secret DDL (DuckDB Secrets Manager docs)
   private val CreateRe =
-    """(?is)\s*CREATE\s+SECRET\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?SECRET\s+(?:(IF\s+NOT\s+EXISTS)\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+SECRET\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
-  // progressive, quote-aware scan: commas inside quoted values must not
-  // split parameters (e.g. PUBLIC_KEY_FILE '/tmp/my,dir/key.txt')
-  private val ParamRe =
-    """(?is)\s*([A-Za-z_]+)\s+(?:'([^']*)'|([A-Za-z0-9_./-]+))\s*(?:,|$)""".r
+
+  private val knownParams = Set("PUBLIC_KEY", "PRIVATE_KEY",
+    "PUBLIC_KEY_FILE", "PRIVATE_KEY_FILE", "KEY_ID")
+
+  private def malformed(rest: String): Nothing =
+    throw new AgeInvalidInputException(s"Malformed secret parameter: ${rest.trim}")
+
+  /** Quote- and paren-aware parameter scan. Three value forms:
+    * `'quoted'` (commas/spaces allowed inside), `bare_token`, and
+    * `(SELECT …)` — a balanced-paren scalar subquery, kept verbatim for
+    * run-time evaluation. */
+  private def parseParams(body: String): Seq[(String, SecretParamValue)] = {
+    val out = scala.collection.mutable.ListBuffer[(String, SecretParamValue)]()
+    var i = 0
+    def skipWs(): Unit = while (i < body.length && body(i).isWhitespace) i += 1
+    while ({ skipWs(); i < body.length }) {
+      val ks = i
+      while (i < body.length && (body(i).isLetterOrDigit || body(i) == '_')) i += 1
+      if (i == ks) malformed(body.substring(ks))
+      val key = body.substring(ks, i)
+      skipWs()
+      val value: SecretParamValue =
+        if (i < body.length && body(i) == '\'') {
+          i += 1; val vs = i
+          while (i < body.length && body(i) != '\'') i += 1
+          if (i >= body.length) malformed(body.substring(ks))
+          val v = body.substring(vs, i); i += 1
+          LitParam(v)
+        } else if (i < body.length && body(i) == '(') {
+          val vs = i; var depth = 0; var inQuote = false
+          while (i < body.length && (depth > 0 || i == vs)) {
+            val c = body(i)
+            if (inQuote) { if (c == '\'') inQuote = false }
+            else if (c == '\'') inQuote = true
+            else if (c == '(') depth += 1
+            else if (c == ')') depth -= 1
+            i += 1
+          }
+          if (depth != 0) malformed(body.substring(ks))
+          SubqueryParam(body.substring(vs + 1, i - 1).trim)
+        } else {
+          val vs = i
+          while (i < body.length && body(i) != ',' && !body(i).isWhitespace) i += 1
+          if (i == vs) malformed(body.substring(ks))
+          LitParam(body.substring(vs, i))
+        }
+      skipWs()
+      if (i < body.length) {
+        if (body(i) == ',') i += 1 else malformed(body.substring(i))
+      }
+      out += key -> value
+    }
+    out.toList
+  }
 
   /** Returns a command plan iff the statement is age-secret DDL. */
   def parseSecretDdl(sqlText: String): Option[LogicalPlan] = sqlText match {
-    case CreateRe(name, body) =>
+    case CreateRe(orReplace, ifNotExistsMod, name, body) =>
+      if (orReplace != null && ifNotExistsMod != null)
+        throw new AgeInvalidInputException(
+          "Cannot combine OR REPLACE with IF NOT EXISTS")
       var secretType: Option[String] = None
-      var opts = AgeSecretOptions()
-      var pos = 0
-      while (pos < body.length && body.substring(pos).trim.nonEmpty) {
-        ParamRe.findPrefixMatchOf(body.substring(pos)) match {
-          case Some(m) =>
-            val key = m.group(1)
-            val v = if (m.group(2) != null) m.group(2) else m.group(3)
-            key.toUpperCase match {
-              case "TYPE"             => secretType = Some(v.toLowerCase)
-              case "PUBLIC_KEY"       => opts = opts.copy(publicKey = Some(v))
-              case "PRIVATE_KEY"      => opts = opts.copy(privateKey = Some(v))
-              case "PUBLIC_KEY_FILE"  => opts = opts.copy(publicKeyFile = Some(v))
-              case "PRIVATE_KEY_FILE" => opts = opts.copy(privateKeyFile = Some(v))
-              case "KEY_ID"           => opts = opts.copy(keyId = Some(v))
-              case other =>
-                throw new AgeInvalidInputException(s"Unknown secret parameter: $other")
-            }
-            pos += m.end
-          case None =>
-            throw new AgeInvalidInputException(
-              s"Malformed secret parameter: ${body.substring(pos).trim}")
+      val params = scala.collection.mutable.ListBuffer[(String, SecretParamValue)]()
+      parseParams(body).foreach { case (key, v) =>
+        key.toUpperCase match {
+          case "TYPE" => v match {
+            case LitParam(t) => secretType = Some(t.toLowerCase)
+            case SubqueryParam(_) =>
+              throw new AgeInvalidInputException("Secret type must be 'age', got: <subquery>")
+          }
+          case k if knownParams.contains(k) => params += k -> v
+          case other =>
+            throw new AgeInvalidInputException(s"Unknown secret parameter: $other")
         }
       }
       if (!secretType.contains("age"))
         throw new AgeInvalidInputException(
           s"Secret type must be 'age', got: ${secretType.getOrElse("<none>")}")
-      Some(CreateAgeSecretCommand(name, opts))
+      Some(CreateAgeSecretCommand(name, params.toList,
+        replace = orReplace != null, ifNotExists = ifNotExistsMod != null))
     case DropRe(name) => Some(DropAgeSecretCommand(name))
     case _            => None
   }

@@ -154,7 +154,7 @@ object AgeFunctions {
 
   private def refreshSecretsView(spark: SparkSession): Unit = {
     import spark.implicits._
-    AgeSecretManager.list.toDF("name", "type", "provider")
+    AgeSecretManager.list.toDF("name", "type", "provider", "key_id")
       .createOrReplaceTempView("age_secrets")
   }
 

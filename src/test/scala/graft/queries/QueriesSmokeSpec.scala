@@ -23,7 +23,7 @@ class QueriesSmokeSpec extends AnyFunSuite {
       assert(df.schema.fieldNames.nonEmpty)
       // aggregate/flag queries must not be empty (pair queries may be)
       if (!Set("dd02_jaccard_pairs", "dd04_simhash_hamming", "dd05_embed_neardup",
-        "q09_setops_except", "q18_anti_join").contains(name))
+        "dd06_neardup_exact200", "q09_setops_except", "q18_anti_join").contains(name))
         assert(n > 0, s"$name returned 0 rows")
     }
   }

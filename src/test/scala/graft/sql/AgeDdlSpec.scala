@@ -82,6 +82,76 @@ class AgeDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     errContains("DROP SECRET test_age_key", "Secret 'test_age_key' not found")
   }
 
+  // reference FUNCTIONS.md:414-419 — the documented key-rotation workflow:
+  // secret parameters can be scalar subqueries evaluated at run time
+  test("CREATE SECRET with PUBLIC_KEY (SELECT ...) scalar subquery") {
+    spark.sql("""
+      CREATE SECRET rotation_key (
+          TYPE age,
+          PUBLIC_KEY (SELECT (age_keygen()).public_key)
+      )""")
+    val s = AgeSecretManager.get("rotation_key").get
+    assert(s.publicKey.exists(_.startsWith("age1")))
+    // usable for encryption immediately
+    assert(spark.sql(
+      "SELECT age_encrypt(CAST('x' AS BINARY), 'rotation_key') IS NOT NULL")
+      .collect()(0).getBoolean(0))
+    spark.sql("DROP SECRET rotation_key")
+  }
+
+  test("key-rotation workflow end-to-end: subquery-created keypair secret decrypts") {
+    // both halves from one seeded keygen so the pair is consistent;
+    // the subqueries run against the session at command execution time
+    spark.sql("""
+      CREATE SECRET rotated (
+          TYPE age,
+          PUBLIC_KEY (SELECT (age_keygen_from_seed(CAST('rot' AS BINARY))).public_key),
+          PRIVATE_KEY (SELECT (age_keygen_from_seed(CAST('rot' AS BINARY))).private_key)
+      )""")
+    val ok = spark.sql("""
+      SELECT age_decrypt(age_encrypt(CAST('payload' AS BINARY), 'rotated'),
+                         'rotated') = CAST('payload' AS BINARY)""")
+      .collect()(0).getBoolean(0)
+    assert(ok)
+    spark.sql("DROP SECRET rotated")
+  }
+
+  test("subquery errors: non-scalar and NULL results are rejected") {
+    errContains("""
+      CREATE SECRET bad_subq (TYPE age,
+        PUBLIC_KEY (SELECT pub FROM (SELECT 'age1a' AS pub UNION ALL SELECT 'age1b')))""",
+      "Secret parameter subquery must return exactly one value")
+    errContains("""
+      CREATE SECRET bad_null (TYPE age, PUBLIC_KEY (SELECT CAST(NULL AS STRING)))""",
+      "Secret parameter subquery returned NULL")
+  }
+
+  test("age_secrets listing carries key_id") {
+    spark.sql(s"""
+      CREATE SECRET with_kid (
+          TYPE 'age', public_key '$pubB', key_id 'personal_key')""")
+    val rows = spark.sql(
+      "SELECT key_id FROM age_secrets WHERE name = 'with_kid'").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("personal_key"))
+    spark.sql("DROP SECRET with_kid")
+  }
+
+  test("duplicate-name semantics: error / OR REPLACE / IF NOT EXISTS") {
+    spark.sql(s"CREATE SECRET dup_test (TYPE age, public_key '$pubB')")
+    errContains(s"CREATE SECRET dup_test (TYPE age, public_key '$pubB')",
+      "Secret with name 'dup_test' already exists")
+    // IF NOT EXISTS keeps the existing secret
+    spark.sql(s"CREATE SECRET IF NOT EXISTS dup_test (TYPE age, key_id 'other')")
+    assert(AgeSecretManager.get("dup_test").get.keyId.isEmpty)
+    // OR REPLACE overwrites
+    spark.sql(
+      s"CREATE OR REPLACE SECRET dup_test (TYPE age, public_key '$pubB', key_id 'v2')")
+    assert(AgeSecretManager.get("dup_test").get.keyId.contains("v2"))
+    errContains(s"CREATE OR REPLACE SECRET IF NOT EXISTS x (TYPE age)",
+      "Cannot combine OR REPLACE with IF NOT EXISTS")
+    spark.sql("DROP SECRET dup_test")
+  }
+
   test("non-secret SQL passes through the delegating parser untouched") {
     assert(spark.sql("SELECT 1 + 1").collect()(0).get(0) == 2)
     // a query merely mentioning the words is not intercepted
