@@ -56,7 +56,7 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes.toString)
       .config("spark.sql.files.minPartitionNum", minPartitionNum.toString)
-      .config("spark.sql.files.openCostInBytes", (1L << 20).toString)
+      .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -103,13 +103,41 @@ class OpsSpec extends AnyFunSuite {
     val q = out.writeStream.outputMode("append")
       .format("memory").queryName("sessions_out").start()
     // user 1: two events 10 min apart (one session), then a 2-hour gap
-    // closes it and starts session 1
+    // closes it and starts session 1. Timestamps offset from epoch 0: an
+    // event AT the initial watermark (0) is filtered as late.
+    val base = 1000000L
     try {
-      mem.addData(SessionEvent(1L, 1L, 0L), SessionEvent(1L, 2L, 600000L))
+      mem.addData(SessionEvent(1L, 1L, base), SessionEvent(1L, 2L, base + 600000L))
       q.processAllAvailable()
-      mem.addData(SessionEvent(1L, 3L, 7800000L))
+      mem.addData(SessionEvent(1L, 3L, base + 7800000L))
       q.processAllAvailable()
       val rows = spark.table("sessions_out").as[SessionOut].collect()
+      assert(rows.toSeq == Seq(SessionOut(1L, 0L, 2L, 600000L)))
+    } finally q.stop()
+  }
+
+  test("streaming: idle session flushes via event-time timeout when watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{SessionEvent, SessionOut}
+    val mem = MemoryStream[SessionEvent]
+    val out = StreamingOps.sessionize(mem.toDS(), gapMs = 1800000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_idle_out").start()
+    val base = 1000000L
+    try {
+      // user 1: two events, then goes idle forever
+      mem.addData(SessionEvent(1L, 1L, base), SessionEvent(1L, 2L, base + 600000L))
+      q.processAllAvailable()
+      // user 2 far in the future advances the watermark past user 1's
+      // gap (600000 + 1800000); the NEXT batch's timeout sweep flushes it
+      mem.addData(SessionEvent(2L, 3L, base + 10000000L))
+      q.processAllAvailable()
+      mem.addData(SessionEvent(2L, 4L, base + 10100000L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_idle_out").as[SessionOut].collect()
+      // user 1's idle session emitted WITHOUT any closing event from user 1;
+      // user 2's session is still open (no emission)
       assert(rows.toSeq == Seq(SessionOut(1L, 0L, 2L, 600000L)))
     } finally q.stop()
   }

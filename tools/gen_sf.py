@@ -95,11 +95,10 @@ write("orders", pa.table({
 n_li = int(6_000_000 * sf)
 lok = rng.integers(0, n_ord, n_li)
 lok.sort()
-linenum = np.ones(n_li, np.int32)
-same = np.concatenate(([False], lok[1:] == lok[:-1]))
-for i in range(1, n_li):          # vectorizable but fine at this scale
-    if same[i]:
-        linenum[i] = linenum[i - 1] + 1
+change = np.concatenate(([True], lok[1:] != lok[:-1]))
+idx = np.arange(n_li)
+run_start = np.maximum.accumulate(np.where(change, idx, 0))
+linenum = (idx - run_start + 1).astype(np.int32)
 write("lineitem", pa.table({
     "l_orderkey": pa.array(lok, type=pa.int64()),
     "l_partkey": pa.array(rng.integers(0, n_part, n_li), type=pa.int64()),
