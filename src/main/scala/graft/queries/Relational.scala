@@ -486,6 +486,18 @@ object Relational {
     }, Some("""
       SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- q30: current_timestamp / current_date (FUNCTIONS.md:369, 460 —
+    // last open §2B row). The values are wall-clock, so the projection is
+    // sanity-bounded invariants (crypto-query determinism pattern, §5.4):
+    // both engines project constant true and the oracle states it.
+    QueryDef("q30_current_ts", (s, d) => {
+      s.sql("""
+        SELECT current_date() >= DATE'2026-01-01' AS date_ok,
+               current_timestamp() >= CAST(current_date() AS TIMESTAMP) AS ts_ok,
+               current_timestamp() < CAST(date_add(current_date(), 1) AS TIMESTAMP)
+                 AS ts_in_day""")
+    }, Some("SELECT true AS date_ok, true AS ts_ok, true AS ts_in_day"))
   )
 }
