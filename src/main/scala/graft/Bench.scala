@@ -43,7 +43,10 @@ object Bench {
     // never owns a whole table (tx01 at sf1: 1 scan task = 5x slowdown)
     val minPartitionNum =
       math.max(1L, math.min(totalBytes / (4L << 20), cpus.toLong))
-    val aqe = totalBytes > (1L << 30)
+    // AQE's per-stage re-planning costs ~70ms/query at toy scale (measured)
+    // but wins once shuffles are big enough to be worth coalescing/
+    // re-planning; 256 MB input was the measured crossover on the sf grid
+    val aqe = totalBytes > (256L << 20)
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

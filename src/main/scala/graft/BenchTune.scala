@@ -2,11 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Config-sweep harness for the sf0.1 bench gate: runs the 11 shared
-  * headline queries under a grid of runtime-settable configs in ONE JVM
-  * (so JIT/codegen caches are equally warm) and prints per-config totals,
-  * plus a planning-vs-execution split to show where the fixed per-query
-  * overhead lives. Not part of the driver contract — a tuning tool.
+/** Config-sweep harness for the bench gate: runs the 11 shared headline
+  * queries under a grid of runtime-settable configs in ONE JVM (so
+  * JIT/codegen caches are equally warm) and prints per-config totals.
+  * Not part of the driver contract — a tuning tool for Bench defaults.
   */
 object BenchTune {
   def main(args: Array[String]): Unit = {
@@ -14,13 +13,13 @@ object BenchTune {
     val spark = SparkSession.builder()
       .master("local[32]")
       .withExtensions(new graft.sql.GraftSparkExtensions)
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
-      .config("spark.sql.adaptive.enabled", "false")
-      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
+      .config("spark.sql.files.minPartitionNum", "32")
       .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,29 +38,20 @@ object BenchTune {
 
     shared.foreach(runOne); shared.foreach(runOne) // warm
 
-    // planning vs execution split: building + analyzing + optimizing +
-    // physical planning happens driver-side before any task runs
-    println("== plan/exec split (sp=4, aqe=off) ==")
-    for (n <- shared) {
-      val split = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        val df = qs(n)(spark, sfDir)
-        df.queryExecution.executedPlan // force full planning
-        val t1 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        val t2 = System.nanoTime()
-        ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
-      }
-      val plan = split.map(_._1).min; val ex = split.map(_._2).min
-      println(f"$n%-24s plan=$plan%.3f exec=$ex%.3f")
-    }
-
-    for (cp <- Seq("true", "false")) {
-      spark.conf.set("spark.sql.constraintPropagation.enabled", cp)
-      shared.foreach(runOne)
+    for {
+      aqe <- Seq("true", "false")
+      sp <- Seq("32", "64", "96")
+      mpb <- Seq("8m", "16m")
+    } {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.shuffle.partitions", sp)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+      shared.foreach(runOne) // per-config warm
       val times = shared.map(n => n -> (1 to 2).map(_ => runOne(n)).min)
       val total = times.map(_._2).sum
-      println(f"constraintProp=$cp%-5s total=$total%.3f")
+      val detail = times.map { case (n, t) => f"${n.take(8)}=$t%.3f" }.mkString(" ")
+      println(f"aqe=$aqe%-5s sp=$sp%-3s mpb=$mpb%-4s total=$total%.3f  $detail")
     }
     spark.stop()
   }
