@@ -498,6 +498,74 @@ object Relational {
                current_timestamp() >= CAST(current_date() AS TIMESTAMP) AS ts_ok,
                current_timestamp() < CAST(date_add(current_date(), 1) AS TIMESTAMP)
                  AS ts_in_day""")
-    }, Some("SELECT true AS date_ok, true AS ts_ok, true AS ts_in_day"))
+    }, Some("SELECT true AS date_ok, true AS ts_ok, true AS ts_in_day")),
+
+    // ---- q31: AS-OF join — each purchase matched to the user's most
+    // recent prior (or simultaneous) click. Spark has no native as-of
+    // join; the scale-correct composition is a tagged union + running
+    // `last(..., ignoreNulls)` window — ONE shuffle on user_id, no
+    // self-join, no range explosion. (Composition tier (a) of the custom-
+    // operator ladder; a custom SparkPlan would buy nothing here.)
+    QueryDef("q31_asof_join", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.load(s, d, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+          col("event_type"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("tms"),
+          coalesce(col("last_click_id"), lit(-1L)).as("last_click_id"))
+        .orderBy("purchase_id")
+    }, Some("""
+      SELECT user_id, event_id AS purchase_id, tms,
+             COALESCE(last_click_id, -1) AS last_click_id
+      FROM (
+        SELECT user_id, event_id, epoch_ms(ts) AS tms, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        FROM events WHERE event_type IN ('click', 'purchase'))
+      WHERE event_type = 'purchase'
+      ORDER BY purchase_id""")),
+
+    // ---- q32: range join — clicks within 10 minutes before each purchase,
+    // per user. Naive form is an inequality join (cartesian per user);
+    // the scale path buckets time into gap-sized cells and equi-joins on
+    // (user_id, bucket) with the purchase probing its own and the previous
+    // bucket — fan-out is bounded by events-per-bucket, never n² per user.
+    // DuckDB's oracle states the same result via its native IEJoin.
+    QueryDef("q32_range_join", (s, d) => {
+      val gapMs = 600000L
+      val e = Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+          col("event_type"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("tms").as("ctms"),
+          floor(col("tms") / gapMs).as("bucket"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("tms").as("ptms"),
+          explode(array(floor(col("tms") / gapMs) - 1, floor(col("tms") / gapMs)))
+            .as("bucket"))
+      purchases.join(clicks, Seq("user_id", "bucket"))
+        .filter(col("ctms") >= col("ptms") - gapMs && col("ctms") <= col("ptms"))
+        .groupBy(col("user_id"), col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click_id"))
+        .orderBy("purchase_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+             MIN(c.event_id) AS first_click_id
+      FROM (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+            WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+            WHERE event_type = 'click') c
+        ON p.user_id = c.user_id
+       AND c.tms >= p.tms - 600000 AND c.tms <= p.tms
+      GROUP BY 1, 2 ORDER BY purchase_id"""))
   )
 }
