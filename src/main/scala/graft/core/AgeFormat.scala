@@ -23,8 +23,14 @@ final class AgeInvalidInputException(msg: String) extends RuntimeException(msg)
 object AgeFormat {
   private val V1Line = "age-encryption.org/v1"
   private val X25519Label = "age-encryption.org/v1/X25519"
+  private val ScryptSaltLabel = "age-encryption.org/v1/scrypt"
   private val ChunkSize = 64 * 1024
   private val TagLen = 16
+
+  /** Work-factor cap on decrypt: a hostile header with log2(N)=30 would
+    * demand 128 GiB of ROMix scratch per row. age's own clients refuse
+    * headers above their configured maximum for the same reason. */
+  val MaxScryptLogN = 20
   private val b64e = Base64.getEncoder.withoutPadding()
   private val b64d = Base64.getDecoder
 
@@ -79,6 +85,35 @@ object AgeFormat {
       header.append("-> X25519 ").append(b64e.encodeToString(ephPub)).append('\n')
       header.append(b64e.encodeToString(wrapped)).append('\n')
     }
+    finishEncrypt(header, fileKey, plaintext)
+  }
+
+  /** Passphrase encryption — the age v1 `scrypt` stanza (spec: the scrypt
+    * stanza must be the only stanza in the header). Beyond the reference's
+    * X25519-only surface; completes the spec's recipient types. logN=14
+    * (16 MiB ROMix) keeps per-row cost tractable in a columnar engine; the
+    * stanza carries the factor, so any standard age client decrypts. */
+  def encryptWithPassphrase(plaintext: Array[Byte], passphrase: String,
+                            logN: Int = 14): Array[Byte] = {
+    require(logN >= 1 && logN <= MaxScryptLogN, s"logN must be in [1, $MaxScryptLogN]")
+    val fileKey = new Array[Byte](16)
+    rngTL.get().nextBytes(fileKey)
+    val salt = new Array[Byte](16)
+    rngTL.get().nextBytes(salt)
+    val key = Scrypt.derive(passphrase.getBytes(UTF_8),
+      ScryptSaltLabel.getBytes(UTF_8) ++ salt, 1 << logN, 8, 1, 32)
+    val wrapped = seal(key, new Array[Byte](12), fileKey)
+    val header = new StringBuilder
+    header.append(V1Line).append('\n')
+    header.append("-> scrypt ").append(b64e.encodeToString(salt))
+      .append(' ').append(logN).append('\n')
+    header.append(b64e.encodeToString(wrapped)).append('\n')
+    finishEncrypt(header, fileKey, plaintext)
+  }
+
+  /** Shared header-MAC + STREAM payload tail of both encrypt paths. */
+  private def finishEncrypt(header: StringBuilder, fileKey: Array[Byte],
+                            plaintext: Array[Byte]): Array[Byte] = {
     val hmacKey = Hkdf.derive(fileKey, Array.emptyByteArray, "header", 32)
     val macInput = (header.toString + "---").getBytes(UTF_8)
     val mac = Hkdf.hmacSha256(hmacKey, macInput)
@@ -148,11 +183,12 @@ object AgeFormat {
   /** Parsed header stanza: type args + binary body. */
   private final case class Stanza(args: Seq[String], body: Array[Byte])
 
-  /** Decrypt with one identity (32-byte private scalar). Error messages
-    * mirror rust/src/lib.rs:188 (`Decryption failed: <cause>`). */
-  def decrypt(ciphertext0: Array[Byte], identityScalar: Array[Byte]): Array[Byte] = {
-    val ciphertext = if (isArmored(ciphertext0)) dearmor(ciphertext0) else ciphertext0
-    // --- parse textual header (lines up to and including the "--- " mac line)
+  /** Parsed header: stanzas, the exact header text through the stanzas
+    * (MAC input), the MAC bytes, and the payload offset. */
+  private final case class Header(stanzas: Seq[Stanza], headerText: String,
+                                  mac: Array[Byte], payloadPos: Int)
+
+  private def parseHeader(ciphertext: Array[Byte]): Header = {
     var pos = 0
     def readLine(): String = {
       val nl = {
@@ -167,7 +203,7 @@ object AgeFormat {
     }
     if (readLine() != V1Line) fail("not an age v1 file")
     val stanzas = collection.mutable.ArrayBuffer[Stanza]()
-    var headerThroughStanzas = new StringBuilder(V1Line + "\n")
+    val headerThroughStanzas = new StringBuilder(V1Line + "\n")
     var mac: Array[Byte] = null
     var parsing = true
     while (parsing) {
@@ -194,12 +230,20 @@ object AgeFormat {
       } else fail("malformed header")
     }
     if (stanzas.isEmpty) fail("no recipient stanzas")
+    Header(stanzas.toSeq, headerThroughStanzas.toString, mac, pos)
+  }
+
+  /** Decrypt with one identity (32-byte private scalar). Error messages
+    * mirror rust/src/lib.rs:188 (`Decryption failed: <cause>`). */
+  def decrypt(ciphertext0: Array[Byte], identityScalar: Array[Byte]): Array[Byte] = {
+    val ciphertext = if (isArmored(ciphertext0)) dearmor(ciphertext0) else ciphertext0
+    val h = parseHeader(ciphertext)
 
     // --- unwrap the file key with our identity
     val scalar = X25519.clamp(identityScalar)
     val ourPub = X25519.derivePublic(scalar)
     var fileKey: Array[Byte] = null
-    stanzas.foreach { st =>
+    h.stanzas.foreach { st =>
       if (fileKey == null && st.args.headOption.contains("X25519") && st.args.length == 2) {
         try {
           val eph = b64d.decode(st.args(1))
@@ -211,11 +255,42 @@ object AgeFormat {
       }
     }
     if (fileKey == null) fail("no matching key found")
+    finishDecrypt(ciphertext, h, fileKey)
+  }
 
+  /** Decrypt a passphrase-encrypted (scrypt stanza) file. */
+  def decryptWithPassphrase(ciphertext0: Array[Byte], passphrase: String): Array[Byte] = {
+    val ciphertext = if (isArmored(ciphertext0)) dearmor(ciphertext0) else ciphertext0
+    val h = parseHeader(ciphertext)
+    val st = h.stanzas.find(_.args.headOption.contains("scrypt"))
+      .getOrElse(fail("no scrypt stanza found"))
+    // spec: an scrypt stanza must be the only stanza in the header
+    if (h.stanzas.length != 1) fail("scrypt stanza must be the only stanza")
+    if (st.args.length != 3) fail("malformed scrypt stanza")
+    val salt = try b64d.decode(st.args(1)) catch {
+      case _: IllegalArgumentException => fail("malformed scrypt salt")
+    }
+    if (salt.length != 16) fail("malformed scrypt salt")
+    val logN = try st.args(2).toInt catch {
+      case _: NumberFormatException => fail("malformed scrypt work factor")
+    }
+    if (logN < 1 || logN > MaxScryptLogN) fail("scrypt work factor too large")
+    val key = Scrypt.derive(passphrase.getBytes(UTF_8),
+      ScryptSaltLabel.getBytes(UTF_8) ++ salt, 1 << logN, 8, 1, 32)
+    val fileKey = try open(key, new Array[Byte](12), st.body) catch {
+      case _: Exception => fail("incorrect passphrase")
+    }
+    finishDecrypt(ciphertext, h, fileKey)
+  }
+
+  /** Shared header-MAC check + STREAM payload tail of both decrypt paths. */
+  private def finishDecrypt(ciphertext: Array[Byte], h: Header,
+                            fileKey: Array[Byte]): Array[Byte] = {
+    var pos = h.payloadPos
     // --- verify header MAC
     val hmacKey = Hkdf.derive(fileKey, Array.emptyByteArray, "header", 32)
-    val expect = Hkdf.hmacSha256(hmacKey, (headerThroughStanzas.toString + "---").getBytes(UTF_8))
-    if (!MessageDigest.isEqual(expect, mac)) fail("header MAC mismatch")
+    val expect = Hkdf.hmacSha256(hmacKey, (h.headerText + "---").getBytes(UTF_8))
+    if (!MessageDigest.isEqual(expect, h.mac)) fail("header MAC mismatch")
 
     // --- payload
     if (ciphertext.length - pos < 16 + TagLen) fail("truncated payload")

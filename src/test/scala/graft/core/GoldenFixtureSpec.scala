@@ -55,6 +55,12 @@ class GoldenFixtureSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(AgeFormat.decrypt(ct, id(priv2)), smallPt))
   }
 
+  test("golden passphrase (scrypt stanza) ciphertext decrypts") {
+    assert(java.util.Arrays.equals(
+      AgeFormat.decryptWithPassphrase(res("passphrase.age"), "golden-passphrase"),
+      smallPt))
+  }
+
   test("golden header structure: v1 magic, X25519 stanzas, mac line") {
     val header = new String(res("small.age").takeWhile(_ != 0).take(200), "UTF-8")
     assert(header.startsWith("age-encryption.org/v1\n"))
