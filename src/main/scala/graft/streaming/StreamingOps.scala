@@ -95,6 +95,20 @@ object StreamingOps {
       }
   }
 
+  /** Exact dedup on an unbounded document stream — the streaming twin of
+    * dd01. md5 fingerprint + `dropDuplicatesWithinWatermark`: state holds
+    * only fingerprints younger than the watermark delay, so memory is
+    * bounded by (delay × ingest rate), not by corpus size — the only shape
+    * that survives a 100 TB/day stream. Duplicates arriving within the
+    * delay are suppressed exactly; a duplicate arriving after its
+    * original's state expired is re-emitted (documented tradeoff: exact
+    * global dedup of an unbounded stream requires unbounded state). */
+  def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Stateless crypto transform on a stream: encrypt the props column per
     * event. Works identically on batch and streaming DataFrames — the
     * registration is session-level, the UDF is a pure row map. */

@@ -142,6 +142,31 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: dedupStream suppresses duplicates within the watermark window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val docs = mem.toDF().toDF("doc_id", "ts", "text")
+    val out = StreamingOps.dedupStream(docs, watermarkDelay = "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      val t = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((1L, t(1), "alpha beta"), (2L, t(2), "alpha beta"), (3L, t(3), "gamma"))
+      q.processAllAvailable()
+      // duplicate within the window suppressed: 2 distinct texts survive
+      assert(spark.table("dedup_out").count() == 2)
+      // same text arriving long after the original's state expired is
+      // re-emitted — state is bounded by the watermark, not corpus-global
+      mem.addData((4L, Timestamp.valueOf("2024-01-01 12:00:00"), "noise moves watermark"))
+      q.processAllAvailable()
+      mem.addData((5L, Timestamp.valueOf("2024-01-01 12:01:00"), "alpha beta"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out")
+        .filter(col("text") === "alpha beta").count() == 2)
+    } finally q.stop()
+  }
+
   test("graphx: degrees match SQL group-by; pagerank and CC run") {
     val deg = GraphOps.customerDegrees(spark, sf)
     val sqlDeg = spark.read.parquet(s"$sf/orders.parquet")
