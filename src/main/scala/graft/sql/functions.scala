@@ -1,0 +1,57 @@
+package graft.sql
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.call_udf
+
+/** Column-DSL façade over the registered age UDFs — the `org.apache.spark
+  * .sql.functions`-style surface Scala users compose with, so the crypto
+  * operators work in `select`/`withColumn` chains without SQL strings.
+  * Requires `AgeFunctions.register(spark)` once per session (the DDL
+  * extension does not auto-register, mirroring the reference's explicit
+  * `LOAD 'age'`). */
+object functions {
+  /** Encrypt for one recipient (raw `age1…` key or secret name). */
+  def age_encrypt(data: Column, recipient: Column): Column =
+    call_udf("age_encrypt", data, recipient)
+
+  /** Decrypt with one identity (raw `AGE-SECRET-KEY-1…` or secret name). */
+  def age_decrypt(data: Column, identity: Column): Column =
+    call_udf("age_decrypt", data, identity)
+
+  /** Decrypt returning NULL instead of raising on failure. */
+  def age_try_decrypt(data: Column, identity: Column): Column =
+    call_udf("age_try_decrypt", data, identity)
+
+  /** Encrypt for N recipients (array column of keys/secret names). */
+  def age_encrypt_multi(data: Column, recipients: Column): Column =
+    call_udf("age_encrypt_multi", data, recipients)
+
+  /** Armored (PEM-style text) encryption. */
+  def age_encrypt_armor(data: Column, recipient: Column): Column =
+    call_udf("age_encrypt_armor", data, recipient)
+
+  /** Passphrase encryption (age scrypt stanza). */
+  def age_encrypt_pass(data: Column, passphrase: Column): Column =
+    call_udf("age_encrypt_pass", data, passphrase)
+
+  /** Passphrase decryption. */
+  def age_decrypt_pass(data: Column, passphrase: Column): Column =
+    call_udf("age_decrypt_pass", data, passphrase)
+
+  /** Fresh random keypair struct (public_key, private_key). */
+  def age_keygen(): Column = call_udf("age_keygen")
+
+  /** Deterministic keypair from a binary seed. */
+  def age_keygen_from_seed(seed: Column): Column =
+    call_udf("age_keygen_from_seed", seed)
+
+  /** Engine version string. */
+  def age_version(): Column = call_udf("age_version")
+
+  /** Native codegen cosine similarity between two float-array columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
+
+  /** One-pass K-minhash signature aggregate over a hashed-shingle column. */
+  def minhash_agg(h: Column): Column = graft.functions.MinHashAgg.minhash_agg(h)
+}
