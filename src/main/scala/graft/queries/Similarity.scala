@@ -34,16 +34,21 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
+  /** (vec_id, dim, xq) rows with xq = floor(x*1000): the integer-exact
+    * quantization every order-independent similarity derivation builds on
+    * (long sums are exact in any aggregation order; float sums are not). */
+  private[queries] def flatQuantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+        floor(col("x").cast("double") * 1000).cast("long").as("xq"))
+
   /** Integer-exact hyperplane projections for planes [0, nPlanes): one row
     * per (vec_id, plane) with the signed projection. Weights broadcast;
     * bucket/band assignment built on top is reproducible in any engine and
     * any aggregation order (integer sums). Shared by sim02 and dd05. */
   private[queries] def planeProjections(s: SparkSession, e: DataFrame,
                                         nPlanes: Int): DataFrame = {
-    val flat = e
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
-      .select(col("vec_id"), (col("dim0") + 1).as("dim"),
-        floor(col("x").cast("double") * 1000).cast("long").as("xq"))
+    val flat = flatQuantized(e)
     val planes = s.createDataFrame(
       for { p <- 0 until nPlanes; dim <- 1 to 64 }
         yield (p, dim, planeWeight(p, dim))
@@ -168,6 +173,125 @@ object Similarity {
       lists AS (SELECT vec_id AS vid, cid FROM assign WHERE rn = 1),
       probes AS (SELECT vec_id AS qid, cid FROM assign WHERE rn <= 2 AND vec_id < 10),
       cands AS (SELECT p.qid, l.vid FROM probes p JOIN lists l ON p.cid = l.cid
+                WHERE l.vid <> p.qid),
+      scored AS (
+        SELECT qid, vid,
+               list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cos
+        FROM cands JOIN embeddings q ON q.vec_id = qid
+                   JOIN embeddings v ON v.vec_id = vid),
+      ranked AS (SELECT qid, vid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+                 FROM scored)
+      SELECT qid, vid, CAST(FLOOR(cos*10000) AS BIGINT) AS cos_x1e4,
+             CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ---- sim04: IVF with a kmeans-refined codebook — 2 Lloyd iterations
+    // over INTEGER-quantized vectors so the whole derivation is exact and
+    // order-independent (long dot products; centroid update floors the
+    // integer mean), making an iterative-ML codebook fully oracle-checkable
+    // in SQL. No driver-side collect: each iteration is one distributed
+    // assignment (argmax over broadcast codebook) + one aggregation; the
+    // codebook DataFrame stays tiny (k x 64 rows) and is broadcast into
+    // every join — the MLlib-KMeans shape, 100 TB-safe.
+    QueryDef("sim04_ann_ivf_kmeans", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 8
+      val flat = flatQuantized(emb(s, d))
+      val n2 = flat.groupBy("vec_id").agg(sum(col("xq") * col("xq")).as("n2"))
+      // integer cosine vs a codebook; exact longs in, one deterministic
+      // double division out
+      def assignAll(cents: DataFrame): DataFrame = {
+        val cn2 = cents.groupBy("cid").agg(sum(col("cq") * col("cq")).as("cn2"))
+        flat.join(broadcast(cents), "dim")
+          .groupBy(col("vec_id"), col("cid"))
+          .agg(sum(col("xq") * col("cq")).as("dot"))
+          .join(broadcast(cn2), "cid").join(n2, "vec_id")
+          .withColumn("cos", col("dot").cast("double") /
+            (sqrt(col("n2").cast("double")) * sqrt(col("cn2").cast("double"))))
+      }
+      def argmax(scored: DataFrame, top: Int): DataFrame = {
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= top)
+      }
+      var cents = flat.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("dim"), col("xq").as("cq"))
+      for (_ <- 1 to 2) {
+        val assigned = argmax(assignAll(cents), 1).select("vec_id", "cid")
+        cents = assigned.join(flat, "vec_id")
+          .groupBy(col("cid"), col("dim"))
+          .agg(floor(sum(col("xq")).cast("double") / count(lit(1))).cast("long").as("cq"))
+      }
+      val finalScored = assignAll(cents)
+      val lists = argmax(finalScored, 1).select(col("vec_id").as("vid"), col("cid"))
+      val probes = argmax(finalScored.filter(col("vec_id") < 10), 2)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cands = probes.join(lists, "cid").filter(col("vid") =!= col("qid"))
+        .select("qid", "vid").distinct()
+      val e = emb(s, d)
+      val q = e.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val scored = cands.join(q, "qid").join(v, "vid")
+        .withColumn("cos", cosine(col("qe"), col("ve")))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
+      scored.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"),
+          floor(col("cos") * 10000).cast("long").as("cos_x1e4"), col("rank"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH flat AS (
+        SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim)),
+      n2 AS (SELECT vec_id, CAST(SUM(xq*xq) AS BIGINT) AS n2 FROM flat GROUP BY 1),
+      c0 AS (SELECT vec_id AS cid, dim, xq AS cq FROM flat WHERE vec_id < 8),
+      s0 AS (
+        SELECT f.vec_id, c.cid,
+               CAST(SUM(f.xq*c.cq) AS DOUBLE) /
+                 (sqrt(CAST(n2.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos
+        FROM flat f JOIN c0 c USING (dim)
+        JOIN n2 ON n2.vec_id = f.vec_id
+        JOIN (SELECT cid, CAST(SUM(cq*cq) AS BIGINT) AS cn2 FROM c0 GROUP BY 1) cn
+          ON cn.cid = c.cid
+        GROUP BY f.vec_id, c.cid, n2.n2, cn.cn2),
+      a0 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid) AS rn FROM s0) WHERE rn = 1),
+      c1 AS (SELECT a.cid, f.dim,
+                    CAST(FLOOR(CAST(SUM(f.xq) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cq
+             FROM a0 a JOIN flat f USING (vec_id) GROUP BY 1, 2),
+      s1 AS (
+        SELECT f.vec_id, c.cid,
+               CAST(SUM(f.xq*c.cq) AS DOUBLE) /
+                 (sqrt(CAST(n2.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos
+        FROM flat f JOIN c1 c USING (dim)
+        JOIN n2 ON n2.vec_id = f.vec_id
+        JOIN (SELECT cid, CAST(SUM(cq*cq) AS BIGINT) AS cn2 FROM c1 GROUP BY 1) cn
+          ON cn.cid = c.cid
+        GROUP BY f.vec_id, c.cid, n2.n2, cn.cn2),
+      a1 AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid) AS rn FROM s1) WHERE rn = 1),
+      c2 AS (SELECT a.cid, f.dim,
+                    CAST(FLOOR(CAST(SUM(f.xq) AS DOUBLE)/COUNT(*)) AS BIGINT) AS cq
+             FROM a1 a JOIN flat f USING (vec_id) GROUP BY 1, 2),
+      s2 AS (
+        SELECT f.vec_id, c.cid,
+               CAST(SUM(f.xq*c.cq) AS DOUBLE) /
+                 (sqrt(CAST(n2.n2 AS DOUBLE)) * sqrt(CAST(cn.cn2 AS DOUBLE))) AS cos
+        FROM flat f JOIN c2 c USING (dim)
+        JOIN n2 ON n2.vec_id = f.vec_id
+        JOIN (SELECT cid, CAST(SUM(cq*cq) AS BIGINT) AS cn2 FROM c2 GROUP BY 1) cn
+          ON cn.cid = c.cid
+        GROUP BY f.vec_id, c.cid, n2.n2, cn.cn2),
+      lists AS (SELECT vec_id AS vid, cid FROM (
+                  SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos DESC, cid) AS rn FROM s2) WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM (
+                   SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn FROM s2
+                   WHERE vec_id < 10) WHERE rn <= 2),
+      cands AS (SELECT DISTINCT p.qid, l.vid FROM probes p JOIN lists l ON p.cid = l.cid
                 WHERE l.vid <> p.qid),
       scored AS (
         SELECT qid, vid,
