@@ -245,6 +245,53 @@ object TextDedup {
         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
       GROUP BY 1, 2 ORDER BY ida, idb""")),
 
+    // ---- dd07: end-to-end dedup pipeline — exact-dup keep-list (min
+    // doc_id per fingerprint) applied back to the corpus, surviving-corpus
+    // stats by language. The composition a training-data pipeline actually
+    // runs: fingerprint -> keeper join -> filtered stats, all shuffle-by-key
+    QueryDef("dd07_dedup_pipeline", (s, d) => {
+      val doc = docs(s, d)
+      val keep = doc
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      doc.join(keep, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("lang")
+    }, Some("""
+      WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents JOIN keep USING (doc_id)
+      GROUP BY lang ORDER BY lang""")),
+
+    // ---- tx05: quality-filter corpus reduction — the tx02 signals applied
+    // as a keep/drop decision, per-language survival stats
+    QueryDef("tx05_quality_filter", (s, d) => {
+      val ws = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      docs(s, d)
+        .withColumn("n_tokens", size(ws))
+        .withColumn("stop_ratio",
+          size(filter(ws, w => array_contains(stopArr, w))).cast("double") / size(ws))
+        .withColumn("uniq_ratio",
+          size(array_distinct(ws)).cast("double") / size(ws))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("n_tokens") >= 20 && col("stop_ratio") < lit(0.4)
+            && col("uniq_ratio") >= lit(0.3), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN len(string_split(text,' ')) >= 20
+               AND CAST(len(list_filter(string_split(text,' '),
+                    w -> list_contains(['the','a','of','and','to','in'], w))) AS DOUBLE)
+                   / len(string_split(text,' ')) < 0.4
+               AND CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                   / len(string_split(text,' ')) >= 0.3
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---- dd04: SimHash — 28-bit signature from word hashes, near-dup
     // pairs by hamming distance (bit_count of xor). Candidate pairs come
     // from a 5-band LSH bucket join, NOT an all-pairs cartesian: by
