@@ -65,8 +65,11 @@ object GraphOps {
     * sets are dropped before pairing: the pair fan-out of a hot part is
     * quadratic, exactly the key-skew shape that melts at scale.
     */
-  def coPurchaseGraph(spark: SparkSession, dir: String,
-                      maxBuyersPerPart: Int = 40): Graph[Int, Int] = {
+  /** The co-purchase edge list (src < dst, weight = #shared parts) — the
+    * relational projection the graph is built from, exposed separately so
+    * it can be oracle-checked against the equivalent SQL (graph02). */
+  def coPurchasePairs(spark: SparkSession, dir: String,
+                      maxBuyersPerPart: Int = 40): DataFrame = {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val cp = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
@@ -75,10 +78,15 @@ object GraphOps {
     val small = cp.groupBy("part").count()
       .filter(col("count") <= maxBuyersPerPart).select("part")
     val bounded = cp.join(broadcast(small), "part")
-    val pairs = bounded.as("a").join(bounded.as("b"),
+    bounded.as("a").join(bounded.as("b"),
         col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
       .groupBy(col("a.cust").as("src"), col("b.cust").as("dst"))
       .agg(count(lit(1)).cast("int").as("w"))
+  }
+
+  def coPurchaseGraph(spark: SparkSession, dir: String,
+                      maxBuyersPerPart: Int = 40): Graph[Int, Int] = {
+    val pairs = coPurchasePairs(spark, dir, maxBuyersPerPart)
     val edges = pairs.rdd.flatMap { r =>
       val (s, d, w) = (r.getLong(0), r.getLong(1), r.getInt(2))
       Seq(Edge(s, d, w), Edge(d, s, w)) // undirected → both directions

@@ -13,6 +13,30 @@ object GraphQueries {
         .orderBy("c_custkey")
     }, Some("""
       SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS INTEGER) AS n_orders
-      FROM orders GROUP BY 1 ORDER BY c_custkey"""))
+      FROM orders GROUP BY 1 ORDER BY c_custkey""")),
+
+    // the co-purchase projection (hot parts capped at 40 buyers) the
+    // GraphX PageRank runs on — the scale-critical relational step,
+    // verified cell-for-cell against DuckDB
+    QueryDef("graph02_copurchase_edges", (s, d) => {
+      GraphOps.coPurchasePairs(s, d).orderBy("src", "dst")
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                WHERE c <= 40),
+      bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part))
+      SELECT a.cust AS src, b.cust AS dst, CAST(COUNT(*) AS INTEGER) AS w
+      FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust
+      GROUP BY 1, 2 ORDER BY src, dst""")),
+
+    // bipartite customer->order graph invariant: every order attaches to
+    // exactly one customer, so each connected component is one customer
+    // plus their orders — GraphX's component count must equal |customer|
+    QueryDef("graph03_components", (s, d) => {
+      import s.implicits._
+      Seq(GraphOps.componentCount(s, d)).toDF("n_components")
+    }, Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_components FROM customer"))
   )
 }
