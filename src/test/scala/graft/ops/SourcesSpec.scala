@@ -47,4 +47,15 @@ class SourcesSpec extends AnyFunSuite {
       .filter(year(col("o_orderdate")) === 1996).count()
     assert(pruned.count() == expect)
   }
+
+  test("orc sink/source roundtrip with predicate pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val src = spark.read.parquet(s"$sf/customer.parquet")
+    src.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir).filter(col("c_custkey") <= 10)
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), "orc filter not pushed")
+    assert(back.count() == src.filter(col("c_custkey") <= 10).count())
+    assert(back.schema == src.schema)
+  }
 }
