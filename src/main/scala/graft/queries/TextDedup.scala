@@ -292,6 +292,19 @@ object TextDedup {
                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // ---- tx06: corpus n-gram statistics — top-20 3-word shingles by
+    // document frequency (shuffle-by-shingle with map-side combine, then a
+    // tiny top-k; the frequent-pattern mining shape at corpus scale)
+    QueryDef("tx06_top_ngrams", (s, d) => {
+      shinglesOf(docs(s, d))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("sh"))
+        .limit(20)
+    }, Some(s"""
+      WITH ${shinglesSql.format(Long.MaxValue)}
+      SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+      ORDER BY df DESC, sh LIMIT 20""")),
+
     // ---- dd04: SimHash — 28-bit signature from word hashes, near-dup
     // pairs by hamming distance (bit_count of xor). Candidate pairs come
     // from a 5-band LSH bucket join, NOT an all-pairs cartesian: by
