@@ -37,6 +37,36 @@ object GraphQueries {
     QueryDef("graph03_components", (s, d) => {
       import s.implicits._
       Seq(GraphOps.componentCount(s, d)).toDF("n_components")
-    }, Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_components FROM customer"))
+    }, Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_components FROM customer")),
+
+    // a REAL connected-components oracle: GraphX CC over the (non-trivial)
+    // co-purchase projection vs DuckDB's recursive-CTE min-label
+    // reachability — iterative graph algorithm checked against a
+    // first-principles SQL derivation
+    QueryDef("graph04_copurchase_cc", (s, d) => {
+      import s.implicits._
+      val g = GraphOps.coPurchaseGraph(s, d)
+      val n = g.connectedComponents().vertices.map(_._2).distinct().count()
+      Seq(n).toDF("n_components")
+    }, Some("""
+      WITH RECURSIVE edges AS (
+        SELECT src, dst FROM (
+          WITH cp AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                    WHERE c <= 40),
+          bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+          pairs AS (
+            SELECT DISTINCT a.cust AS src, b.cust AS dst
+            FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust)
+          SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs)),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+      SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_components
+      FROM (SELECT node, MIN(lbl) AS m FROM reach GROUP BY node)"""))
   )
 }

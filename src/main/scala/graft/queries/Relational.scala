@@ -395,6 +395,24 @@ object Relational {
       GROUP BY ROLLUP (r_name, n_name)
       ORDER BY region, nation""")),
 
+    // ---- q33: CUBE — all grouping-set combinations (the ROLLUP sibling)
+    QueryDef("q33_cube", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY status, priority""")
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")),
+
     // ---- q29: HAVING + UNION ALL (completes the set-op/grouping surface)
     QueryDef("q29_having_unionall", (s, d) => {
       Tables.registerViews(s, d)
