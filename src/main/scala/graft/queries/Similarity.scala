@@ -26,8 +26,10 @@ object Similarity {
     graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Deterministic hyperplane weights: w(plane, dim) ∈ [-1000, 1000] from
-    * md5 — reproducible in SQL as (('0x'||substr(md5(p||'_'||d),1,7))::BIGINT) % 2001 - 1000. */
-  private[queries] def planeWeight(plane: Int, dim: Int): Long = {
+    * md5 — reproducible in SQL as (('0x'||substr(md5(p||'_'||d),1,7))::BIGINT) % 2001 - 1000.
+    * private[graft]: the streaming LSH (StreamingOps.lshCandidatesStream)
+    * derives the same band keys per row. */
+  private[graft] def planeWeight(plane: Int, dim: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${plane}_$dim".getBytes("UTF-8"))
     val hex = md.take(4).map("%02x".format(_)).mkString.take(7)

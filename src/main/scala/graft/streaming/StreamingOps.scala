@@ -109,6 +109,81 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  // ---- streaming LSH near-duplicate detection (streaming twin of dd05) ----
+
+  final case class VecEvent(vec_id: Long, tms: Long, embedding: Array[Float])
+  final case class BandEvent(band: Int, key: Long, vec_id: Long, tms: Long,
+                             ets: java.sql.Timestamp)
+  /** Per-bucket state: recent (vec_id, tms) members, pruned by TTL. */
+  final case class BucketState(members: List[(Long, Long)])
+  final case class CandPair(ida: Long, idb: Long, band: Int)
+
+  /** Same 16-plane / 4-band integer-exact keys as the batch dd05 path
+    * (Similarity.lshCandidatePairs), computed per row. */
+  private[streaming] def bandKeysOf(emb: Array[Float]): Array[(Int, Long)] = {
+    val keys = new Array[Long](4)
+    var p = 0
+    while (p < 16) {
+      var proj = 0L
+      var d = 0
+      while (d < emb.length) {
+        proj += math.floor(emb(d).toDouble * 1000).toLong *
+          graft.queries.Similarity.planeWeight(p, d + 1)
+        d += 1
+      }
+      if (proj >= 0) keys(p / 4) |= (1L << (p % 4))
+      p += 1
+    }
+    Array.tabulate(4)(b => (b, keys(b)))
+  }
+
+  /** Streaming near-duplicate candidates: each vector fans out to its 4
+    * LSH band buckets; per-bucket state holds only members younger than
+    * `ttlMs` (pruned on arrival and by event-time timeout), so state is
+    * bounded by (TTL × ingest rate per bucket), never corpus size. A new
+    * arrival emits a candidate pair per live same-bucket member — the
+    * streaming twin of dd05's banded candidate join; exact-cosine scoring
+    * composes downstream exactly as in batch. */
+  def lshCandidatesStream(vecs: Dataset[VecEvent], ttlMs: Long): Dataset[CandPair] = {
+    import vecs.sparkSession.implicits._
+    val bands = vecs.flatMap { v =>
+      bandKeysOf(v.embedding).map { case (b, k) =>
+        BandEvent(b, k, v.vec_id, v.tms, new java.sql.Timestamp(v.tms))
+      }
+    }
+    bands
+      .withWatermark("ets", "0 milliseconds")
+      .groupByKey(e => (e.band, e.key))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bk: (Int, Long), rows: Iterator[BandEvent], state: GroupState[BucketState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          def live(ms: List[(Long, Long)]) = ms.filter(_._2 >= wm - ttlMs)
+          if (state.hasTimedOut) {
+            val remaining = live(state.get.members)
+            if (remaining.isEmpty) state.remove()
+            else {
+              state.update(BucketState(remaining))
+              state.setTimeoutTimestamp(wm + ttlMs)
+            }
+            Iterator.empty
+          } else {
+            var members = live(state.getOption.map(_.members).getOrElse(Nil))
+            val out = scala.collection.mutable.ArrayBuffer[CandPair]()
+            rows.toSeq.sortBy(e => (e.tms, e.vec_id)).foreach { e =>
+              members.foreach { case (id, _) =>
+                if (id != e.vec_id)
+                  out += CandPair(math.min(id, e.vec_id), math.max(id, e.vec_id), bk._1)
+              }
+              members = (e.vec_id, e.tms) :: members
+            }
+            state.update(BucketState(members))
+            state.setTimeoutTimestamp(math.max(wm + 1, wm + ttlMs))
+            out.distinct.iterator
+          }
+      }
+  }
+
   /** Stateless crypto transform on a stream: encrypt the props column per
     * event. Works identically on batch and streaming DataFrames — the
     * registration is session-level, the UDF is a pure row map. */

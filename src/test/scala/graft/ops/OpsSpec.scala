@@ -167,6 +167,42 @@ class OpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: LSH candidates find duplicate vectors; TTL expires state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CandPair, VecEvent}
+    val rnd = new scala.util.Random(11)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val negV = v.map(x => -x)
+    val mem = MemoryStream[VecEvent]
+    val out = StreamingOps.lshCandidatesStream(mem.toDS(), ttlMs = 60000L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lsh_stream_out").start()
+    val base = 1000000L
+    try {
+      // identical vectors arriving close together -> all 4 bands collide
+      mem.addData(VecEvent(1L, base, v))
+      q.processAllAvailable()
+      mem.addData(VecEvent(2L, base + 1000, v))
+      q.processAllAvailable()
+      // negated vector flips every hyperplane sign -> zero shared bands
+      mem.addData(VecEvent(3L, base + 2000, negV))
+      q.processAllAvailable()
+      val rows = spark.table("lsh_stream_out").as[CandPair].collect()
+      assert(rows.forall(p => p.ida == 1L && p.idb == 2L))
+      assert(rows.map(_.band).toSet == Set(0, 1, 2, 3))
+      // the same vector again AFTER the TTL window: watermark moved far
+      // ahead by an unrelated event, bucket state expired -> no new pair
+      mem.addData(VecEvent(9L, base + 10000000L, negV)) // advances watermark
+      q.processAllAvailable()
+      mem.addData(VecEvent(4L, base + 10000001L, v))
+      q.processAllAvailable()
+      val after = spark.table("lsh_stream_out").as[CandPair].collect()
+      assert(!after.exists(p => p.idb == 4L),
+        "expired members must not pair with late duplicates")
+    } finally q.stop()
+  }
+
   test("graphx: degrees match SQL group-by; pagerank and CC run") {
     val deg = GraphOps.customerDegrees(spark, sf)
     val sqlDeg = spark.read.parquet(s"$sf/orders.parquet")
