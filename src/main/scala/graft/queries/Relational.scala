@@ -413,6 +413,26 @@ object Relational {
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY status, priority""")),
 
+    // ---- q34: HyperLogLog approximate distinct — the sketch tier for
+    // 100 TB cardinalities where exact count-distinct's expand+shuffle is
+    // the bottleneck (q23's cost). Engines use different sketches, so the
+    // oracle is the accuracy INVARIANT both must satisfy (relative error
+    // < 5% vs exact), not the sketch value itself.
+    QueryDef("q34_approx_distinct", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+                 / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) < 0.05 AS part_ok,
+               ABS(approx_count_distinct(l_suppkey) - COUNT(DISTINCT l_suppkey))
+                 / CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) < 0.05 AS supp_ok
+        FROM lineitem""")
+    }, Some("""
+      SELECT ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+               / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) < 0.05 AS part_ok,
+             ABS(approx_count_distinct(l_suppkey) - COUNT(DISTINCT l_suppkey))
+               / CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) < 0.05 AS supp_ok
+      FROM lineitem""")),
+
     // ---- q29: HAVING + UNION ALL (completes the set-op/grouping surface)
     QueryDef("q29_having_unionall", (s, d) => {
       Tables.registerViews(s, d)
