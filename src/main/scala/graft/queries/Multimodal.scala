@@ -62,6 +62,32 @@ object MultimodalQueries {
       SELECT doc_id, n_frames, COUNT(*) AS n_sampled,
              CAST(MIN(frame_idx*50) AS INTEGER) AS first_offset,
              CAST(MAX(frame_idx*50) AS INTEGER) AS last_offset
-      FROM sampled GROUP BY doc_id, n_frames ORDER BY doc_id"""))
+      FROM sampled GROUP BY doc_id, n_frames ORDER BY doc_id""")),
+
+    // ---- mm03: frame-level dedup — the video-dedup shape: sample frames
+    // through the REAL mapPartitions plumbing (ops.Multimodal.sampleFrames),
+    // fingerprint each frame, count exact-duplicate frames per doc. The
+    // oracle rebuilds the same frames with substr arithmetic, so the typed
+    // Dataset flatMap path is verified against first-principles SQL.
+    QueryDef("mm03_frame_dedup", (s, d) => {
+      val frames = graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.mediaFromDocuments(s, d), frameBytes = 50, step = 2)
+      frames
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          countDistinct(md5(col("frame"))).as("n_uniq"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text,
+               CAST(FLOOR(octet_length(CAST(text AS BLOB)) / 50) AS INTEGER) AS n_frames
+        FROM documents
+        WHERE CAST(FLOOR(octet_length(CAST(text AS BLOB)) / 50) AS INTEGER) >= 1),
+      frames AS (
+        SELECT doc_id, substr(text, frame_idx*50 + 1, 50) AS frame
+        FROM (SELECT doc_id, text, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+              FROM f))
+      SELECT doc_id, COUNT(*) AS n_frames, COUNT(DISTINCT md5(frame)) AS n_uniq
+      FROM frames GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
