@@ -33,8 +33,12 @@ object Bench {
       val fs = Option(root.listFiles).map(_.toSeq).getOrElse(Seq.empty)
       fs.filter(_.getName.endsWith(".parquet")).map(_.length).sum
     }
+    // capped at 2x cores: beyond that, extra partitions only add dispatch
+    // cost on one machine (measured: sp=200 at sf10 is ~40% slower than
+    // sp=64 on the count-distinct shape); on a real cluster AQE picks the
+    // reduce-side parallelism anyway
     val shufflePartitions =
-      math.max(4L, math.min(totalBytes / (8L << 20), cpus.toInt * 8L))
+      math.max(4L, math.min(totalBytes / (8L << 20), cpus.toInt * 2L))
     // small inputs: split scans finer than the 128 MB default so all cores
     // participate; big inputs: the default already saturates the cluster
     val maxPartitionBytes = math.max(8L << 20, totalBytes / (cpus.toInt * 3L))
