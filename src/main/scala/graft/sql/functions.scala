@@ -54,4 +54,9 @@ object functions {
 
   /** One-pass K-minhash signature aggregate over a hashed-shingle column. */
   def minhash_agg(h: Column): Column = graft.functions.MinHashAgg.minhash_agg(h)
+
+  /** Native codegen LSH band keys over a float/double-array column:
+    * nPlanes hyperplane signs packed into nPlanes/bandSize bigint keys. */
+  def band_keys(c: Column, nPlanes: Int, bandSize: Int): Column =
+    graft.functions.BandKeys.band_keys(c, nPlanes, bandSize)
 }

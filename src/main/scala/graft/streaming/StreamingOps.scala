@@ -119,22 +119,13 @@ object StreamingOps {
   final case class CandPair(ida: Long, idb: Long, band: Int)
 
   /** Same 16-plane / 4-band integer-exact keys as the batch dd05 path
-    * (Similarity.lshCandidatePairs), computed per row. */
+    * (Similarity.lshCandidatePairs), via the shared scalar kernel
+    * ([[graft.functions.BandKeys.keysFor]]) so batch and stream bucket
+    * assignment can never drift. */
   private[streaming] def bandKeysOf(emb: Array[Float]): Array[(Int, Long)] = {
-    val keys = new Array[Long](4)
-    var p = 0
-    while (p < 16) {
-      var proj = 0L
-      var d = 0
-      while (d < emb.length) {
-        proj += math.floor(emb(d).toDouble * 1000).toLong *
-          graft.queries.Similarity.planeWeight(p, d + 1)
-        d += 1
-      }
-      if (proj >= 0) keys(p / 4) |= (1L << (p % 4))
-      p += 1
-    }
-    Array.tabulate(4)(b => (b, keys(b)))
+    val keys = graft.functions.BandKeys.keysFor(
+      emb.map(_.toDouble), nPlanes = 16, bandSize = 4)
+    Array.tabulate(keys.length)(b => (b, keys(b)))
   }
 
   /** Streaming near-duplicate candidates: each vector fans out to its 4

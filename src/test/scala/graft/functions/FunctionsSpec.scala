@@ -55,6 +55,56 @@ class FunctionsSpec extends AnyFunSuite {
       bad.getMessage.toLowerCase.contains("type"))
   }
 
+  test("band_keys matches the explode/join/aggregate derivation on real data") {
+    // The round-2 derivation band_keys replaced (VERDICT r2 #1), rebuilt
+    // inline: 64x posexplode, broadcast weight join, per-(vec_id, plane)
+    // integer projection, banded bit-pack. The codegen expression must
+    // reproduce it exactly for both the 16/4 (dd05) and 8/8 (sim02) shapes.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((nPlanes, bandSize) <- Seq((16, 4), (8, 8))) {
+      val flat = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "x")))
+        .select(col("vec_id"), (col("dim0") + 1).as("dim"),
+          floor(col("x").cast("double") * 1000).cast("long").as("xq"))
+      val planes = spark.createDataFrame(
+        for { p <- 0 until nPlanes; dim <- 1 to 64 }
+          yield (p, dim, graft.queries.Similarity.planeWeight(p, dim))
+      ).toDF("plane", "dim", "w")
+      val legacy = flat.join(broadcast(planes), "dim")
+        .groupBy(col("vec_id"), col("plane"))
+        .agg(sum(col("xq") * col("w")).as("proj"))
+        .groupBy(col("vec_id"), expr(s"CAST(plane div $bandSize AS INT)").as("band"))
+        .agg(sum(expr(s"CASE WHEN proj >= 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(plane % $bandSize AS INT)) ELSE CAST(0 AS BIGINT) END")).as("key"))
+      val native = e.select(col("vec_id"),
+        posexplode(BandKeys.band_keys(col("embedding"), nPlanes, bandSize))
+          .as(Seq("band", "key")))
+      assert(native.count() == e.count() * (nPlanes / bandSize))
+      val diff = native.join(legacy, Seq("vec_id", "band"), "full_outer")
+        .filter(native("key").isNull || legacy("key").isNull ||
+          native("key") =!= legacy("key"))
+        .count()
+      assert(diff == 0, s"band_keys($nPlanes, $bandSize) diverged from the legacy derivation")
+    }
+  }
+
+  test("band_keys: interpreted eval matches codegen and shares the streaming kernel") {
+    val vecs = Seq(Array.tabulate(64)(i => (math.sin(i + 1) * 0.7).toFloat),
+      Array.fill(64)(0.0f), Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val got = df.select(BandKeys.band_keys(col("v"), 16, 4)).collect()
+      .map(_.getSeq[Long](0).toArray)
+    vecs.zip(got).foreach { case (v, keys) =>
+      val expected = BandKeys.keysFor(v.map(_.toDouble), 16, 4)
+      assert(keys.sameElements(expected), "codegen diverged from keysFor")
+      // interpreted path (eval) via an expression over a non-codegen route
+      val ex = BandKeys(org.apache.spark.sql.catalyst.expressions.Literal
+        .create(v, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)), 16, 4)
+      val interp = ex.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      assert(interp.sameElements(expected), "eval diverged from keysFor")
+    }
+  }
+
   test("minhash_agg: one-pass signature equals K separate min() aggregates") {
     val df = Seq((1L, 12345L), (1L, 999L), (1L, 777777L), (2L, 42L))
       .toDF("g", "h")

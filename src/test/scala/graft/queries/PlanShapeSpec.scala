@@ -48,6 +48,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH band keys are computed per row (no explode/aggregate before the bucket join)") {
+    // sim02: scan -> project(band_keys) -> self equi-join. The round-2
+    // shape (64x posexplode + broadcast weight join + two hash aggregates
+    // feeding the bucket join) must not come back.
+    val sim02 = physicalPlan("sim02_ann_lsh_buckets")
+    assert(sim02.contains("band_keys"), "sim02 lost the native band_keys expression")
+    assert(!sim02.contains("Generate"), "sim02 re-grew a per-dim explode")
+    assert(!sim02.contains("HashAggregate"), "sim02 re-grew a pre-join aggregate")
+    // dd05: exactly one Generate — the 4-element band-array posexplode —
+    // and no per-(vec_id, plane) projection aggregate before the join.
+    val dd05 = physicalPlan("dd05_embed_neardup")
+    assert(dd05.contains("band_keys"), "dd05 lost the native band_keys expression")
+    assert("Generate".r.findAllIn(dd05).size <= 2, // one per self-join side
+      "dd05 re-grew the per-dim explode")
+  }
+
   test("selective filters reach the parquet scan (PushedFilters)") {
     val plan = physicalPlan("q06_selective_sum")
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual"),
