@@ -59,4 +59,9 @@ object functions {
     * nPlanes hyperplane signs packed into nPlanes/bandSize bigint keys. */
   def band_keys(c: Column, nPlanes: Int, bandSize: Int): Column =
     graft.functions.BandKeys.band_keys(c, nPlanes, bandSize)
+
+  /** Exact COUNT(DISTINCT) over an integral column via paged bitmaps —
+    * one-pass, no Expand, shuffles bitmap pages instead of rows. */
+  def bitmap_distinct(c: Column): Column =
+    graft.functions.BitmapDistinct.bitmap_distinct(c)
 }

@@ -105,6 +105,33 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bitmap_distinct equals count(distinct) on real data, all int types, negatives") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val got = li.groupBy("l_returnflag")
+      .agg(BitmapDistinct.bitmap_distinct(col("l_suppkey")).as("ns"),
+        BitmapDistinct.bitmap_distinct(col("l_partkey")).as("np"))
+      .orderBy("l_returnflag").collect()
+    val want = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("ns"), countDistinct(col("l_partkey")).as("np"))
+      .orderBy("l_returnflag").collect()
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // negatives, nulls, page boundaries, narrow int types, many partitions
+    val tricky = spark.range(0, 100000).repartition(16)
+      .select((col("id") % 7777 - 3888).as("v"),
+        when(col("id") % 11 === 0, null).otherwise(col("id") % 4096).cast("int").as("w"),
+        (col("id") % 100).cast("short").as("s"))
+    val r = tricky.agg(
+      BitmapDistinct.bitmap_distinct(col("v")).as("nv"),
+      BitmapDistinct.bitmap_distinct(col("w")).as("nw"),
+      BitmapDistinct.bitmap_distinct(col("s")).as("nsh"),
+      countDistinct(col("v")), countDistinct(col("w")), countDistinct(col("s"))).collect()(0)
+    assert(r.getLong(0) == r.getLong(3) && r.getLong(1) == r.getLong(4) &&
+      r.getLong(2) == r.getLong(5))
+    // empty input -> 0, not null
+    val empty = spark.range(0).agg(BitmapDistinct.bitmap_distinct(col("id"))).collect()(0)
+    assert(!empty.isNullAt(0) && empty.getLong(0) == 0L)
+  }
+
   test("minhash_agg: one-pass signature equals K separate min() aggregates") {
     val df = Seq((1L, 12345L), (1L, 999L), (1L, 777777L), (2L, 42L))
       .toDF("g", "h")
