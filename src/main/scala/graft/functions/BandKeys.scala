@@ -32,6 +32,9 @@ case class BandKeys(child: Expression, nPlanes: Int, bandSize: Int)
     extends UnaryExpression with Serializable {
   require(nPlanes > 0 && bandSize > 0 && nPlanes % bandSize == 0,
     s"band_keys: nPlanes ($nPlanes) must be a positive multiple of bandSize ($bandSize)")
+  // each band key packs one bit per plane into a single long
+  require(bandSize <= 64,
+    s"band_keys: bandSize ($bandSize) must be <= 64 (keys are single longs)")
 
   override def prettyName: String = "band_keys"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -73,7 +76,11 @@ case class BandKeys(child: Expression, nPlanes: Int, bandSize: Int)
       val proj = ctx.freshName("proj")
       val keys = ctx.freshName("keys")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), ${BandKeys.MaxDims});
+         |int $n = $a.numElements();
+         |if ($n > ${BandKeys.MaxDims}) {
+         |  throw new IllegalArgumentException(
+         |    "band_keys: input vector has " + $n + " dims; weight table covers <= ${BandKeys.MaxDims}");
+         |}
          |long[] $keys = new long[$nBands];
          |for (int $p = 0; $p < $nPlanes; $p++) {
          |  long $proj = 0L;
@@ -96,9 +103,10 @@ object BandKeys {
   import org.apache.spark.sql.GraftShims
 
   /** Weight tables are generated for dims 1..MaxDims (the embeddings table
-    * is 64-dim); longer vectors are truncated, shorter ones just use fewer
-    * terms — matching the flattened-join derivation, which only produced
-    * rows for dims that exist. */
+    * is 64-dim); longer vectors are an error (silent truncation would
+    * corrupt bucket keys for a caller who expected all dims to count),
+    * shorter ones just use fewer terms — matching the flattened-join
+    * derivation, which only produced rows for dims that exist. */
   val MaxDims = 64
 
   private val tableCache =
@@ -115,9 +123,11 @@ object BandKeys {
   /** Shared scalar kernel — the single source of truth for batch (this
     * expression) and streaming (`StreamingOps.bandKeysOf`) bucket keys. */
   def keysFor(x: Array[Double], nPlanes: Int, bandSize: Int): Array[Long] = {
+    require(x.length <= MaxDims,
+      s"band_keys: input vector has ${x.length} dims; weight table covers <= $MaxDims")
     val w = weightTable(nPlanes)
     val keys = new Array[Long](nPlanes / bandSize)
-    val n = math.min(x.length, MaxDims)
+    val n = x.length
     var p = 0
     while (p < nPlanes) {
       var proj = 0L

@@ -79,7 +79,10 @@ case class BitmapDistinct(
         case Some(page1) =>
           var w = 0
           while (w < WordsPerPage) { page1(w) |= page2(w); w += 1 }
-        case None => b1.update(base, page2)
+        // copy rather than adopt: Spark deserializes b2 fresh per merge
+        // today, but adopting page2 would alias the arrays and a future
+        // caller reusing b2 would see later in-place ORs corrupt it
+        case None => b1.update(base, page2.clone())
       }
     }
     b1

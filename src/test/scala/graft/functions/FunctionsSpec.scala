@@ -105,6 +105,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("band_keys: misuse fails fast instead of corrupting keys") {
+    // bandSize > 64 would wrap 1L << (p % bandSize)
+    assertThrows[IllegalArgumentException] {
+      BandKeys.band_keys(col("v"), 128, 128)
+    }
+    // > MaxDims input dims: silent truncation would drop dims from the keys
+    val wide = Seq(Tuple1(Array.fill(65)(1.0f))).toDF("v")
+    val e = intercept[Exception] {
+      wide.select(BandKeys.band_keys(col("v"), 16, 4)).collect()
+    }
+    assert(e.getMessage.contains("65") || e.getCause != null &&
+      e.getCause.getMessage.contains("65"))
+    assertThrows[IllegalArgumentException] {
+      BandKeys.keysFor(Array.fill(65)(1.0), 16, 4)
+    }
+    // exactly MaxDims stays fine
+    val ok = Seq(Tuple1(Array.fill(64)(1.0f))).toDF("v")
+      .select(BandKeys.band_keys(col("v"), 16, 4)).collect()
+    assert(ok.length == 1)
+  }
+
   test("bitmap_distinct equals count(distinct) on real data, all int types, negatives") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val got = li.groupBy("l_returnflag")
