@@ -14,8 +14,8 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q01_agg_pricing", "q03_join_topn", "q05_join5_agg", "q06_selective_sum",
     "q08_window_running", "q23_count_distinct", "q25_events_hourly",
-    "dd01_exact_dup_groups", "dd03_minhash_lsh_pairs", "sim01_cosine_topk",
-    "tx01_tokens", "age03_roundtrip", "age10_kernel_64mb")
+    "dd01_exact_dup_groups", "dd03_minhash_lsh_pairs", "dd08_minhash_all",
+    "sim01_cosine_topk", "tx01_tokens", "age03_roundtrip", "age10_kernel_64mb")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private val all: Seq[QueryDef] =
     Relational.defs ++ CryptoQueries.defs ++ TextDedup.defs ++
-      Similarity.defs ++ MultimodalQueries.defs ++ GraphQueries.defs
+      Similarity.defs ++ MultimodalQueries.defs ++ GraphQueries.defs ++
+      StreamingQueries.defs
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The age
     * round-trip over real table data — the reference's core semantics

@@ -245,6 +245,63 @@ object TextDedup {
         ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
       GROUP BY 1, 2 ORDER BY ida, idb""")),
 
+    // ---- dd08: MinHash over the WHOLE corpus, no doc cap — the honest
+    // bench entry (VERDICT r2 perf note: dd03's 200-doc cap made its bench
+    // line measure pure dispatch). The k² blow-up of identical documents
+    // sharing every band is removed the way a real pipeline does: exact
+    // dedup FIRST (min doc_id per fingerprint), near-dup candidates over
+    // the survivors. Output is the shared-band histogram, so the result
+    // stays tiny while the work (shingling + signatures + banded join)
+    // scales with the corpus.
+    QueryDef("dd08_minhash_all", (s, d) => {
+      val doc = docs(s, d)
+      val keep = doc
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val sh = shinglesOf(doc.join(keep, "doc_id")).withColumn("h", h28(col("sh")))
+      val sig = sh.groupBy("doc_id")
+        .agg(graft.functions.MinHashAgg.minhash_agg(col("h")).as("sig"))
+      val minhashes = sig.select(col("doc_id") +:
+        (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
+      val bands = minhashes.select(col("doc_id"),
+        explode(array((0 until 4).map(bi =>
+          struct(lit(bi).as("band"),
+            concat_ws("_", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val x = bands.as("x"); val y = bands.as("y")
+      x.join(y, col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
+        .agg(count(lit(1)).as("shared_bands"))
+        .groupBy("shared_bands")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("shared_bands")
+    }, Some(s"""
+      WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+      sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs2
+                    WHERE len(string_split(text, ' ')) >= 3))),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(sh),1,7))::BIGINT AS h FROM sh),
+      mh AS (SELECT doc_id,
+        ${A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h*$a + $b) % $P) AS m$j" }.mkString(", ")}
+        FROM hs GROUP BY doc_id),
+      bands AS (
+        ${(0 until 4).map(bi =>
+          s"SELECT doc_id, $bi AS band, CAST(m${2 * bi} AS VARCHAR) || '_' || CAST(m${2 * bi + 1} AS VARCHAR) AS key FROM mh")
+          .mkString(" UNION ALL ")}),
+      pairs AS (
+        SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS shared_bands
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        GROUP BY 1, 2)
+      SELECT shared_bands, COUNT(*) AS n_pairs FROM pairs
+      GROUP BY 1 ORDER BY shared_bands""")),
+
     // ---- dd07: end-to-end dedup pipeline — exact-dup keep-list (min
     // doc_id per fingerprint) applied back to the corpus, surviving-corpus
     // stats by language. The composition a training-data pipeline actually
