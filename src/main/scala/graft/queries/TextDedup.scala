@@ -71,7 +71,12 @@ object TextDedup {
                                     maxDf: Int): DataFrame = {
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
-    val fsh = sh.join(keep, "sh") // broadcast-able at scale: keep is small after the cap
+    // Deliberately NOT broadcast: keep is the LONG TAIL of the vocabulary
+    // (the df-cap only removes hot shingles), so it scales with corpus
+    // vocabulary and would OOM a broadcast at 100 TB. As a shuffle join on
+    // sh it co-partitions with the self-join below, which reuses the
+    // exchange. Shape locked by PlanShapeSpec.
+    val fsh = sh.join(keep, "sh")
     val sz = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = fsh.as("a"); val b = fsh.as("b")
     val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

@@ -64,6 +64,26 @@ class PlanShapeSpec extends AnyFunSuite {
       "dd05 re-grew the per-dim explode")
   }
 
+  test("dd02 carries no broadcast HINT (vocabulary-sized keep list must stay size-based)") {
+    // the df-cap keep list is the long tail of the shingle vocabulary —
+    // a hard-coded broadcast() hint would OOM at 100 TB. Catalyst MAY
+    // still choose a broadcast at toy scale from size statistics (that is
+    // size-based and scales correctly); what must never appear is a hint
+    // forcing it, so assert on the analyzed logical plan.
+    val df = SparkEntry.queries("dd02_jaccard_pairs")(spark, sf)
+    val logical = df.queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.toLowerCase.contains("broadcast"),
+      "dd02 grew a broadcast hint — vocabulary-sized sides must stay size-based")
+  }
+
+  test("streaming gate queries: the drained sink is what is compared (sanity)") {
+    // the stream queries return memory-sink reads; assert they produce a
+    // LocalTableScan/scan-only plan (no recompute of the stream) so the
+    // oracle compares materialized stream output, not a batch re-derivation
+    val plan = physicalPlan("stream01_lsh_candidates")
+    assert(!plan.contains("StateStore"), "stream01 result must come from the drained sink")
+  }
+
   test("selective filters reach the parquet scan (PushedFilters)") {
     val plan = physicalPlan("q06_selective_sum")
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual"),
