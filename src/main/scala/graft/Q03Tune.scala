@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off measurement for VERDICT r2 item 7: does pre-aggregating lineitem
+  * revenue by orderkey BEFORE the orders join (narrower shuffle) close any
+  * of q03's gap? Both variants keep the fact-fact shuffle on orderkey (the
+  * 100 TB-safe shape). Also measures the q05 equivalent. Not part of the
+  * driver contract.
+  */
+object Q03Tune {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/localdata/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.sql.files.maxPartitionBytes", (16L << 20).toString)
+      .config("spark.sql.files.minPartitionNum", "32")
+      .config("spark.locality.wait", "0")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(n: String) = graft.queries.Tables.load(spark, sfDir, n)
+    def cents(c: org.apache.spark.sql.Column) =
+      floor(c * 100).cast("long")
+
+    // current q03: join full lineitem to orders, then aggregate
+    def q03_current(): DataFrame = {
+      val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t("orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val l = t("lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }
+
+    // pre-agg variant: collapse lineitem to one row per orderkey first
+    def q03_preagg(): DataFrame = {
+      val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t("orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val lrev = t("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      lrev.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("l_orderkey"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }
+
+    def time(label: String, f: () => DataFrame): Unit = {
+      f().write.format("noop").mode("overwrite").save() // warm
+      f().write.format("noop").mode("overwrite").save()
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$label%-14s min=${times.min}%.3f  runs=${times.map(x => f"$x%.3f").mkString(",")}")
+    }
+
+    // equality check first
+    val a = q03_current().collect().map(_.toSeq).toSeq
+    val b = q03_preagg().collect().map(_.toSeq).toSeq
+    println(s"results equal: ${a == b}")
+    time("q03_current", q03_current _)
+    time("q03_preagg", q03_preagg _)
+    spark.stop()
+  }
+}

@@ -54,15 +54,25 @@ object Relational {
       SELECT o_orderkey, CAST(FLOOR(o_totalprice*100) AS BIGINT) AS price_cents
       FROM orders ORDER BY price_cents DESC, o_orderkey LIMIT 10""")),
 
-    // ---- q03: TPC-H Q3 shape — 3-way join, small dim side broadcastable
+    // ---- q03: TPC-H Q3 shape — 3-way join, small dim side broadcastable.
+    // Lineitem revenue is pre-aggregated by orderkey BEFORE the orders
+    // join: the shuffle then carries one narrow row per order instead of
+    // ~4 wide lineitem rows, and the orderkey join reuses the aggregate's
+    // partitioning (measured 2.0x at sf10 — Q03Tune; VERDICT r2 item 7).
+    // Trade-off documented there: this aggregates lineitem for orders the
+    // date/segment filter later drops, the right trade when the filter is
+    // non-selective (here <1999-01-01 keeps nearly all orders); a highly
+    // selective filter would favor join-first. Both shapes keep the
+    // fact-fact shuffle on orderkey that survives 100 TB.
     QueryDef("q03_join_topn", (s, d) => {
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
-      val l = t(s, d, "lineitem")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val lrev = t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      lrev.join(o, col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("l_orderkey"), col("revenue_cents"))
         .orderBy(col("revenue_cents").desc, col("l_orderkey"))
         .limit(10)
     }, Some("""
