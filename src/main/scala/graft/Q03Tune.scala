@@ -67,12 +67,58 @@ object Q03Tune {
       println(f"$label%-14s min=${times.min}%.3f  runs=${times.map(x => f"$x%.3f").mkString(",")}")
     }
 
+    // current q05: all joins then filter/agg (Catalyst pushes the filter)
+    def q05_current(): DataFrame = {
+      val r = t("region"); val n = t("nation"); val c = t("customer")
+      val o = t("orders"); val l = t("lineitem"); val su = t("supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(c, o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("n_name"))
+    }
+
+    // variant: broadcast supplier into lineitem, pre-agg revenue by
+    // (orderkey, supplier nation) before the orderkey shuffle
+    def q05_preagg(): DataFrame = {
+      val r = t("region"); val n = t("nation"); val c = t("customer")
+      val su = t("supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val o = t("orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val lrev = t("lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_orderkey"), col("s_nationkey"))
+        .agg(sum(col("rev")).as("rev"))
+      lrev.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .orderBy(col("n_name"))
+    }
+
     // equality check first
     val a = q03_current().collect().map(_.toSeq).toSeq
     val b = q03_preagg().collect().map(_.toSeq).toSeq
-    println(s"results equal: ${a == b}")
+    println(s"q03 results equal: ${a == b}")
+    val a5 = q05_current().collect().map(_.toSeq).toSeq
+    val b5 = q05_preagg().collect().map(_.toSeq).toSeq
+    println(s"q05 results equal: ${a5 == b5}")
     time("q03_current", q03_current _)
     time("q03_preagg", q03_preagg _)
+    time("q05_current", q05_current _)
+    time("q05_preagg", q05_preagg _)
     spark.stop()
   }
 }

@@ -189,9 +189,40 @@ class AgeDdlParser(delegate: ParserInterface) extends ParserInterface {
 
 /** Session extension point: `SparkSession.builder().withExtensions(new
   * GraftSparkExtensions)` (or spark.sql.extensions=graft.sql.GraftSparkExtensions)
-  * turns on the secret DDL. Function registration stays explicit via
-  * AgeFunctions.register (mirroring the reference's LOAD-time hook). */
+  * turns on the secret DDL and the `age_secrets()` table function. Scalar
+  * function registration stays explicit via AgeFunctions.register
+  * (mirroring the reference's LOAD-time hook). */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ExpressionInfo}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectParser((_, delegate) => new AgeDdlParser(delegate))
+    // `SELECT * FROM age_secrets()` — catalog-level table-valued function,
+    // the closer `duckdb_secrets()` parity (reference FUNCTIONS.md secret
+    // listing; the temp view registered by AgeFunctions remains for
+    // back-compat). The builder runs at analysis time, so each query sees
+    // the registry as of its own planning — same read-time semantics as
+    // the reference's transient secret catalog.
+    extensions.injectTableFunction((
+      FunctionIdentifier("age_secrets"),
+      new ExpressionInfo(classOf[GraftSparkExtensions].getName, "age_secrets",
+        "age_secrets() - lists registered age secrets (name, type, provider, key_id)"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.nonEmpty)
+          throw new graft.core.AgeInvalidInputException(
+            "age_secrets() takes no arguments")
+        val output = Seq("name", "type", "provider", "key_id")
+          .map(f => AttributeReference(f, org.apache.spark.sql.types.StringType,
+            nullable = false)())
+        val rows = graft.secrets.AgeSecretManager.list.map { case (n, t, p, k) =>
+          InternalRow(UTF8String.fromString(n), UTF8String.fromString(t),
+            UTF8String.fromString(p), UTF8String.fromString(k))
+        }
+        LocalRelation(output, rows)
+      }))
+  }
 }

@@ -39,6 +39,27 @@ class AgeDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getString(0)).toSeq == Seq("test_age_key"))
   }
 
+  test("age_secrets() table function: live registry view, no args") {
+    // catalog-injected TVF (duckdb_secrets() parity) — reflects the
+    // registry at each query's analysis time
+    spark.sql(s"""
+      CREATE OR REPLACE SECRET tvf_probe (
+          TYPE 'age', public_key '$pubB', private_key '$privB')""")
+    val rows = spark.sql(
+      "SELECT name, type, provider, key_id FROM age_secrets() WHERE name = 'tvf_probe'")
+      .collect()
+    assert(rows.length == 1)
+    assert(rows(0).getString(1) == "age" && rows(0).getString(2) == "config")
+    spark.sql("DROP SECRET tvf_probe")
+    assert(spark.sql(
+      "SELECT * FROM age_secrets() WHERE name = 'tvf_probe'").collect().isEmpty)
+    // argument misuse fails fast
+    val e = intercept[Throwable](spark.sql("SELECT * FROM age_secrets(1)").collect())
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(_.contains("takes no arguments")), msgs.mkString(" | "))
+  }
+
   // age_secret.test:28-41
   test("CREATE SECRET with key_id; count") {
     spark.sql(s"""
