@@ -619,6 +619,68 @@ object Relational {
             WHERE event_type = 'click') c
         ON p.user_id = c.user_id
        AND c.tms >= p.tms - 600000 AND c.tms <= p.tms
-      GROUP BY 1, 2 ORDER BY purchase_id"""))
+      GROUP BY 1, 2 ORDER BY purchase_id""")),
+
+    // ---- q35: MERGE/upsert re-expressed for an immutable store (VERDICT
+    // r2 "What's missing #3"): matched rows take the source's value, new
+    // rows are inserted — ONE full-outer shuffle join on the key, the
+    // shape a lakehouse MERGE compiles to at 100 TB (no per-row mutation).
+    QueryDef("q35_merge_upsert", (s, d) => {
+      val c = t(s, d, "customer")
+      val src = c.filter(col("c_custkey") <= 50)
+        .select(col("c_custkey"), lit("MERGED").as("seg"))
+        .unionByName(s.range(1, 6)
+          .select((col("id") + 9000000L).as("c_custkey"), lit("NEWSEG").as("seg")))
+      c.as("t").join(src.as("u"), col("t.c_custkey") === col("u.c_custkey"), "full_outer")
+        .select(coalesce(col("u.c_custkey"), col("t.c_custkey")).as("k"),
+          coalesce(col("u.seg"), col("t.c_mktsegment")).as("segment"))
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+        .orderBy("segment")
+    }, Some("""
+      WITH src AS (
+        SELECT c_custkey, 'MERGED' AS seg FROM customer WHERE c_custkey <= 50
+        UNION ALL
+        SELECT 9000000 + i AS c_custkey, 'NEWSEG' AS seg
+        FROM (SELECT unnest(generate_series(1, 5)) AS i)),
+      merged AS (
+        SELECT COALESCE(u.c_custkey, t.c_custkey) AS k,
+               COALESCE(u.seg, t.c_mktsegment) AS segment
+        FROM customer t FULL OUTER JOIN src u ON t.c_custkey = u.c_custkey)
+      SELECT segment, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+      FROM merged GROUP BY 1 ORDER BY segment""")),
+
+    // ---- q36: exact percentiles per group (percentile_cont semantics —
+    // linear interpolation over the sorted set in both engines)
+    QueryDef("q36_quantiles", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          floor(expr("percentile(l_quantity, 0.5D)") * 100).cast("long").as("p50_x100"),
+          floor(expr("percentile(l_quantity, 0.9D)") * 100).cast("long").as("p90_x100"),
+          floor(expr("percentile(l_extendedprice, 0.99D)") * 100).cast("long").as("p99_price_x100"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             CAST(FLOOR(quantile_cont(l_quantity, 0.5)*100) AS BIGINT) AS p50_x100,
+             CAST(FLOOR(quantile_cont(l_quantity, 0.9)*100) AS BIGINT) AS p90_x100,
+             CAST(FLOOR(quantile_cont(l_extendedprice, 0.99)*100) AS BIGINT) AS p99_price_x100
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ---- q37: approximate percentile sketch with an accuracy-invariant
+    // oracle (q34 HLL pattern): the 100 TB tier for quantiles, asserted
+    // within 1% of exact so the gate verifies the sketch's usefulness,
+    // not a bit pattern the two engines could never share.
+    QueryDef("q37_approx_quantile", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_extendedprice, 0.5D)").as("p50"),
+          expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("a50"))
+        .select(col("l_returnflag"),
+          (abs(col("a50") - col("p50")) / col("p50") <= 0.01).as("p50_ok"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, true AS p50_ok
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

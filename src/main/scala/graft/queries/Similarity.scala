@@ -296,6 +296,42 @@ object Similarity {
              CAST(rank AS INTEGER) AS rank
       FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
 
+    // ---- sim05: int8 embedding quantization — per-vector min/max affine
+    // codes (the 4x storage cut a 100 TB embedding store takes first) with
+    // the max reconstruction error surfaced per vector, so the gate checks
+    // the actual quantization arithmetic, not just row counts. All double
+    // ops appear in the identical order in both engines.
+    QueryDef("sim05_quantize_int8", (s, d) => {
+      val flat = emb(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim0", "xf")))
+        .select(col("vec_id"), col("xf").cast("double").as("x"))
+      val mm = flat.groupBy("vec_id")
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .filter(col("mx") > col("mn")) // constant vectors have no scale
+      val q = flat.join(mm, "vec_id")
+        .withColumn("scale", (col("mx") - col("mn")) / 255)
+        .withColumn("code", least(floor((col("x") - col("mn")) / col("scale")), lit(255L)))
+      q.withColumn("err", abs(col("x") - (col("mn") + col("code") * col("scale"))))
+        .groupBy("vec_id")
+        .agg(floor(max(col("err")) * 1000000).cast("long").as("maxerr_x1e6"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH flat AS (
+        SELECT vec_id, CAST(embedding[dim] AS DOUBLE) AS x
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 100),
+      mm AS (
+        SELECT vec_id, MIN(x) AS mn, MAX(x) AS mx FROM flat GROUP BY 1
+        HAVING MAX(x) > MIN(x)),
+      q AS (
+        SELECT f.vec_id, x, mn, (mx-mn)/255 AS scale
+        FROM flat f JOIN mm USING (vec_id)),
+      c AS (
+        SELECT vec_id, x, mn, scale,
+               LEAST(FLOOR((x-mn)/scale), 255) AS code FROM q)
+      SELECT vec_id,
+             CAST(FLOOR(MAX(ABS(x - (mn + code*scale)))*1000000) AS BIGINT) AS maxerr_x1e6
+      FROM c GROUP BY 1 ORDER BY vec_id""")),
+
     // ---- dd05: embedding-cosine near-duplicate pairs at scale — candidate
     // pairs from a 4-band × 4-plane LSH bucket join (16 hyperplanes), exact
     // cosine only on candidates. The all-pairs n² never materializes; the

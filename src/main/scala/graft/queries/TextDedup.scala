@@ -367,6 +367,40 @@ object TextDedup {
       SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
       ORDER BY df DESC, sh LIMIT 20""")),
 
+    // ---- tx07: deterministic hash sampling — the scalable way to carve a
+    // reproducible p% training-data subsample: bucket by md5(doc_id), keep
+    // bucket 0 of 10. No RNG state, no coordination, any engine and any
+    // partitioning produces the same sample — the property that matters
+    // when the sample must be re-derivable months later over 100 TB.
+    QueryDef("tx07_hash_sample", (s, d) => {
+      docs(s, d)
+        .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 7), 16, 10)
+          .cast("long") % 10 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 10 = 0
+      ORDER BY doc_id""")),
+
+    // ---- tx08: regex token analysis — per-language counts of tokens
+    // matching a pattern (vowel-initial), the regexp-over-tokens shape a
+    // PII/filter pass runs. explode + rlike stays in codegen; the exchange
+    // carries one row per (doc, matched?) partial count, not per token.
+    QueryDef("tx08_regex_tokens", (s, d) => {
+      docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[aeiou]"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_vowel_tokens"),
+          countDistinct(col("w")).as("n_distinct"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_vowel_tokens, COUNT(DISTINCT w) AS n_distinct
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[aeiou]')
+      GROUP BY 1 ORDER BY lang""")),
+
     // ---- dd04: SimHash — 28-bit signature from word hashes, near-dup
     // pairs by hamming distance (bit_count of xor). Candidate pairs come
     // from a 5-band LSH bucket join, NOT an all-pairs cartesian: by
