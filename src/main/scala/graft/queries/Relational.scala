@@ -681,6 +681,68 @@ object Relational {
         .orderBy("l_returnflag")
     }, Some("""
       SELECT l_returnflag, true AS p50_ok
-      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ---- q38: PIVOT — wide per-status counts via Spark's native pivot
+    // (values listed explicitly so no driver-side distinct pass runs);
+    // the oracle states the same thing engine-neutrally as CASE sums.
+    QueryDef("q38_pivot", (s, d) => {
+      t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+          col("P").as("n_p"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      FROM orders GROUP BY 1 ORDER BY o_orderpriority""")),
+
+    // ---- q39: explicit GROUPING SETS (the general form ROLLUP/CUBE are
+    // sugar for) — two unrelated groupings plus the grand total in one
+    // pass over orders (Spark expands via a single Expand node, one scan)
+    QueryDef("q39_grouping_sets", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+             COALESCE(o_orderpriority, 'ALL') AS priority,
+             COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")),
+
+    // ---- q40: correlated LATERAL subquery — top-2 customers by balance
+    // per nation. Catalyst decorrelates the LATERAL into a ranked
+    // window join (one shuffle on the correlation key), so the per-outer-
+    // row "loop" never executes as a loop — same plan class DuckDB picks.
+    QueryDef("q40_lateral_topn", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT n_name, c.c_custkey, c.bal_cents
+        FROM nation,
+        LATERAL (
+          SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+          FROM customer WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        ORDER BY n_name, c.bal_cents DESC, c.c_custkey""")
+    }, Some("""
+      SELECT n_name, c.c_custkey, c.bal_cents
+      FROM nation,
+      LATERAL (
+        SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+      ORDER BY n_name, c.bal_cents DESC, c.c_custkey"""))
   )
 }

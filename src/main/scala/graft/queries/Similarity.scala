@@ -395,6 +395,47 @@ object Similarity {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE a.vec_id < 200 AND b.vec_id < 200
         AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
-      ORDER BY ida, idb"""))
+      ORDER BY ida, idb""")),
+
+    // ---- sim06: semantic dedup — the embedding-space analogue of dd09:
+    // assign every vector to its nearest centroid (broadcast codebook,
+    // one pass, no shuffle before the per-cluster window) and keep ONE
+    // representative per cluster (highest cosine to the centroid). The
+    // SemDeDup recipe at 100 TB: |codebook| ≪ |corpus| broadcasts, the
+    // per-cluster rank shuffles once on cluster id. Ties broken by id in
+    // both engines, so the keeper is deterministic.
+    QueryDef("sim06_semantic_dedup", (s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("cos", cosine(col("embedding"), col("ce")))
+      val wv = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("cid"))
+      val assign = scored.withColumn("rn", row_number().over(wv))
+        .filter(col("rn") === 1).select(col("vec_id"), col("cid"), col("cos"))
+      val counts = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      val wc = Window.partitionBy(col("cid")).orderBy(col("cos").desc, col("vec_id"))
+      assign.withColumn("kr", row_number().over(wc)).filter(col("kr") === 1)
+        .select(col("cid"), col("vec_id").as("keeper"),
+          floor(col("cos") * 10000).cast("long").as("keeper_cos_x1e4"))
+        .join(counts, "cid")
+        .select(col("cid"), col("keeper"), col("keeper_cos_x1e4"), col("n_members"))
+        .orderBy("cid")
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4),
+      scored AS (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS cos
+        FROM embeddings e, cents c),
+      assign AS (SELECT vec_id, cid, cos FROM (
+                   SELECT vec_id, cid, cos, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn FROM scored) WHERE rn = 1),
+      counts AS (SELECT cid, COUNT(*) AS n_members FROM assign GROUP BY 1),
+      keepers AS (SELECT cid, vec_id AS keeper,
+                         CAST(FLOOR(cos*10000) AS BIGINT) AS keeper_cos_x1e4
+                  FROM (SELECT cid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY cid
+                          ORDER BY cos DESC, vec_id) AS kr FROM assign) WHERE kr = 1)
+      SELECT k.cid, keeper, keeper_cos_x1e4, n_members
+      FROM keepers k JOIN counts USING (cid) ORDER BY cid"""))
   )
 }
