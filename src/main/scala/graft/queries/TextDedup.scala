@@ -141,20 +141,19 @@ object TextDedup {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- tx01: token counting (whitespace + BPE-ish length/4 subwords).
-    // explode + hash-agg instead of transform/aggregate lambdas: Spark's
-    // higher-order array functions are interpreted (no doGenCode), ~5x
-    // slower per row; the exploded form stays in WholeStageCodegen and
-    // map-side partial aggregation collapses to one row per doc before the
-    // shuffle, so the exchange is |docs|, not |tokens|.
+    // ---- tx01: token counting (whitespace + BPE-ish length/4 subwords)
+    // via the native token_stats expression (graft.functions.TokenStats):
+    // one byte-loop per row inside WholeStageCodegen — no Generate, no
+    // aggregate, no exchange. The earlier explode + two-phase hash-agg
+    // shape shuffled one row per doc; this is a pure scan-side map, the
+    // shape token counting must have at 100 TB.
     QueryDef("tx01_tokens", (s, d) => {
       docs(s, d)
-        .select(col("doc_id"), length(col("text")).as("n_chars"),
-          explode(split(col("text"), " ")).as("w"))
-        .groupBy("doc_id", "n_chars")
-        .agg(count(lit(1)).cast("int").as("n_tokens"),
-          sum(floor((length(col("w")) + 3) / 4).cast("long")).as("n_subwords"))
-        .select(col("doc_id"), col("n_tokens"), col("n_subwords"), col("n_chars"))
+        .select(col("doc_id"),
+          graft.functions.TokenStats.token_stats(col("text")).as("ts"),
+          length(col("text")).as("n_chars"))
+        .select(col("doc_id"), element_at(col("ts"), 1).cast("int").as("n_tokens"),
+          element_at(col("ts"), 2).as("n_subwords"), col("n_chars"))
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,

@@ -64,4 +64,10 @@ object functions {
     * one-pass, no Expand, shuffles bitmap pages instead of rows. */
   def bitmap_distinct(c: Column): Column =
     graft.functions.BitmapDistinct.bitmap_distinct(c)
+
+  /** Native codegen per-row token stats over a space-separated string:
+    * `array(n_tokens, n_subwords)` with `split(text, ' ')` field
+    * semantics — token counting as a pure scan-side map. */
+  def token_stats(c: Column): Column =
+    graft.functions.TokenStats.token_stats(c)
 }

@@ -168,6 +168,38 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("token_stats: equals the split-based derivation, incl. edge cases") {
+    val cases = Seq("key agg row", "", "a", "a  b", " lead", "trail ",
+      "  ", "héllo wörld", "日本 語 テスト", "one")
+    val df = cases.toDF("text")
+    val got = df.select(col("text"), TokenStats.token_stats(col("text")).as("ts"))
+      .select(col("text"), element_at(col("ts"), 1).as("ntok"),
+        element_at(col("ts"), 2).as("nsub")).collect()
+    val want = df.select(col("text"),
+      size(split(col("text"), " ")).cast("long").as("ntok"),
+      expr("aggregate(transform(split(text, ' '), w -> CAST(floor((length(w)+3)/4) AS BIGINT)), 0L, (a, x) -> a + x)")
+        .as("nsub")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(1) == w.getLong(1), s"ntok for '${g.getString(0)}'")
+      assert(g.getLong(2) == w.getLong(2), s"nsub for '${g.getString(0)}'")
+    }
+    // null in -> null out
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TokenStats.token_stats(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+    // real corpus: identical to the old explode+agg derivation on every doc
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = docs.select(col("doc_id"), TokenStats.token_stats(col("text")).as("ts"))
+      .select(col("doc_id"), element_at(col("ts"), 1).as("ntok"),
+        element_at(col("ts"), 2).as("nsub"))
+    val slow = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ntok"),
+        sum(floor((length(col("w")) + 3) / 4).cast("long")).as("nsub"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("minhash_agg: merge across partitions is elementwise min") {
     val big = spark.range(0, 10000).select((col("id") % 7).as("g"),
       ((col("id") * 2654435761L) % (1L << 28)).as("h"))

@@ -86,6 +86,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("StateStore"), "stream01 result must come from the drained sink")
   }
 
+  test("tx01 token counting is a pure scan-side map (no Generate, no aggregate)") {
+    val plan = physicalPlan("tx01_tokens")
+    assert(plan.contains("token_stats"), "tx01 lost the native token_stats expression")
+    assert(!plan.contains("Generate"), "tx01 re-grew the per-token explode")
+    assert(!plan.contains("HashAggregate"), "tx01 re-grew the two-phase aggregate")
+  }
+
   test("selective filters reach the parquet scan (PushedFilters)") {
     val plan = physicalPlan("q06_selective_sum")
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual"),
