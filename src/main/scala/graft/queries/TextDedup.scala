@@ -546,6 +546,45 @@ object TextDedup {
       WHERE regexp_matches(w, '^[aeiou]')
       GROUP BY 1 ORDER BY lang""")),
 
+    // ---- tx12: TF-IDF top term per document — the corpus-statistics
+    // operator keyword extraction and relevance filters build on. Exact
+    // integer tf·N with ONE double division (identical op order in both
+    // engines); the corpus size N joins in on a constant key as a
+    // broadcast hash join (never a nested loop), df by term is the
+    // shuffle — vocabulary-sized, the same exchange tx06 rides.
+    QueryDef("tx12_tfidf_top_term", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n")).withColumn("k", lit(1))
+      val scored = tf.join(dfx, "w").withColumn("k", lit(1))
+        .join(broadcast(n), "k")
+        .withColumn("score_x1e4",
+          floor((col("tf") * col("n") * 10000L).cast("double") / col("df"))
+            .cast("long"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score_x1e4").desc, col("w"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("w").as("top_term"), col("score_x1e4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+      dfx AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      scored AS (
+        SELECT doc_id, tf.w,
+               CAST(FLOOR(CAST(tf*n*10000 AS DOUBLE)/df) AS BIGINT) AS score_x1e4
+        FROM tf JOIN dfx USING (w), n),
+      ranked AS (
+        SELECT doc_id, w, score_x1e4,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY score_x1e4 DESC, w) AS rn
+        FROM scored)
+      SELECT doc_id, w AS top_term, score_x1e4 FROM ranked
+      WHERE rn = 1 ORDER BY doc_id""")),
+
     // ---- dd04: SimHash — 28-bit signature from word hashes, near-dup
     // pairs by hamming distance (bit_count of xor). Candidate pairs come
     // from a 5-band LSH bucket join, NOT an all-pairs cartesian: by

@@ -58,4 +58,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == src.filter(col("c_custkey") <= 10).count())
     assert(back.schema == src.schema)
   }
+
+  test("binaryFile source: the multimodal ingest boundary (raw bytes + metadata)") {
+    // how image/audio blobs enter the pipeline before queries/Multimodal
+    // takes over: one row per file with (path, modificationTime, length,
+    // content), glob-filtered, with the length predicate applied at the
+    // source listing — never materializing content for skipped files
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val payloads = Map("a.img" -> Array.fill[Byte](256)(1),
+      "b.img" -> Array.fill[Byte](1024)(2), "skip.txt" -> Array[Byte](9, 9))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(dir.resolve(name), bytes)
+    }
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.img").load(dir.toString)
+    assert(df.schema.fieldNames.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    val rows = df.select(col("path"), col("length"), col("content")).collect()
+    assert(rows.length == 2, "glob filter must exclude skip.txt")
+    rows.foreach { r =>
+      val name = r.getString(0).split('/').last
+      assert(r.getAs[Array[Byte]]("content").sameElements(payloads(name)))
+      assert(r.getLong(1) == payloads(name).length)
+    }
+    // length predicate prunes before content read (filter at the source)
+    val big = df.filter(col("length") > 512)
+    assert(big.count() == 1)
+  }
 }

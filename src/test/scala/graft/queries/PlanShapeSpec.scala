@@ -24,11 +24,13 @@ class PlanShapeSpec extends AnyFunSuite {
   //   sim03 — 8-centroid broadcast codebook assignment
   //   dd06 — bounded (vec_id < 200) exact ground truth for dd05 recall
   //   sim06 — 4-centroid broadcast codebook assignment (sim03 shape)
+  //   tx12 — corpus-size N (single aggregated row) broadcast into scoring;
+  //          the constant join key folds away, leaving a 1-row nested loop
   //   age04/age11 — CROSS JOIN against a single-row keygen CTE
   private val intendedUnbounded = Set(
     "q14_crossjoin_regions", "sim01_cosine_topk", "sim03_ann_ivf",
-    "sim06_semantic_dedup", "dd06_neardup_exact200", "age04_roundtrip_multi",
-    "age11_key_rotation")
+    "sim06_semantic_dedup", "tx12_tfidf_top_term", "dd06_neardup_exact200",
+    "age04_roundtrip_multi", "age11_key_rotation")
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
