@@ -24,12 +24,14 @@ object StreamingQueries {
 
   /** Drain a streaming DataFrame into a uniquely named memory sink and
     * return the sink table. The memory sink is the only driver-side piece;
-    * the transform under test is the distributed streaming plan. */
+    * the transform under test is the distributed streaming plan. The feed
+    * receives the running query so multi-batch feeds can force micro-batch
+    * boundaries (watermark advancement is only visible to the NEXT batch). */
   private def drain(s: SparkSession, out: DataFrame, mode: String)
-                   (feed: => Unit): DataFrame = {
+                   (feed: org.apache.spark.sql.streaming.StreamingQuery => Unit): DataFrame = {
     val sink = s"graft_stream_sink_${runSeq.incrementAndGet()}"
     val q = out.writeStream.outputMode(mode).format("memory").queryName(sink).start()
-    try { feed; q.processAllAvailable() } finally q.stop()
+    try { feed(q); q.processAllAvailable() } finally q.stop()
     s.table(sink)
   }
 
@@ -54,7 +56,7 @@ object StreamingQueries {
         .toSeq
       val mem = MemoryStream[StreamingOps.VecEvent]
       val out = StreamingOps.lshCandidatesStream(mem.toDS(), ttlMs = 1L << 40)
-      drain(s, out.toDF(), "append") { mem.addData(vecs) }
+      drain(s, out.toDF(), "append") { _ => mem.addData(vecs) }
         .select(col("ida"), col("idb")).distinct()
         .orderBy("ida", "idb")
     }, Some("""
@@ -93,11 +95,60 @@ object StreamingQueries {
         if (raw.schema("ts").dataType == LongType)
           stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         else stream0
-      drain(s, StreamingOps.hourlyRollup(events), "complete") { () }
+      drain(s, StreamingOps.hourlyRollup(events), "complete") { _ => () }
         .orderBy("hour", "event_type")
     }, Some("""
       SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- stream03: stateful sessionization (flatMapGroupsWithState +
+    // event-time timeout) == the batch q27 derivation, same oracle. All
+    // real events land in batch 1; a far-future sentinel user then
+    // advances the watermark past every open session's gap (batch 2), and
+    // one more batch runs the timeout sweep that flushes them (timeouts
+    // fire against the PREVIOUS batch's watermark). The sentinel's own
+    // session never times out, so filtering it leaves exactly the
+    // batch-complete session set — idle-flush semantics verified against
+    // a window-function fixpoint the gate can hash.
+    QueryDef("stream03_sessionize", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 50)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+        .as[StreamingOps.SessionEvent]
+        .collect().toSeq // bounded feed plumbing (user_id <= 50 slice)
+      val maxT = ev.map(_.tms).max
+      val gapMs = 1800000L
+      val mem = MemoryStream[StreamingOps.SessionEvent]
+      val out = StreamingOps.sessionize(mem.toDS(), gapMs = gapMs)
+      drain(s, out.toDF(), "append") { q =>
+        mem.addData(ev); q.processAllAvailable()
+        mem.addData(StreamingOps.SessionEvent(-1L, -1L, maxT + 3 * gapMs))
+        q.processAllAvailable()
+        mem.addData(StreamingOps.SessionEvent(-1L, -2L, maxT + 4 * gapMs))
+      }
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_idx"), col("n_events"), col("dur_ms"))
+        .orderBy("user_id", "session_idx")
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS tms,
+               CASE WHEN epoch_ms(ts) -
+                    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                    > 1800000 THEN 1 ELSE 0 END AS boundary
+        FROM events),
+      sessions AS (
+        SELECT user_id, event_id, tms,
+               CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_idx
+        FROM marked)
+      SELECT user_id, session_idx, COUNT(*) AS n_events,
+             MAX(tms) - MIN(tms) AS dur_ms
+      FROM sessions WHERE user_id <= 50
+      GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""))
   )
 }
