@@ -108,6 +108,26 @@ object Q03Tune {
         .orderBy(col("n_name"))
     }
 
+    // variant: identical join tree, but the two fact-side joins hinted to
+    // SHUFFLE_HASH — skips the sort on both sides of each sort-merge join
+    // (build side must fit a partition's memory; with AQE partition sizing
+    // that holds at any scale where the hash side is the smaller fact)
+    def q05_shufflehash(): DataFrame = {
+      val r = t("region"); val n = t("nation"); val c = t("customer")
+      val o = t("orders"); val l = t("lineitem"); val su = t("supplier")
+      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(c.hint("shuffle_hash"),
+          o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .orderBy(col("n_name"))
+    }
+
     // equality check first
     val a = q03_current().collect().map(_.toSeq).toSeq
     val b = q03_preagg().collect().map(_.toSeq).toSeq
@@ -117,8 +137,11 @@ object Q03Tune {
     println(s"q05 results equal: ${a5 == b5}")
     time("q03_current", q03_current _)
     time("q03_preagg", q03_preagg _)
+    val c5 = q05_shufflehash().collect().map(_.toSeq).toSeq
+    println(s"q05 shuffle_hash equal: ${a5 == c5}")
     time("q05_current", q05_current _)
     time("q05_preagg", q05_preagg _)
+    time("q05_shufflehash", q05_shufflehash _)
     spark.stop()
   }
 }

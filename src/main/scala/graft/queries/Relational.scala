@@ -104,13 +104,20 @@ object Relational {
       GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ---- q05: TPC-H Q5 shape — 6-way join through the star schema,
-    // dims broadcast, fact-fact shuffle on orderkey
+    // dims broadcast, fact-fact shuffle on orderkey. The two shuffle joins
+    // are hinted SHUFFLE_HASH: both build sides (date-filtered orders,
+    // customer) are the strictly smaller relation, so hashing one
+    // partition of them always fits where the sort-merge sort buffers
+    // would, and skipping both sorts is measured 6.0 -> 4.4 s at sf10
+    // (Q03Tune). AQE skew-split applies to shuffled hash joins too, so
+    // the 100 TB skew story is unchanged.
     QueryDef("q05_join5_agg", (s, d) => {
       val r = t(s, d, "region"); val n = t(s, d, "nation"); val c = t(s, d, "customer")
       val o = t(s, d, "orders"); val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
+      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(c, o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
+        .join(c.hint("shuffle_hash"),
+          o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
