@@ -25,7 +25,19 @@ object TextDedup {
   private def shingles(s: SparkSession, d: String, maxDoc: Long): DataFrame =
     shinglesOf(docs(s, d).filter(col("doc_id") < maxDoc))
 
-  private[queries] def shinglesOf(df: DataFrame): DataFrame = {
+  /** Non-distinct variant for MinHash consumers (see shinglesRawOf). */
+  private def shinglesRaw(s: SparkSession, d: String, maxDoc: Long): DataFrame =
+    shinglesRawOf(docs(s, d).filter(col("doc_id") < maxDoc))
+
+  private[queries] def shinglesOf(df: DataFrame): DataFrame =
+    shinglesRawOf(df).distinct()
+
+  /** Non-distinct shingle occurrences: for duplicate-insensitive consumers
+    * (MinHash — min over a multiset equals min over its set) this skips
+    * the set-semantics `distinct()`, which is a full |shingles| exchange.
+    * Shingle rows then flow from the codegen explode straight into the
+    * partial aggregate with no shuffle before the per-doc signature. */
+  private[queries] def shinglesRawOf(df: DataFrame): DataFrame = {
     df.withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), explode(sequence(lit(1), size(col("ws")) - 2)).as("i"),
@@ -34,7 +46,6 @@ object TextDedup {
         concat_ws(" ", element_at(col("ws"), col("i")),
           element_at(col("ws"), col("i") + 1),
           element_at(col("ws"), col("i") + 2)).as("sh"))
-      .distinct()
   }
 
   // DuckDB v1.0: generate_series cannot take lateral column args in FROM,
@@ -264,7 +275,7 @@ object TextDedup {
       // one-pass K-way signatures via the custom TypedImperativeAggregate
       // (graft.functions.MinHashAgg), banded bucket join — see
       // minhashBandPairs above
-      minhashBandPairs(shingles(s, d, 200)).orderBy("ida", "idb")
+      minhashBandPairs(shinglesRaw(s, d, 200)).orderBy("ida", "idb")
     }, Some(s"""
       WITH docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       ${minhashPairsSql("docs200")}
@@ -284,7 +295,7 @@ object TextDedup {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
         .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      minhashBandPairs(shinglesOf(doc.join(keep, "doc_id")))
+      minhashBandPairs(shinglesRawOf(doc.join(keep, "doc_id")))
         .groupBy("shared_bands")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("shared_bands")
@@ -305,7 +316,7 @@ object TextDedup {
     // against a first-principles SQL fixpoint (graph04 pattern).
     QueryDef("dd09_lsh_cc_clusters", (s, d) => {
       import s.implicits._
-      val pairs = minhashBandPairs(shingles(s, d, 200))
+      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
       val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
         .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
       val cc = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
