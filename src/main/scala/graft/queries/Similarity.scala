@@ -66,19 +66,26 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
 
-    // ---- sim01: brute-force cosine top-k (k=5, 10 query vectors)
+    // ---- sim01: brute-force cosine top-k (k=5, 10 query vectors) via the
+    // bounded topk_agg aggregate (graft.functions.TopKAgg): map-side
+    // partial aggregation reduces every scan partition to <= 5 pairs per
+    // query BEFORE the exchange, so the shuffle carries 10x5 rows instead
+    // of the full |queries| x |corpus| scored set, and nothing is sorted.
+    // (The window row_number() formulation sorted all 6.4M scored rows at
+    // sf10 — same result, one wasted sort + full-width exchange.)
     QueryDef("sim01_cosine_topk", (s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-      val scored = q.join(v, col("qid") =!= col("vid"))
+      val top = q.join(v, col("qid") =!= col("vid"))
         .withColumn("cos", cosine(col("qe"), col("ve")))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("qid"), col("vid"),
-          floor(col("cos") * 10000).cast("long").as("cos_x1e4"), col("rank"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_agg(col("cos"), col("vid"), 5).as("top"))
+      top.select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("vid"),
+          floor(col("t.score") * 10000).cast("long").as("cos_x1e4"),
+          (col("pos") + 1).cast("int").as("rank"))
         .orderBy("qid", "rank")
     }, Some("""
       WITH scored AS (

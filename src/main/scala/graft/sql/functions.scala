@@ -70,4 +70,10 @@ object functions {
     * semantics — token counting as a pure scan-side map. */
   def token_stats(c: Column): Column =
     graft.functions.TokenStats.token_stats(c)
+
+  /** Bounded top-k aggregate by (score DESC, id ASC): map-side partial
+    * aggregation carries at most k pairs per group through the shuffle —
+    * the distributed brute-force ANN reducer. */
+  def topk_agg(score: Column, id: Column, k: Int): Column =
+    graft.functions.TopKAgg.topk_agg(score, id, k)
 }

@@ -200,6 +200,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("topk_agg: equals the window row_number formulation, incl. ties and merges") {
+    import org.apache.spark.sql.expressions.Window
+    // 10k rows over 7 groups, scores engineered to collide (ties broken by id),
+    // spread over 8 partitions so partial-merge paths run
+    val df = spark.range(0, 10000).repartition(8)
+      .select((col("id") % 7).as("g"), col("id").as("v"),
+        ((col("id") * 37) % 101).cast("double").as("s"))
+    val viaAgg = df.groupBy("g")
+      .agg(TopKAgg.topk_agg(col("s"), col("v"), 5).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("g"), (col("pos") + 1).as("rank"), col("t.id").as("v"), col("t.score").as("s"))
+    val w = Window.partitionBy("g").orderBy(col("s").desc, col("v"))
+    val viaWin = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("g"), col("rank").cast("long").as("rank"), col("v"), col("s"))
+    assert(viaAgg.exceptAll(viaWin).isEmpty && viaWin.exceptAll(viaAgg).isEmpty)
+    // groups smaller than k return all rows, still ordered
+    val tiny = Seq((1L, 10L, 2.0), (1L, 11L, 3.0)).toDF("g", "v", "s")
+      .groupBy("g").agg(TopKAgg.topk_agg(col("s"), col("v"), 5).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.id")).collect().map(_.getLong(0))
+    assert(tiny.toSeq == Seq(11L, 10L))
+  }
+
   test("minhash_agg: merge across partitions is elementwise min") {
     val big = spark.range(0, 10000).select((col("id") % 7).as("g"),
       ((col("id") * 2654435761L) % (1L << 28)).as("h"))
