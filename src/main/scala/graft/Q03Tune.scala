@@ -108,6 +108,21 @@ object Q03Tune {
         .orderBy(col("n_name"))
     }
 
+    // preagg + orders side hinted SHUFFLE_HASH (skip both sort passes of
+    // the lrev-orders sort-merge; lrev reuses the aggregate partitioning)
+    def q03_preagg_sh(): DataFrame = {
+      val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t("orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+      val lrev = t("lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+      lrev.join(o.hint("shuffle_hash"), col("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("l_orderkey"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }
+
     // variant: identical join tree, but the two fact-side joins hinted to
     // SHUFFLE_HASH — skips the sort on both sides of each sort-merge join
     // (build side must fit a partition's memory; with AQE partition sizing
@@ -135,8 +150,11 @@ object Q03Tune {
     val a5 = q05_current().collect().map(_.toSeq).toSeq
     val b5 = q05_preagg().collect().map(_.toSeq).toSeq
     println(s"q05 results equal: ${a5 == b5}")
+    val b2 = q03_preagg_sh().collect().map(_.toSeq).toSeq
+    println(s"q03 preagg_sh equal: ${a == b2}")
     time("q03_current", q03_current _)
     time("q03_preagg", q03_preagg _)
+    time("q03_preagg_sh", q03_preagg_sh _)
     val c5 = q05_shufflehash().collect().map(_.toSeq).toSeq
     println(s"q05 shuffle_hash equal: ${a5 == c5}")
     time("q05_current", q05_current _)
