@@ -369,17 +369,18 @@ object Relational {
              CAST(CAST(c_name AS BLOB) AS VARCHAR) AS roundtrip
       FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""")),
 
-    // ---- q23: exact + grouped count distinct — via the paged-bitmap
-    // aggregate (graft.functions.BitmapDistinct) instead of Spark's
-    // Expand+re-aggregate rewrite: both distinct columns accumulate in one
-    // single-pass ObjectHashAggregate, and the shuffle carries kilobytes of
-    // bitmap pages per group instead of one row per (group, value). Same
-    // exact semantics as COUNT(DISTINCT) (the oracle is unchanged).
+    // ---- q23: exact + grouped count distinct — written as STANDARD
+    // countDistinct; the injected optimizer rule (graft.plans
+    // .RewriteExactDistinctToBitmap) turns it into the paged-bitmap
+    // single-pass ObjectHashAggregate: no Expand, the shuffle carries
+    // kilobytes of bitmap pages per group instead of one row per
+    // (group, value), both distinct columns in ONE aggregate. Plan shape
+    // locked by PlanShapeSpec; semantics identical (oracle unchanged).
     QueryDef("q23_count_distinct", (s, d) => {
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(graft.functions.BitmapDistinct.bitmap_distinct(col("l_suppkey")).as("n_supp"),
-          graft.functions.BitmapDistinct.bitmap_distinct(col("l_partkey")).as("n_part"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"))
         .orderBy("l_returnflag")
     }, Some("""
       SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,

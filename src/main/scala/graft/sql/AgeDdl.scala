@@ -201,6 +201,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectParser((_, delegate) => new AgeDdlParser(delegate))
+    // COUNT(DISTINCT <integral>) → paged-bitmap aggregate: standard SQL
+    // gets the no-Expand plan automatically (see the rule's scaladoc)
+    extensions.injectOptimizerRule(_ => graft.plans.RewriteExactDistinctToBitmap)
     // `SELECT * FROM age_secrets()` — catalog-level table-valued function,
     // the closer `duckdb_secrets()` parity (reference FUNCTIONS.md secret
     // listing; the temp view registered by AgeFunctions remains for

@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected COUNT(DISTINCT) → bitmap rewrite: fires on integral
+  * columns (SQL and DataFrame alike), preserves semantics vs the rule
+  * switched off, leaves non-integral and filtered cases correct, and
+  * keeps the opt-out conf working. */
+class RewriteRuleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  private def withFlag[T](on: Boolean)(f: => T): T = {
+    val k = "spark.graft.rewriteExactDistinct"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, on.toString)
+    try f finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
+  test("SQL COUNT(DISTINCT integral) gets the bitmap plan, same result") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_rr")
+    val q = "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n " +
+      "FROM li_rr GROUP BY 1 ORDER BY 1"
+    val (planOn, rowsOn) = withFlag(true) {
+      val df = spark.sql(q)
+      (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+    }
+    val (planOff, rowsOff) = withFlag(false) {
+      val df = spark.sql(q)
+      (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+    }
+    assert(planOn.contains("bitmap_distinct"), "rule did not fire")
+    assert(!planOn.contains("Expand"), "Expand survived the rewrite")
+    assert(!planOff.contains("bitmap_distinct"), "opt-out conf ignored")
+    assert(rowsOn == rowsOff)
+  }
+
+  test("multi-distinct: one single-pass aggregate, no Expand, mixed with sum") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(col("l_partkey")).as("np"),
+        sum(col("l_quantity")).as("sq"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bitmap_distinct") && !plan.contains("Expand"))
+    val base = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")), countDistinct(col("l_partkey")),
+        sum(col("l_quantity")))
+    assert(withFlag(false) { base.collect().toSeq.map(_.toSeq).sortBy(_.head.toString) } ==
+      df.collect().toSeq.map(_.toSeq).sortBy(_.head.toString))
+  }
+
+  test("non-integral distinct is left alone; FILTER clause preserved") {
+    spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_rr")
+    val s1 = spark.sql(
+      "SELECT COUNT(DISTINCT o_orderstatus) AS n FROM ord_rr") // string col
+    assert(!s1.queryExecution.executedPlan.toString.contains("bitmap_distinct"))
+    assert(s1.collect()(0).getLong(0) ==
+      withFlag(false) { s1.collect()(0).getLong(0) })
+    val s2 = spark.sql(
+      "SELECT COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS n " +
+        "FROM ord_rr")
+    assert(s2.queryExecution.executedPlan.toString.contains("bitmap_distinct"))
+    val expect = withFlag(false) { spark.sql(
+      "SELECT COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F') AS n " +
+        "FROM ord_rr").collect()(0).getLong(0) }
+    assert(s2.collect()(0).getLong(0) == expect)
+  }
+}

@@ -88,6 +88,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("StateStore"), "stream01 result must come from the drained sink")
   }
 
+  test("q23 exact distinct rides the injected bitmap rewrite (no Expand)") {
+    val plan = physicalPlan("q23_count_distinct")
+    assert(plan.contains("bitmap_distinct"), "q23 lost the bitmap rewrite")
+    assert(!plan.contains("Expand"), "q23 re-grew the distinct Expand")
+  }
+
   test("tx01 token counting is a pure scan-side map (no Generate, no aggregate)") {
     val plan = physicalPlan("tx01_tokens")
     assert(plan.contains("token_stats"), "tx01 lost the native token_stats expression")
