@@ -204,6 +204,27 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // COUNT(DISTINCT <integral>) → paged-bitmap aggregate: standard SQL
     // gets the no-Expand plan automatically (see the rule's scaladoc)
     extensions.injectOptimizerRule(_ => graft.plans.RewriteExactDistinctToBitmap)
+    // native expressions reachable from pure SQL (not just the Scala DSL)
+    extensions.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[graft.functions.CosineSim].getName, "cosine_sim",
+        "cosine_sim(a, b) - codegen cosine similarity of two float/double arrays"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 2)
+          throw new graft.core.AgeInvalidInputException(
+            "cosine_sim(a, b) takes exactly 2 arguments")
+        graft.functions.CosineSim(args(0), args(1))
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[graft.functions.TokenStats].getName, "token_stats",
+        "token_stats(text) - [n_tokens, n_subwords] per row, split-on-space semantics"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 1)
+          throw new graft.core.AgeInvalidInputException(
+            "token_stats(text) takes exactly 1 argument")
+        graft.functions.TokenStats(args.head)
+      }))
     // `SELECT * FROM age_secrets()` — catalog-level table-valued function,
     // the closer `duckdb_secrets()` parity (reference FUNCTIONS.md secret
     // listing; the temp view registered by AgeFunctions remains for

@@ -1,0 +1,72 @@
+package graft.sql
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The typed Dataset[T] surface over the same data, and the injected SQL
+  * entry points for the native expressions — a library consumer can stay
+  * entirely in case classes + spark.sql if they prefer. */
+object TypedApiSpec {
+  case class Doc(doc_id: Long, text: String, lang: String, source: String,
+      n_chars: Long)
+  case class LangStat(lang: String, nDocs: Long, totalChars: Long)
+  case class Nation(n_nationkey: Int, n_name: String, n_regionkey: Int)
+  case class Region(r_regionkey: Int, r_name: String)
+}
+
+class TypedApiSpec extends AnyFunSuite {
+  import TypedApiSpec._
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("Dataset[T]: case-class encoder roundtrip + typed groupByKey/mapGroups") {
+    import spark.implicits._
+    val ds = spark.read.parquet(s"$sf/documents.parquet").as[Doc]
+    // typed filter/map run on the case class, not Row
+    val stats = ds.filter(_.n_chars > 0)
+      .groupByKey(_.lang)
+      .mapGroups { (lang, docs) =>
+        var n = 0L; var chars = 0L
+        docs.foreach { d => n += 1; chars += d.n_chars }
+        LangStat(lang, n, chars)
+      }
+      .collect().sortBy(_.lang)
+    // equals the untyped derivation
+    val untyped = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .collect().map(r => LangStat(r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_.lang)
+    assert(stats.toSeq == untyped.toSeq)
+  }
+
+  test("typed Dataset joins: joinWith yields pairs of case classes") {
+    import spark.implicits._
+    val n = spark.read.parquet(s"$sf/nation.parquet").as[Nation]
+    val r = spark.read.parquet(s"$sf/region.parquet").as[Region]
+    val pairs = n.joinWith(r, n("n_regionkey") === r("r_regionkey"))
+      .map { case (nat, reg) => (nat.n_name, reg.r_name) }
+      .collect().toMap
+    assert(pairs.size == 25 && pairs.values.toSet.size == 5)
+  }
+
+  test("injected SQL functions: cosine_sim and token_stats from pure SQL") {
+    val c = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c").collect()(0)
+    assert(math.abs(c.getDouble(0) - 1.0) < 1e-12)
+    spark.read.parquet(s"$sf/documents.parquet").createOrReplaceTempView("docs_ts")
+    val viaSql = spark.sql(
+      "SELECT doc_id, token_stats(text)[0] AS ntok FROM docs_ts ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaDsl = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSql.toSeq == viaDsl.toSeq)
+    // arity errors carry the library's message
+    val e = intercept[Exception] { spark.sql("SELECT cosine_sim(array(1.0D))") }
+    assert(e.getMessage.contains("exactly 2 arguments") ||
+      e.getCause != null && e.getCause.getMessage.contains("exactly 2 arguments"))
+  }
+}
