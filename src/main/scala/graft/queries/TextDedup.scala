@@ -596,6 +596,78 @@ object TextDedup {
       SELECT doc_id, w AS top_term, score_x1e4 FROM ranked
       WHERE rn = 1 ORDER BY doc_id""")),
 
+    // ---- tx13: bigram-fluency scoring — the LM-style quality filter
+    // shape: score each doc by how common its bigrams are in the corpus
+    // (spam/boilerplate scores low on natural-bigram frequency, gibberish
+    // scores near zero). Two shuffles: corpus bigram df (vocabulary-
+    // sized, map-side combined) and the per-doc re-join; the division is
+    // the single double op, identically ordered in both engines.
+    QueryDef("tx13_bigram_fluency", (s, d) => {
+      val bg = docs(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(sequence(lit(1), size(col("ws")) - 1)).as("i"),
+          col("ws"))
+        .select(col("doc_id"), concat_ws(" ", element_at(col("ws"), col("i")),
+          element_at(col("ws"), col("i") + 1)).as("bg"))
+      val dfx = bg.groupBy("bg").agg(count(lit(1)).as("df"))
+      bg.join(dfx, "bg")
+        .groupBy("doc_id")
+        .agg(sum(col("df")).as("sum_df"), count(lit(1)).as("n_bg"))
+        .select(col("doc_id"),
+          floor(col("sum_df").cast("double") * 100 / col("n_bg"))
+            .cast("long").as("fluency_x100"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH bg AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+              FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents
+                    WHERE len(string_split(text,' ')) >= 2))),
+      dfx AS (SELECT bg, COUNT(*) AS df FROM bg GROUP BY 1)
+      SELECT doc_id,
+             CAST(FLOOR(CAST(SUM(df) AS DOUBLE) * 100 / COUNT(*)) AS BIGINT) AS fluency_x100
+      FROM bg JOIN dfx USING (bg)
+      GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- dd11: near-dup dedup APPLIED end-to-end — the composition a
+    // production pipeline ships: MinHash-LSH pairs → connected components
+    // → drop every non-root member → surviving-corpus stats. The drop is
+    // a broadcast-able anti-join against the (tiny) non-keeper list; at
+    // 100 TB the component labels come from the same GraphX job dd09
+    // runs, and the anti-join is the only extra exchange.
+    QueryDef("dd11_neardup_dedup_apply", (s, d) => {
+      import s.implicits._
+      val doc = docs(s, d).filter(col("doc_id") < 200)
+      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
+      val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
+        .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
+      val drop = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+        .connectedComponents().vertices.toDF("doc_id", "root")
+        .filter(col("doc_id") =!= col("root")) // keep each cluster's min id
+        .select("doc_id")
+      doc.join(drop, Seq("doc_id"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      ${minhashPairsSql("docs200")},
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      dropd AS (SELECT node AS doc_id FROM
+                  (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
+                WHERE node <> root)
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents d LEFT JOIN dropd USING (doc_id)
+      WHERE d.doc_id < 200 AND dropd.doc_id IS NULL
+      GROUP BY lang ORDER BY lang""")),
+
     // ---- dd04: SimHash — 28-bit signature from word hashes, near-dup
     // pairs by hamming distance (bit_count of xor). Candidate pairs come
     // from a 5-band LSH bucket join, NOT an all-pairs cartesian: by
