@@ -751,6 +751,51 @@ object Relational {
         SELECT c_custkey, CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal_cents
         FROM customer WHERE c_nationkey = n_nationkey
         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
-      ORDER BY n_name, c.bal_cents DESC, c.c_custkey"""))
+      ORDER BY n_name, c.bal_cents DESC, c.c_custkey""")),
+
+    // ---- q41: ranking-function family — ntile/percent_rank/cume_dist
+    // over one window (completes the window surface beyond row_number/
+    // lag/last: the quantile-bucketing shape feature stores use)
+    QueryDef("q41_rank_family", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select(col("c_custkey"), col("c_nationkey").cast("int").as("nat"),
+          ntile(4).over(w).as("quartile"),
+          floor(percent_rank().over(w) * 10000).cast("long").as("pr_x1e4"),
+          floor(cume_dist().over(w) * 10000).cast("long").as("cd_x1e4"))
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, CAST(c_nationkey AS INTEGER) AS nat,
+             CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+             CAST(FLOOR(PERCENT_RANK() OVER w * 10000) AS BIGINT) AS pr_x1e4,
+             CAST(FLOOR(CUME_DIST() OVER w * 10000) AS BIGINT) AS cd_x1e4
+      FROM customer WHERE c_custkey <= 500
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey""")),
+
+    // ---- q42: RANGE-frame rolling window — events in the trailing 10
+    // minutes per user by VALUE range over event-time millis (not row
+    // count), the time-series rolling-feature shape. Numeric range frames
+    // exist in both engines; millis keep the bounds integer-exact.
+    QueryDef("q42_range_frame", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+        .rangeBetween(-600000L, 0L)
+      Tables.load(s, d, "events")
+        .filter(col("user_id") <= 20)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"))
+        .withColumn("n_10min", count(lit(1)).over(w))
+        .withColumn("sum_ids_10min", sum(col("event_id")).over(w))
+        .orderBy("user_id", "tms", "event_id")
+    }, Some("""
+      SELECT user_id, event_id, epoch_ms(ts) AS tms,
+             COUNT(*) OVER w AS n_10min,
+             CAST(SUM(event_id) OVER w AS BIGINT) AS sum_ids_10min
+      FROM events WHERE user_id <= 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                   RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, tms, event_id"""))
   )
 }
