@@ -149,6 +149,54 @@ object StreamingQueries {
       SELECT user_id, session_idx, COUNT(*) AS n_events,
              MAX(tms) - MIN(tms) AS dur_ms
       FROM sessions WHERE user_id <= 50
-      GROUP BY user_id, session_idx ORDER BY user_id, session_idx"""))
+      GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
+
+    // ---- stream04: stream-stream interval join — clicks joined to
+    // purchases of the same user within the trailing 10 minutes, both
+    // sides UNBOUNDED streams with watermarks + a time-range predicate
+    // (what bounds the join state at 100 TB/day: each side keeps only
+    // rows younger than watermark+range). An inner interval join emits
+    // each qualifying pair exactly once as both sides arrive, so the
+    // drained sink aggregated per purchase equals the batch q32 oracle
+    // verbatim. The post-sink groupBy is presentation over the (tiny)
+    // matched-pair set; the operator under test is the streaming join.
+    QueryDef("stream04_interval_join", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 300 && col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+          col("event_type"))
+      def feedOf(kind: String) = ev.filter(col("event_type") === kind)
+        .select("user_id", "event_id", "tms")
+        .as[StreamingOps.SessionEvent].collect().toSeq // bounded feed plumbing
+      val clicks = MemoryStream[StreamingOps.SessionEvent]
+      val purchases = MemoryStream[StreamingOps.SessionEvent]
+      val cs = clicks.toDF()
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("tms").as("ctms"), timestamp_millis(col("tms")).as("cts"))
+        .withWatermark("cts", "0 milliseconds")
+      val ps = purchases.toDF()
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("tms").as("ptms"), timestamp_millis(col("tms")).as("pts"))
+        .withWatermark("pts", "0 milliseconds")
+      val joined = ps.join(cs, expr(
+        """p_user = c_user AND cts >= pts - interval 10 minutes AND cts <= pts"""))
+      drain(s, joined, "append") { _ =>
+        clicks.addData(feedOf("click")); purchases.addData(feedOf("purchase"))
+      }
+        .groupBy(col("p_user").as("user_id"), col("purchase_id"))
+        .agg(count(lit(1)).as("n_clicks"), min(col("click_id")).as("first_click_id"))
+        .orderBy("purchase_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id AS purchase_id, COUNT(*) AS n_clicks,
+             MIN(c.event_id) AS first_click_id
+      FROM (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+            WHERE event_type = 'purchase' AND user_id <= 300) p
+      JOIN (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+            WHERE event_type = 'click' AND user_id <= 300) c
+        ON p.user_id = c.user_id
+       AND c.tms >= p.tms - 600000 AND c.tms <= p.tms
+      GROUP BY 1, 2 ORDER BY purchase_id"""))
   )
 }
