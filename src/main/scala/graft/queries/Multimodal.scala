@@ -88,6 +88,37 @@ object MultimodalQueries {
         FROM (SELECT doc_id, text, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
               FROM f))
       SELECT doc_id, COUNT(*) AS n_frames, COUNT(DISTINCT md5(frame)) AS n_uniq
-      FROM frames GROUP BY doc_id ORDER BY doc_id"""))
+      FROM frames GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- mm04: OVERLAPPING window chunking — 32-byte chunks at stride 16
+    // (50% overlap), the audio-feature windowing shape (frames in mm02/03
+    // are disjoint). Fan-out is (len/stride) rows per doc from one
+    // explode(sequence); chunk fingerprints hash-aggregated per doc.
+    QueryDef("mm04_overlap_chunks", (s, d) => {
+      Tables.load(s, d, "documents")
+        .withColumn("nb", length(col("text").cast("binary")))
+        .filter(col("nb") >= 32)
+        .withColumn("n_chunks", (floor((col("nb") - 32) / 16) + 1).cast("int"))
+        .select(col("doc_id"), col("n_chunks"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("ci"), col("text"))
+        .select(col("doc_id"), col("n_chunks"),
+          md5(expr("substring(text, ci*16 + 1, 32)").cast("binary")).as("fp"))
+        .groupBy("doc_id", "n_chunks")
+        .agg(countDistinct(col("fp")).as("n_uniq_chunks"),
+          min(col("fp")).as("min_fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, text,
+               CAST(FLOOR((octet_length(CAST(text AS BLOB)) - 32) / 16) + 1 AS INTEGER) AS n_chunks
+        FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 32),
+      chunks AS (
+        SELECT doc_id, n_chunks, md5(substr(text, ci*16 + 1, 32)) AS fp
+        FROM (SELECT doc_id, text, n_chunks,
+                     unnest(generate_series(0, n_chunks - 1)) AS ci
+              FROM f))
+      SELECT doc_id, n_chunks, COUNT(DISTINCT fp) AS n_uniq_chunks,
+             MIN(fp) AS min_fp
+      FROM chunks GROUP BY 1, 2 ORDER BY doc_id"""))
   )
 }

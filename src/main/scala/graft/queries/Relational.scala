@@ -796,6 +796,32 @@ object Relational {
       FROM events WHERE user_id <= 20
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
-      ORDER BY user_id, tms, event_id"""))
+      ORDER BY user_id, tms, event_id""")),
+
+    // ---- q43: UNPIVOT/melt — wide per-flag aggregates reshaped to long
+    // (metric, value) rows via stack() (Spark's unpivot primitive, one
+    // Expand over the 3-row aggregate). Oracle states the reshape
+    // engine-neutrally as UNION ALL.
+    QueryDef("q43_unpivot", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_extendedprice"))).as("price_cents"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty"),
+          count(lit(1)).as("n_rows"))
+        .selectExpr("l_returnflag",
+          "stack(3, 'price_cents', price_cents, 'qty', qty, 'n_rows', n_rows) AS (metric, value)")
+        .orderBy("l_returnflag", "metric")
+    }, Some("""
+      WITH agg AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents,
+               CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY 1)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'price_cents' AS metric, price_cents AS value FROM agg
+        UNION ALL SELECT l_returnflag, 'qty', qty FROM agg
+        UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM agg)
+      ORDER BY l_returnflag, metric"""))
   )
 }
