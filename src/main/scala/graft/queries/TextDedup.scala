@@ -596,6 +596,43 @@ object TextDedup {
       SELECT doc_id, w AS top_term, score_x1e4 FROM ranked
       WHERE rn = 1 ORDER BY doc_id""")),
 
+    // ---- dd12: shingle CONTAINMENT pairs — the asymmetric near-dup
+    // measure Jaccard misses: a short doc quoted inside a long one has
+    // low Jaccard (union is huge) but containment |A∩B|/min(|A|,|B|)
+    // near 1. Same bucketed machinery as dd02 (shared intersection join,
+    // same hot-shingle cap), different denominator.
+    QueryDef("dd12_containment_pairs", (s, d) => {
+      val sh = shingles(s, d, 120)
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDocFreq).select("sh")
+      val fsh = sh.join(keep, "sh")
+      val sz = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val a = fsh.as("a"); val b = fsh.as("b")
+      a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+        .agg(count(lit(1)).as("c"))
+        .join(sz.as("sa"), col("ida") === col("sa.doc_id"))
+        .join(sz.as("sb"), col("idb") === col("sb.doc_id"))
+        .select(col("ida"), col("idb"),
+          floor(col("c").cast("double") / least(col("sa.n"), col("sb.n")) * 10000)
+            .cast("long").as("cont_x1e4"))
+        .filter(col("cont_x1e4") >= 500)
+        .orderBy("ida", "idb")
+    }, Some(s"""
+      WITH ${shinglesSql.format(120)},
+      keep AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh)
+               WHERE df <= $maxShingleDocFreq),
+      fsh AS (SELECT doc_id, sh.sh AS sh FROM sh JOIN keep USING (sh)),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM fsh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c
+        FROM fsh a JOIN fsh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT ida, idb,
+             CAST(FLOOR(CAST(c AS DOUBLE)/LEAST(sa.n, sb.n)*10000) AS BIGINT) AS cont_x1e4
+      FROM common JOIN sz sa ON ida = sa.doc_id JOIN sz sb ON idb = sb.doc_id
+      WHERE CAST(FLOOR(CAST(c AS DOUBLE)/LEAST(sa.n, sb.n)*10000) AS BIGINT) >= 500
+      ORDER BY ida, idb""")),
+
     // ---- tx13: bigram-fluency scoring — the LM-style quality filter
     // shape: score each doc by how common its bigrams are in the corpus
     // (spam/boilerplate scores low on natural-bigram frequency, gibberish
