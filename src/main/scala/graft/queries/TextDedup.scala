@@ -74,30 +74,40 @@ object TextDedup {
     * the semantics stay a true Jaccard over the filtered shingle space. */
   val maxShingleDocFreq = 20
 
-  /** Jaccard near-dup pairs over a (doc_id, sh) shingle set — the dd02
-    * pipeline body, parameterized so tests can feed degenerate corpora.
-    * Hot shingles (doc-frequency > maxDf) are dropped before the self-join,
-    * capping fan-out at maxDf² per shingle. */
-  private[queries] def jaccardPairs(sh: DataFrame, minJacX1e4: Int,
-                                    maxDf: Int): DataFrame = {
+  /** Capped pairwise intersection counts over a (doc_id, sh) shingle
+    * set: hot shingles (doc-frequency > maxDf) are dropped before the
+    * self-join, capping fan-out at maxDf² per shingle. Returns
+    * (ida, idb, c, sa_n, sb_n) — intersection size plus both per-doc set
+    * sizes — from which Jaccard (dd02) and containment (dd12) are one
+    * projection each.
+    *
+    * The keep list is deliberately NOT broadcast: it is the LONG TAIL of
+    * the vocabulary (the df-cap only removes hot shingles), so it scales
+    * with corpus vocabulary and would OOM a broadcast at 100 TB. As a
+    * shuffle join on sh it co-partitions with the self-join below, which
+    * reuses the exchange. Shape locked by PlanShapeSpec. */
+  private[queries] def cappedPairCounts(sh: DataFrame, maxDf: Int): DataFrame = {
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("sh")
-    // Deliberately NOT broadcast: keep is the LONG TAIL of the vocabulary
-    // (the df-cap only removes hot shingles), so it scales with corpus
-    // vocabulary and would OOM a broadcast at 100 TB. As a shuffle join on
-    // sh it co-partitions with the self-join below, which reuses the
-    // exchange. Shape locked by PlanShapeSpec.
     val fsh = sh.join(keep, "sh")
     val sz = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = fsh.as("a"); val b = fsh.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .agg(count(lit(1)).as("c"))
-    common
       .join(sz.as("sa"), col("ida") === col("sa.doc_id"))
       .join(sz.as("sb"), col("idb") === col("sb.doc_id"))
+      .select(col("ida"), col("idb"), col("c"),
+        col("sa.n").as("sa_n"), col("sb.n").as("sb_n"))
+  }
+
+  /** Jaccard near-dup pairs — the dd02 pipeline body, parameterized so
+    * tests can feed degenerate corpora. */
+  private[queries] def jaccardPairs(sh: DataFrame, minJacX1e4: Int,
+                                    maxDf: Int): DataFrame = {
+    cappedPairCounts(sh, maxDf)
       .select(col("ida"), col("idb"),
-        floor(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")) * 10000)
+        floor(col("c").cast("double") / (col("sa_n") + col("sb_n") - col("c")) * 10000)
           .cast("long").as("jac_x1e4"))
       .filter(col("jac_x1e4") >= minJacX1e4)
       .orderBy("ida", "idb")
@@ -602,19 +612,9 @@ object TextDedup {
     // near 1. Same bucketed machinery as dd02 (shared intersection join,
     // same hot-shingle cap), different denominator.
     QueryDef("dd12_containment_pairs", (s, d) => {
-      val sh = shingles(s, d, 120)
-      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxShingleDocFreq).select("sh")
-      val fsh = sh.join(keep, "sh")
-      val sz = fsh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val a = fsh.as("a"); val b = fsh.as("b")
-      a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-        .agg(count(lit(1)).as("c"))
-        .join(sz.as("sa"), col("ida") === col("sa.doc_id"))
-        .join(sz.as("sb"), col("idb") === col("sb.doc_id"))
+      cappedPairCounts(shingles(s, d, 120), maxShingleDocFreq)
         .select(col("ida"), col("idb"),
-          floor(col("c").cast("double") / least(col("sa.n"), col("sb.n")) * 10000)
+          floor(col("c").cast("double") / least(col("sa_n"), col("sb_n")) * 10000)
             .cast("long").as("cont_x1e4"))
         .filter(col("cont_x1e4") >= 500)
         .orderBy("ida", "idb")
