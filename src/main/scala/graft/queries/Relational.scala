@@ -184,14 +184,20 @@ object Relational {
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
       FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey""")),
 
-    // ---- q09/q10: set operations
+    // ---- q09/q10: set operations. The EXCEPT sides are acctbal-filtered
+    // (>9500) so the difference is genuinely non-empty at sf0.01 (21 rows)
+    // — every nation has both customers and suppliers, so the unfiltered
+    // version returns 0 rows and a 0=0 hash proves only schema (VERDICT r4
+    // finding 1).
     QueryDef("q09_setops_except", (s, d) => {
-      val c = t(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
-      val su = t(s, d, "supplier").select(col("s_nationkey").as("k")).distinct()
+      val c = t(s, d, "customer").filter(col("c_acctbal") > 9500)
+        .select(col("c_nationkey").as("k")).distinct()
+      val su = t(s, d, "supplier").filter(col("s_acctbal") > 9500)
+        .select(col("s_nationkey").as("k")).distinct()
       c.except(su).orderBy("k")
     }, Some("""
-      SELECT DISTINCT c_nationkey AS k FROM customer
-      EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier ORDER BY k""")),
+      SELECT DISTINCT c_nationkey AS k FROM customer WHERE c_acctbal > 9500
+      EXCEPT SELECT DISTINCT s_nationkey AS k FROM supplier WHERE s_acctbal > 9500 ORDER BY k""")),
 
     QueryDef("q10_setops_intersect", (s, d) => {
       val c = t(s, d, "customer").select(col("c_nationkey").as("k")).distinct()
@@ -300,17 +306,22 @@ object Relational {
       SELECT n_regionkey, array_to_string(list_sort(array_agg(n_name)), ',') AS nations
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")),
 
-    // ---- q18: anti join (NOT EXISTS)
+    // ---- q18: anti join (NOT EXISTS). Orders are date-filtered (>= 1998)
+    // so some customers genuinely lack matches: every customer has SOME
+    // order in the generator, so the unfiltered anti join returned 0 rows
+    // — trivially green (VERDICT r4 finding 1). 8 customers at sf0.01.
     QueryDef("q18_anti_join", (s, d) => {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_without_orders"))
         .orderBy("c_nationkey")
     }, Some("""
       SELECT c_nationkey, COUNT(*) AS n_without_orders
-      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
       GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
     // ---- q19: left outer join with zero-count preservation
@@ -538,11 +549,25 @@ object Relational {
       GROUP BY user_id, session_idx ORDER BY user_id, session_idx""")),
 
     // ---- q25: tumbling-window aggregation over the event stream (batch
-    // equivalent of the Structured Streaming pipeline in graft.streaming)
+    // equivalent of the Structured Streaming pipeline in graft.streaming).
+    // The hour bucket is computed on the RAW nanos long (one integer div
+    // per row) and materialized as a timestamp only on the ~hundreds of
+    // aggregated group keys — skipping the per-row nanos→micros
+    // normalization + date_trunc chain that made this the one >2× sf10
+    // line with an obvious fix (VERDICT r4 perf audit). Events timestamps
+    // are post-1970 so the floor div equals date_trunc('hour').
     QueryDef("q25_events_hourly", (s, d) => {
-      Tables.load(s, d, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val bucketed =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.groupBy(expr("ts div 3600000000000").as("hb"), col("event_type"))
+        else // ts already a timestamp (non-nanos writer) — same buckets
+          Tables.load(s, d, "events")
+            .groupBy(expr("unix_micros(ts) div 3600000000").as("hb"), col("event_type"))
+      bucketed
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(timestamp_micros(col("hb") * lit(3600000000L)).as("hour"),
+          col("event_type"), col("n"), col("value_cents"))
         .orderBy("hour", "event_type")
     }, Some("""
       SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,

@@ -345,16 +345,19 @@ object Similarity {
     // oracle SQL builds the SAME banded candidates (integer-exact), so the
     // gate verifies the banding logic in both engines. Recall vs the exact
     // baseline (dd06) is measured in OpsSpec — near-identical vectors agree
-    // on all bands, and a cos>=0.9 pair splits all 4 bands with prob
-    // (1-p^4)^4 ≈ 4.5e-2 at p = 1 - 25.8°/180° (per-plane agreement).
+    // Threshold 0.40 / slice 500: the synthetic embeddings are
+    // near-orthogonal (corpus max cosine 0.51 at sf0.01), so the original
+    // 0.9 threshold returned ZERO rows and the oracle proved only schema
+    // (VERDICT r4 finding 1) — 0.40 yields 59 exact pairs (dd06) of which
+    // 35 survive the banding here, a real recall measurement.
     QueryDef("dd05_embed_neardup", (s, d) => {
-      val e = emb(s, d).filter(col("vec_id") < 200)
+      val e = emb(s, d).filter(col("vec_id") < 500)
       val cand = lshCandidatePairs(s, e)
       val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
       cand.join(a, "ida").join(b, "idb")
         .withColumn("cos", cosine(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.9)
+        .filter(col("cos") >= 0.4)
         .select(col("ida"), col("idb"), floor(col("cos") * 10000).cast("long").as("cos_x1e4"))
         .orderBy("ida", "idb")
     }, Some("""
@@ -364,7 +367,7 @@ object Similarity {
         FROM generate_series(0, 15) tp(p), generate_series(1, 64) td(dim)),
       flat AS (
         SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
-        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 200),
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 500),
       proj AS (
         SELECT vec_id, p, CAST(SUM(xq*w) AS BIGINT) AS proj
         FROM flat JOIN planes USING (dim) GROUP BY vec_id, p),
@@ -379,29 +382,29 @@ object Similarity {
       SELECT ida, idb,
              CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])*10000) AS BIGINT) AS cos_x1e4
       FROM cand JOIN embeddings a ON a.vec_id = ida JOIN embeddings b ON b.vec_id = idb
-      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+      WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       ORDER BY ida, idb""")),
 
     // ---- dd06: the exact all-pairs baseline dd05's recall is measured
-    // against — deliberately BOUNDED (vec_id < 200, ~20k pairs): this is
+    // against — deliberately BOUNDED (vec_id < 500, ~125k pairs): this is
     // the oracle-checked ground truth, not a scale path. At 100 TB only
     // the LSH version (dd05) runs; this one exists so recall is a measured
     // number instead of a claim.
     QueryDef("dd06_neardup_exact200", (s, d) => {
-      val e = emb(s, d).filter(col("vec_id") < 200)
+      val e = emb(s, d).filter(col("vec_id") < 500)
       val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
       a.join(b, col("ida") < col("idb"))
         .withColumn("cos", cosine(col("ea"), col("eb")))
-        .filter(col("cos") >= 0.9)
+        .filter(col("cos") >= 0.4)
         .select(col("ida"), col("idb"), floor(col("cos") * 10000).cast("long").as("cos_x1e4"))
         .orderBy("ida", "idb")
     }, Some("""
       SELECT a.vec_id AS ida, b.vec_id AS idb,
              CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])*10000) AS BIGINT) AS cos_x1e4
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.vec_id < 200 AND b.vec_id < 200
-        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+      WHERE a.vec_id < 500 AND b.vec_id < 500
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
       ORDER BY ida, idb""")),
 
     // ---- sim06: semantic dedup — the embedding-space analogue of dd09:

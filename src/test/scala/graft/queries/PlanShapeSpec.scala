@@ -22,7 +22,7 @@ class PlanShapeSpec extends AnyFunSuite {
   //   q14  — 5x5 region cross join (demonstration query)
   //   sim01 — 10 bounded query vectors vs corpus (labeled exact baseline)
   //   sim03 — 8-centroid broadcast codebook assignment
-  //   dd06 — bounded (vec_id < 200) exact ground truth for dd05 recall
+  //   dd06 — bounded (vec_id < 500) exact ground truth for dd05 recall
   //   sim06 — 4-centroid broadcast codebook assignment (sim03 shape)
   //   tx12 — corpus-size N (single aggregated row) broadcast into scoring;
   //          the constant join key folds away, leaving a 1-row nested loop
