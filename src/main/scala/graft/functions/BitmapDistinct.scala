@@ -43,11 +43,12 @@ case class BitmapDistinct(
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      // DateType rides along: int32 days internally, a dense domain
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"bitmap_distinct expects an integral column, got ${t.catalogString}")
+          s"bitmap_distinct expects an integral or date column, got ${t.catalogString}")
     }
 
   override def createAggregationBuffer(): scala.collection.mutable.LongMap[Array[Long]] =

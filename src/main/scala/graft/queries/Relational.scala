@@ -847,6 +847,28 @@ object Relational {
         SELECT l_returnflag, 'price_cents' AS metric, price_cents AS value FROM agg
         UNION ALL SELECT l_returnflag, 'qty', qty FROM agg
         UNION ALL SELECT l_returnflag, 'n_rows', n_rows FROM agg)
-      ORDER BY l_returnflag, metric"""))
+      ORDER BY l_returnflag, metric""")),
+
+    // ---- q44: MIXED exact distinct — integral, DATE, and string distinct
+    // counts in ONE aggregate. The injected bitmap rule rewrites the
+    // integral and date distincts to single-pass bitmap aggregates; the
+    // string distinct is the only remaining distinct group, which Spark
+    // plans without an Expand (planAggregateWithOneDistinct). So standard
+    // SQL with three distinct types costs zero Expands — with the rule
+    // off, this plan duplicates every lineitem row 3× through an Expand.
+    // Plan shape locked in RewriteRuleSpec + PlanShapeSpec.
+    QueryDef("q44_mixed_distinct", (s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_shipdate").cast("date")).as("n_days"),
+          countDistinct(col("l_linestatus")).as("n_status"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS n_days,
+             COUNT(DISTINCT l_linestatus) AS n_status, COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -56,6 +56,39 @@ class RewriteRuleSpec extends AnyFunSuite {
       df.collect().toSeq.map(_.toSeq).sortBy(_.head.toString))
   }
 
+  test("mixed integral + string distinct: integral rides bitmap, NO Expand") {
+    // VERDICT r4 ask 6: with the rule off, two distinct groups (int +
+    // string) plan an Expand duplicating every input row; with the rule
+    // on, the integral becomes a bitmap regular-aggregate, exactly one
+    // distinct group (the string) remains, and Spark plans that WITHOUT
+    // an Expand — so the whole mixed aggregate is Expand-free.
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_mx")
+    val q = "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS ni, " +
+      "COUNT(DISTINCT l_linestatus) AS ns, COUNT(*) AS n " +
+      "FROM li_mx GROUP BY 1 ORDER BY 1"
+    val (planOn, rowsOn) = withFlag(true) {
+      val df = spark.sql(q)
+      (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+    }
+    val (planOff, rowsOff) = withFlag(false) {
+      val df = spark.sql(q)
+      (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+    }
+    assert(planOn.contains("bitmap_distinct"), "integral did not ride the bitmap")
+    assert(!planOn.contains("Expand"), "mixed aggregate still plans an Expand")
+    assert(planOff.contains("Expand"), "baseline should Expand (2 distinct groups)")
+    assert(rowsOn == rowsOff)
+  }
+
+  test("DATE distinct rides the bitmap (dense int32 days)") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_dt")
+    val q = "SELECT COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS nd FROM li_dt"
+    val df = spark.sql(q)
+    assert(df.queryExecution.executedPlan.toString.contains("bitmap_distinct"))
+    assert(df.collect()(0).getLong(0) ==
+      withFlag(false) { spark.sql(q).collect()(0).getLong(0) })
+  }
+
   test("non-integral distinct is left alone; FILTER clause preserved") {
     spark.read.parquet(s"$sf/orders.parquet").createOrReplaceTempView("ord_rr")
     val s1 = spark.sql(

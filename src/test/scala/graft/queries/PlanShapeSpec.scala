@@ -94,6 +94,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), "q23 re-grew the distinct Expand")
   }
 
+  test("q44 mixed distinct: integral+date ride the bitmap, string stays, no Expand") {
+    val plan = physicalPlan("q44_mixed_distinct")
+    assert(plan.contains("bitmap_distinct"), "q44 lost the bitmap rewrite")
+    assert(!plan.contains("Expand"),
+      "q44 planned an Expand — the single remaining distinct group (string) " +
+        "should plan via planAggregateWithOneDistinct")
+  }
+
   test("tx01 token counting is a pure scan-side map (no Generate, no aggregate)") {
     val plan = physicalPlan("tx01_tokens")
     assert(plan.contains("token_stats"), "tx01 lost the native token_stats expression")
