@@ -446,6 +446,41 @@ object Similarity {
                   FROM (SELECT cid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY cid
                           ORDER BY cos DESC, vec_id) AS kr FROM assign) WHERE kr = 1)
       SELECT k.cid, keeper, keeper_cos_x1e4, n_members
-      FROM keepers k JOIN counts USING (cid) ORDER BY cid"""))
+      FROM keepers k JOIN counts USING (cid) ORDER BY cid""")),
+
+    // ---- sim07: brute-force cosine top-k through the CUSTOM PHYSICAL
+    // OPERATOR (graft.plans.TopKPerGroup — logical node + injected planner
+    // strategy + partial/final bounded-heap SparkPlan pair). Same result
+    // contract as sim01, which rides the topk_agg aggregate: this is the
+    // whole-operator tier of the §4.2 ladder, so the gate proves BOTH
+    // custom tiers compute the same truth. The exchange carries ≤ k rows
+    // per (group, partition) and no sort runs anywhere — plan shape
+    // (PartialTopKPerGroup → Exchange → TopKPerGroup) locked in
+    // PlanShapeSpec.
+    QueryDef("sim07_topk_operator", (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val scored = q.join(v, col("qid") =!= col("vid"))
+        .withColumn("cos", cosine(col("qe"), col("ve")))
+        .select(col("qid"), col("vid"), col("cos"))
+      graft.plans.TopKPerGroup.topKPerGroup(scored,
+          groups = Seq(col("qid")),
+          order = Seq(col("cos").desc, col("vid").asc), k = 5)
+        .select(col("qid"), col("vid"),
+          floor(col("cos") * 10000).cast("long").as("cos_x1e4"))
+        .orderBy(col("qid"), col("cos_x1e4").desc, col("vid"))
+    }, Some("""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, v.vec_id AS vid,
+               list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cos
+        FROM embeddings q JOIN embeddings v ON q.vec_id < 10 AND q.vec_id <> v.vec_id),
+      ranked AS (
+        SELECT qid, vid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        FROM scored)
+      SELECT qid, vid, CAST(FLOOR(cos*10000) AS BIGINT) AS cos_x1e4
+      FROM ranked WHERE rank <= 5 ORDER BY qid, cos_x1e4 DESC, vid"""))
   )
 }

@@ -197,6 +197,33 @@ object StreamingQueries {
             WHERE event_type = 'click' AND user_id <= 300) c
         ON p.user_id = c.user_id
        AND c.tms >= p.tms - 600000 AND c.tms <= p.tms
-      GROUP BY 1, 2 ORDER BY purchase_id"""))
+      GROUP BY 1, 2 ORDER BY purchase_id""")),
+
+    // ---- stream05: streaming exact dedup (dropDuplicatesWithinWatermark,
+    // the streaming twin of dd01) — the corpus is fed TWICE (second copy
+    // 1 min later, well inside the 1 h watermark delay), so the operator
+    // must suppress one full corpus of duplicates to match the DISTINCT
+    // oracle. Output is the fingerprint set only: which physical row
+    // survives per fp is arrival-order-dependent in any streaming dedup,
+    // but the SET of fingerprints is deterministic and hashable. State is
+    // bounded by delay × rate (dedupStream doc), not corpus size.
+    QueryDef("stream05_exact_dedup", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded feed plumbing, not the operator
+        .map(r => (r.getLong(0), r.getString(1)))
+      val feed = docs.map { case (id, tx) =>
+        StreamingOps.DocEvent(id, tx, new java.sql.Timestamp(60000L + id))
+      } ++ docs.map { case (id, tx) => // duplicate copy, +1 min event time
+        StreamingOps.DocEvent(id, tx, new java.sql.Timestamp(120000L + id))
+      }
+      val mem = MemoryStream[StreamingOps.DocEvent]
+      val out = StreamingOps.dedupStream(mem.toDF())
+      drain(s, out, "append") { _ => mem.addData(feed.toSeq) }
+        .select(col("fp"))
+        .orderBy("fp")
+    }, Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"))
   )
 }

@@ -204,6 +204,9 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     // COUNT(DISTINCT <integral>) → paged-bitmap aggregate: standard SQL
     // gets the no-Expand plan automatically (see the rule's scaladoc)
     extensions.injectOptimizerRule(_ => graft.plans.RewriteExactDistinctToBitmap)
+    // whole-operator tier: logical TopKPerGroup → partial/final bounded-heap
+    // physical pair (see graft.plans.TopKPerGroup scaladoc)
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     // native expressions reachable from pure SQL (not just the Scala DSL)
     extensions.injectFunction((
       FunctionIdentifier("cosine_sim"),

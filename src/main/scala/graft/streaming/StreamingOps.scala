@@ -109,6 +109,9 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Feed record for [[dedupStream]]'s gate query (stream05). */
+  final case class DocEvent(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
   // ---- streaming LSH near-duplicate detection (streaming twin of dd05) ----
 
   final case class VecEvent(vec_id: Long, tms: Long, embedding: Array[Float])

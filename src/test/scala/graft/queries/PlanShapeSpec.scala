@@ -30,7 +30,8 @@ class PlanShapeSpec extends AnyFunSuite {
   private val intendedUnbounded = Set(
     "q14_crossjoin_regions", "sim01_cosine_topk", "sim03_ann_ivf",
     "sim06_semantic_dedup", "tx12_tfidf_top_term", "dd06_neardup_exact200",
-    "age04_roundtrip_multi", "age11_key_rotation")
+    "age04_roundtrip_multi", "age11_key_rotation",
+    "sim07_topk_operator") // sim01's shape through the custom physical operator
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -92,6 +93,13 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = physicalPlan("q23_count_distinct")
     assert(plan.contains("bitmap_distinct"), "q23 lost the bitmap rewrite")
     assert(!plan.contains("Expand"), "q23 re-grew the distinct Expand")
+  }
+
+  test("sim07 rides the custom physical operator: partial prune, exchange, final, no sort before topk") {
+    val plan = physicalPlan("sim07_topk_operator")
+    assert(plan.contains("PartialTopKPerGroup"), "sim07 lost the map-side k-heap prune")
+    assert("(?<!Partial)TopKPerGroup".r.findFirstIn(plan).isDefined, "sim07 lost the final phase")
+    assert(plan.contains("Exchange"), "sim07 lost the partial/final exchange")
   }
 
   test("q44 mixed distinct: integral+date ride the bitmap, string stays, no Expand") {
