@@ -102,6 +102,16 @@ final case class TopKPerGroupExec(
     val orderLocal = order
     val outputLocal = output
     val kLocal = k
+    // Memory bound: each phase holds one ≤k heap per distinct group key seen
+    // in its partition. The FINAL phase is bounded by groups-per-hash-
+    // partition — the same bound ObjectHashAggregate carries, and it must
+    // see each group whole, so it never flushes. The PARTIAL phase sees raw
+    // input partitions, where a high-cardinality group column could grow
+    // the map without limit — so it flushes (emits and clears) whenever it
+    // holds `flushAt` groups. Safe: a flushed group that reappears later in
+    // the partition just sends ≤k extra rows into the exchange, and the
+    // final phase re-prunes to the true top k.
+    val flushAt = if (partial) TopKPerGroupExec.PartialFlushGroups else Int.MaxValue
     child.execute().mapPartitions(preservesPartitioning = true, f = { iter =>
       val keyProj = UnsafeProjection.create(groupExprsLocal, outputLocal)
       // "less" = better (earlier in sort order); PriorityQueue dequeues the
@@ -109,20 +119,45 @@ final case class TopKPerGroupExec(
       val better = RowOrdering.create(orderLocal, outputLocal)
       val heaps = scala.collection.mutable.HashMap.empty[
         UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val heap = heaps.getOrElseUpdate(
-          keyProj(row).copy(),
-          scala.collection.mutable.PriorityQueue.empty[InternalRow](better))
-        if (heap.size < kLocal) heap.enqueue(row.copy())
-        else if (better.compare(row, heap.head) < 0) { // beats current worst
-          heap.dequeue(); heap.enqueue(row.copy())
+      new Iterator[InternalRow] {
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private def pump(): Unit = {
+          while (!out.hasNext && (iter.hasNext || heaps.nonEmpty)) {
+            while (iter.hasNext && heaps.size < flushAt) {
+              val row = iter.next()
+              // keyProj reuses one output row — copy the key only when it
+              // is actually inserted, not on every probe.
+              val key = keyProj(row)
+              heaps.get(key) match {
+                case Some(heap) =>
+                  if (heap.size < kLocal) heap.enqueue(row.copy())
+                  else if (better.compare(row, heap.head) < 0) { // beats worst
+                    heap.dequeue(); heap.enqueue(row.copy())
+                  }
+                case None =>
+                  val heap =
+                    scala.collection.mutable.PriorityQueue.empty[InternalRow](better)
+                  heap.enqueue(row.copy())
+                  heaps.put(key.copy(), heap)
+              }
+            }
+            out = heaps.valuesIterator.flatMap(_.iterator).toArray.iterator
+            heaps.clear()
+          }
         }
+        override def hasNext: Boolean = { pump(); out.hasNext }
+        override def next(): InternalRow = { pump(); out.next() }
       }
-      heaps.valuesIterator.flatMap(_.iterator)
     })
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Partial-phase flush threshold, in distinct groups held at once. At the
+    * default 128k groups × k=10 × ~100 B rows the in-flight bound is ~128 MB
+    * per task — comparable to a hash aggregate's fallback threshold. */
+  val PartialFlushGroups: Int = 1 << 17
 }

@@ -30,6 +30,19 @@ object Tables {
   private val loadCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Read one testdata table exactly as parquet presents it — no column
+    * normalization. The one consumer that wants the raw shape is q25, which
+    * buckets hours on the raw nanos long; everything else goes through
+    * [[load]]. Cached like [[load]] so the footer/schema read happens once,
+    * and so the nanos-vs-timestamp sniff has a single source of truth. */
+  def loadRaw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (loadCache.size > 128) // drop entries pinned by stopped test sessions
+      loadCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    loadCache.computeIfAbsent((spark, dir, "raw:" + name), { _ =>
+      spark.read.parquet(s"$dir/$name.parquet")
+    })
+  }
+
   /** Read one testdata table. `events.ts` is TIMESTAMP(NANOS) parquet,
     * which Spark 4 only reads as Long via the legacy flag — normalize it
     * back to a (microsecond) timestamp here so queries see a real ts. */
@@ -37,7 +50,7 @@ object Tables {
     if (loadCache.size > 128) // drop entries pinned by stopped test sessions
       loadCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     loadCache.computeIfAbsent((spark, dir, name), { _ =>
-      val df = spark.read.parquet(s"$dir/$name.parquet")
+      val df = loadRaw(spark, dir, name)
       if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
         // integer div, not `/`: double division of ~1.7e18 ns loses ULPs and
         // can flip a microsecond (caught by the q27 oracle at row 3167)

@@ -557,7 +557,7 @@ object Relational {
     // line with an obvious fix (VERDICT r4 perf audit). Events timestamps
     // are post-1970 so the floor div equals date_trunc('hour').
     QueryDef("q25_events_hourly", (s, d) => {
-      val raw = s.read.parquet(s"$d/events.parquet")
+      val raw = Tables.loadRaw(s, d, "events")
       val bucketed =
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.groupBy(expr("ts div 3600000000000").as("hb"), col("event_type"))

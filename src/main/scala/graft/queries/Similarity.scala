@@ -462,25 +462,30 @@ object Similarity {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      // Rank on the INTEGER-quantized score (floor(cos*1e4) desc, vid) on
+      // both sides, so top-5 membership at the rank-5 boundary is integer-
+      // exact rather than resting on raw-double agreement (ADVICE r7; the
+      // banding queries' selection pattern).
       val scored = q.join(v, col("qid") =!= col("vid"))
-        .withColumn("cos", cosine(col("qe"), col("ve")))
-        .select(col("qid"), col("vid"), col("cos"))
+        .withColumn("cos_x1e4",
+          floor(cosine(col("qe"), col("ve")) * 10000).cast("long"))
+        .select(col("qid"), col("vid"), col("cos_x1e4"))
       graft.plans.TopKPerGroup.topKPerGroup(scored,
           groups = Seq(col("qid")),
-          order = Seq(col("cos").desc, col("vid").asc), k = 5)
-        .select(col("qid"), col("vid"),
-          floor(col("cos") * 10000).cast("long").as("cos_x1e4"))
+          order = Seq(col("cos_x1e4").desc, col("vid").asc), k = 5)
         .orderBy(col("qid"), col("cos_x1e4").desc, col("vid"))
     }, Some("""
       WITH scored AS (
         SELECT q.vec_id AS qid, v.vec_id AS vid,
-               list_cosine_similarity(q.embedding::DOUBLE[], v.embedding::DOUBLE[]) AS cos
+               CAST(FLOOR(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 v.embedding::DOUBLE[])*10000) AS BIGINT)
+                 AS cos_x1e4
         FROM embeddings q JOIN embeddings v ON q.vec_id < 10 AND q.vec_id <> v.vec_id),
       ranked AS (
-        SELECT qid, vid, cos,
-               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+        SELECT qid, vid, cos_x1e4,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vid) AS rank
         FROM scored)
-      SELECT qid, vid, CAST(FLOOR(cos*10000) AS BIGINT) AS cos_x1e4
+      SELECT qid, vid, cos_x1e4
       FROM ranked WHERE rank <= 5 ORDER BY qid, cos_x1e4 DESC, vid"""))
   )
 }

@@ -67,4 +67,22 @@ class TopKPerGroupSpec extends AnyFunSuite {
     val df = Seq.empty[Scored].toDF()
     assert(viaOperator(df, 3).isEmpty)
   }
+
+  test("partial phase flushes past the group threshold without losing rows") {
+    // One input partition with 2× PartialFlushGroups distinct groups, each
+    // appearing twice — once before the flush point, once after — so the
+    // flush path AND the group-reappears-after-flush path both execute.
+    // k=1 with score asc keeps the smaller id (= g) for every group.
+    val groups = TopKPerGroupExec.PartialFlushGroups * 2
+    val df = spark.range(groups * 2L).toDF("id")
+      .select((col("id") % groups).as("g"), col("id"))
+      .coalesce(1)
+    val kept = TopKPerGroup.topKPerGroup(df,
+        groups = Seq(col("g")), order = Seq(col("id").asc), k = 1)
+      .agg(count(lit(1)), sum(col("id")))
+      .collect()(0)
+    assert(kept.getLong(0) == groups.toLong, "one row per group")
+    assert(kept.getLong(1) == groups.toLong * (groups - 1) / 2,
+      "kept row of group g must be id=g (the pre-flush minimum)")
+  }
 }
