@@ -49,14 +49,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (loadCache.size > 128) // drop entries pinned by stopped test sessions
       loadCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    loadCache.computeIfAbsent((spark, dir, name), { _ =>
+    // NOT inside a computeIfAbsent: loadRaw uses the same map, and a nested
+    // computeIfAbsent on one ConcurrentHashMap throws "Recursive update"
+    // whenever the two keys land in the same bin.
+    val cached = loadCache.get((spark, dir, name))
+    if (cached != null) cached
+    else {
       val df = loadRaw(spark, dir, name)
-      if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        // integer div, not `/`: double division of ~1.7e18 ns loses ULPs and
-        // can flip a microsecond (caught by the q27 oracle at row 3167)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
-    })
+      val normalized =
+        if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          // integer div, not `/`: double division of ~1.7e18 ns loses ULPs and
+          // can flip a microsecond (caught by the q27 oracle at row 3167)
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else df
+      loadCache.putIfAbsent((spark, dir, name), normalized)
+      loadCache.get((spark, dir, name))
+    }
   }
 
   /** Register all tables as temp views (idempotent). */

@@ -561,9 +561,11 @@ object Relational {
       val bucketed =
         if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.groupBy(expr("ts div 3600000000000").as("hb"), col("event_type"))
-        else // ts already a timestamp (non-nanos writer) — same buckets
+        else // ts already a timestamp (non-nanos writer; may be NTZ) — same
+          // buckets. Sessions run UTC, so the NTZ→TZ cast is the identity.
           Tables.load(s, d, "events")
-            .groupBy(expr("unix_micros(ts) div 3600000000").as("hb"), col("event_type"))
+            .groupBy(expr("unix_micros(cast(ts as timestamp)) div 3600000000").as("hb"),
+              col("event_type"))
       bucketed
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
         .select(timestamp_micros(col("hb") * lit(3600000000L)).as("hour"),
