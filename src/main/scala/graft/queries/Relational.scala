@@ -871,6 +871,56 @@ object Relational {
       SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
              COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS n_days,
              COUNT(DISTINCT l_linestatus) AS n_status, COUNT(*) AS n_rows
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q45: RECURSIVE CTE (Spark 4's UnionLoop) — an 84-month calendar
+    // generated by recursion, LEFT JOINed to per-month order aggregates so
+    // months with no orders survive with zeros. Integer-only recursion
+    // arithmetic (FLOOR div, %) keeps both engines bit-identical; the
+    // recursion itself is driver-cheap (84 iterations of a 1-row step)
+    // while the joined aggregate stays a distributed hash aggregate — the
+    // shape that matters at scale is unchanged.
+    QueryDef("q45_recursive_cte", (s, d) => {
+      Tables.registerViews(s, d)
+      s.sql("""
+        WITH RECURSIVE months(i) AS (
+          SELECT 0 UNION ALL SELECT i + 1 FROM months WHERE i < 83
+        ),
+        cal AS (
+          SELECT 1992 + CAST(FLOOR(i / 12) AS INT) AS y, 1 + i % 12 AS mo
+          FROM months
+        ),
+        omo AS (
+          SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS mo,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+          FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(c.y AS BIGINT) AS y, CAST(c.mo AS BIGINT) AS mo,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(total_cents, 0) AS total_cents
+        FROM cal c LEFT JOIN omo ON c.y = omo.y AND c.mo = omo.mo
+        ORDER BY y, mo""")
+    }, Some("""
+      WITH RECURSIVE months(i) AS (
+        SELECT 0 UNION ALL SELECT i + 1 FROM months WHERE i < 83
+      ),
+      cal AS (
+        SELECT 1992 + CAST(FLOOR(i / 12) AS INT) AS y, 1 + i % 12 AS mo
+        FROM months
+      ),
+      omo AS (
+        SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS mo,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders GROUP BY 1, 2
+      )
+      SELECT CAST(c.y AS BIGINT) AS y, CAST(c.mo AS BIGINT) AS mo,
+             COALESCE(n_orders, 0) AS n_orders,
+             COALESCE(total_cents, 0) AS total_cents
+      FROM cal c LEFT JOIN omo ON c.y = omo.y AND c.mo = omo.mo
+      ORDER BY y, mo"""))
   )
 }

@@ -385,6 +385,60 @@ object TextDedup {
       FROM tsh t JOIN bsh b ON t.sh = b.sh
       GROUP BY 1 ORDER BY doc_id""")),
 
+    // ---- dd13: BLOOM-PRUNED decontamination — dd10's contamination
+    // semantics (any shared 3-shingle with the benchmark slice), but the
+    // shape that wins when the training corpus is 100 TB and the benchmark
+    // is not: the benchmark shingle set collapses to a ~1 MB bloom filter
+    // (one tiny all-to-one aggregate), every training shingle probes the
+    // broadcast bloom at scan time, and ONLY the might_contain survivors
+    // enter the shuffle join — the exact-confirm semi-join then discards
+    // bloom false positives, so the result is exactly dd10's doc set, while
+    // the big exchange carries the contaminated sliver instead of every
+    // shingle in the corpus. (Catalyst's own InjectRuntimeFilter builds
+    // this plan for selective joins; here it is explicit and unconditional
+    // because the pruning side is known small by construction.)
+    QueryDef("dd13_bloom_decontaminate", (s, d) => {
+      import org.apache.spark.sql.GraftShims
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      val doc = docs(s, d)
+      val bucket = h28(col("doc_id").cast("string")) % 20
+      val bsh = shinglesOf(doc.filter(bucket === 0)).select("sh").distinct()
+      val tsh = shinglesOf(doc.filter(bucket =!= 0))
+      // ~1.2 MB bloom: 10M bits for ≤500k benchmark shingles (~2% fp at
+      // capacity; fp rate only costs confirm-join traffic, never accuracy)
+      val bf = bsh.agg(GraftShims.columnOf(new BloomFilterAggregate(
+          GraftShims.catalystExpressionOf(s, xxhash64(col("sh"))),
+          Literal(500000L), Literal(10L * 1000 * 1000)).toAggregateExpression())
+        .as("bf"))
+      // might_contain demands a constant or scalar-subquery bloom (the
+      // runtime-filter contract): the one-row aggregate rides in as a
+      // ScalarSubquery, evaluated once and broadcast as a literal.
+      val candidates = tsh
+        .filter(GraftShims.columnOf(new BloomFilterMightContain(
+          org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+            bf.queryExecution.analyzed),
+          GraftShims.catalystExpressionOf(s, xxhash64(col("sh"))))))
+        .select("doc_id", "sh")
+      candidates.join(bsh, Seq("sh"), "left_semi")
+        .select("doc_id").distinct().orderBy("doc_id")
+    }, Some("""
+      WITH bench AS (SELECT doc_id, text FROM documents
+                     WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 20 = 0),
+      train AS (SELECT doc_id, text FROM documents
+                WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 20 <> 0),
+      bsh AS (SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM bench
+                          WHERE len(string_split(text,' ')) >= 3))),
+      tsh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM train
+                          WHERE len(string_split(text,' ')) >= 3)))
+      SELECT DISTINCT t.doc_id
+      FROM tsh t JOIN bsh b ON t.sh = b.sh
+      ORDER BY doc_id""")),
+
     // ---- tx09: repetition metrics (the Gopher-style quality rules that
     // catch boilerplate/spam): per-doc duplicate-bigram fraction and
     // top-bigram share. Bigrams stay NON-distinct (repetition is the
