@@ -486,6 +486,80 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vid) AS rank
         FROM scored)
       SELECT qid, vid, cos_x1e4
-      FROM ranked WHERE rank <= 5 ORDER BY qid, cos_x1e4 DESC, vid"""))
+      FROM ranked WHERE rank <= 5 ORDER BY qid, cos_x1e4 DESC, vid""")),
+
+    // ---- sim08: ANN recall@5 evaluation — the quality gate every
+    // approximate index needs before it replaces the exact path: per probe
+    // query, |IVF-2probe top-5 ∩ exact top-5| / 5. Both rankings use the
+    // integer-quantized score (floor(cos*1e4) desc, vid) so set membership
+    // at the rank-5 boundary is integer-exact on both engines (sim07
+    // discipline). Both top-5s come from the bounded topk_agg aggregate —
+    // map-side partials keep every exchange at ≤ 5 rows per (query,
+    // partition); the recall join is 50 rows against 50 rows. At 100 TB
+    // the exact side is the only full-corpus pass, and it's exactly the
+    // brute-force scan you'd run anyway to certify an index build.
+    QueryDef("sim08_ann_recall", (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      // exact top-5 (quantized longs are exactly representable doubles,
+      // so topk_agg's double compare is integer-exact)
+      val scored = q.join(v, col("qid") =!= col("vid"))
+        .withColumn("sq", floor(cosine(col("qe"), col("ve")) * 10000).cast("double"))
+      def top5(df: DataFrame): DataFrame = df
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_agg(col("sq"), col("vid"), 5).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("vid"))
+      val exact5 = top5(scored)
+      // IVF 2-probe candidates (sim03's derivation: 8 centroids, nearest-
+      // centroid inverted lists, 2 probed lists per query)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val assign = e.crossJoin(broadcast(cents))
+        .withColumn("ccos", cosine(col("embedding"), col("ce")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+      val rn = assign.withColumn("rn", row_number().over(w))
+      val lists = rn.filter(col("rn") === 1).select(col("vec_id").as("vid"), col("cid"))
+      val probes = rn.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cands = probes.join(lists, "cid").filter(col("vid") =!= col("qid"))
+        .select("qid", "vid")
+      val approx5 = top5(scored.join(cands, Seq("qid", "vid"), "left_semi"))
+      val common = exact5.join(approx5, Seq("qid", "vid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_common"))
+      exact5.select("qid").distinct()
+        .join(common, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (coalesce(col("n_common"), lit(0L)) * 2000).as("recall_x1e4"))
+        .orderBy("qid")
+    }, Some("""
+      WITH cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      assign AS (
+        SELECT e.vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, cid) AS rn
+        FROM embeddings e, cents c),
+      lists AS (SELECT vec_id AS vid, cid FROM assign WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM assign WHERE rn <= 2 AND vec_id < 10),
+      cands AS (SELECT p.qid, l.vid FROM probes p JOIN lists l ON p.cid = l.cid
+                WHERE l.vid <> p.qid),
+      scored AS (
+        SELECT q.vec_id AS qid, v.vec_id AS vid,
+               CAST(FLOOR(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 v.embedding::DOUBLE[])*10000) AS BIGINT) AS sq
+        FROM embeddings q JOIN embeddings v ON q.vec_id < 10 AND q.vec_id <> v.vec_id),
+      exact5 AS (SELECT qid, vid FROM (
+        SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rn
+        FROM scored) WHERE rn <= 5),
+      approx5 AS (SELECT qid, vid FROM (
+        SELECT s.qid, s.vid,
+               ROW_NUMBER() OVER (PARTITION BY s.qid ORDER BY s.sq DESC, s.vid) AS rn
+        FROM scored s JOIN cands c ON s.qid = c.qid AND s.vid = c.vid) WHERE rn <= 5)
+      SELECT e.qid AS qid, COUNT(a.vid) AS n_common,
+             CAST(COUNT(a.vid) * 2000 AS BIGINT) AS recall_x1e4
+      FROM exact5 e LEFT JOIN approx5 a ON e.qid = a.qid AND e.vid = a.vid
+      GROUP BY e.qid ORDER BY e.qid"""))
   )
 }

@@ -224,6 +224,68 @@ object StreamingQueries {
       drain(s, out, "append") { _ => mem.addData(feed.toSeq) }
         .select(col("fp"))
         .orderBy("fp")
+    }, Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
+
+    // ---- stream06: streaming decontamination — the stream-static join
+    // pattern: training documents arrive as a real FILE stream (the
+    // 100 TB ingest shape), the benchmark shingle set is a STATIC batch
+    // relation joined into every micro-batch (Spark re-broadcasts it per
+    // batch; at scale it's the small side by construction, same argument
+    // as dd10). The shingle explode is stateless codegen inside the
+    // micro-batch; the only streaming state is the doc_id dedup. Result ==
+    // dd13's exact contaminated-doc list, so the oracle is shared.
+    QueryDef("stream06_decontaminate", (s, d) => {
+      val raw = Tables.load(s, d, "documents")
+      val bucket = TextDedup.h28(col("doc_id").cast("string")) % 20
+      val bsh = TextDedup.shinglesOf(raw.filter(bucket === 0))
+        .select("sh").distinct()
+      // single-file table: glob the one file so FileStreamSource roots
+      // its basePath at the sf directory (stream02 note)
+      val stream0 = s.readStream.schema(raw.schema)
+        .parquet(s"$d/documents.parque[t]")
+      val tsh = TextDedup.shinglesRawOf(stream0.filter(bucket =!= 0))
+      val flagged = tsh.join(bsh, Seq("sh"), "left_semi")
+        .select("doc_id").dropDuplicates("doc_id")
+      drain(s, flagged, "append") { _ => () }
+        .orderBy("doc_id")
+    }, Some("""
+      WITH bench AS (SELECT doc_id, text FROM documents
+                     WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 20 = 0),
+      train AS (SELECT doc_id, text FROM documents
+                WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 20 <> 0),
+      bsh AS (SELECT DISTINCT ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM bench
+                          WHERE len(string_split(text,' ')) >= 3))),
+      tsh AS (SELECT DISTINCT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                    FROM (SELECT doc_id, string_split(text,' ') AS ws FROM train
+                          WHERE len(string_split(text,' ')) >= 3)))
+      SELECT DISTINCT t.doc_id
+      FROM tsh t JOIN bsh b ON t.sh = b.sh
+      ORDER BY doc_id""")),
+
+    // ---- stream07: crypto on the wire — the §2A operator surface lifted
+    // onto a real file stream (encrypt-at-ingest → decrypt-for-processing,
+    // the shape an encrypted 100 TB landing zone runs). Both UDF calls are
+    // stateless per-row maps inside the micro-batch (no streaming state
+    // but the fp dedup); ciphertexts are random per retry by design, so
+    // the verifiable projection is the round-trip fingerprint set, exactly
+    // the age03 determinism discipline.
+    QueryDef("stream07_crypto_roundtrip", (s, d) => {
+      graft.sql.AgeFunctions.register(s)
+      val raw = Tables.load(s, d, "documents")
+      val kp = graft.core.AgeKeys.fromSeed(Array.tabulate[Byte](32)(_.toByte))
+      val stream0 = s.readStream.schema(raw.schema)
+        .parquet(s"$d/documents.parque[t]")
+      val rt = stream0
+        .select(call_udf("age_encrypt",
+          col("text").cast("binary"), lit(kp.publicKey)).as("ct"))
+        .select(call_udf("age_decrypt", col("ct"), lit(kp.privateKey)).as("pt"))
+        .select(md5(col("pt")).as("fp"))
+        .dropDuplicates("fp")
+      drain(s, rt, "append") { _ => () }
+        .orderBy("fp")
     }, Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"))
   )
 }

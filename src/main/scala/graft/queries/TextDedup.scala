@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object TextDedup {
   // stable 28-bit integer hash of a string, identical in DuckDB:
   //   ('0x' || substr(md5(s),1,7))::BIGINT
-  private def h28(c: Column): Column =
+  private[queries] def h28(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 7), 16, 10).cast("long")
 
   private def docs(s: SparkSession, d: String): DataFrame =
@@ -819,6 +819,63 @@ object TextDedup {
           ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
       SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
       FROM cand WHERE bit_count(xor(sa, sb)) <= 4
-      ORDER BY ida, idb"""))
+      ORDER BY ida, idb""")),
+
+    // ---- dd14: NORMALIZED exact dedup — the "fuzzy-exact" pass every web
+    // pipeline runs before MinHash (RefinedWeb/C4 style): lowercase, strip
+    // non-alphanumerics, collapse whitespace, THEN fingerprint. Catches
+    // case/punctuation variants dd01's byte-exact md5 treats as distinct.
+    // Same scale shape as dd01: the normalization is pure codegen string
+    // ops inside the scan, the exchange carries one (fp, doc) row per doc,
+    // map-side combine collapses same-partition dup groups first.
+    QueryDef("dd14_normalized_dedup", (s, d) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+      docs(s, d)
+        .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy("fp")
+    }, Some("""
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g'))) AS fp,
+             COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM documents GROUP BY 1 ORDER BY fp""")),
+
+    // ---- tx14: token-budget sequence chunking — the pretraining prep step
+    // that turns documents into fixed-budget training sequences (64-token
+    // chunks here): each doc explodes into ceil(n/64) chunk rows carrying
+    // the chunk's span and the md5 fingerprint of its text. Integer-only
+    // arithmetic end to end; the explode happens inside codegen off one
+    // scan, no shuffle at all until the final presentation sort. At 100 TB
+    // this is a pure map stage — chunk rows stream straight into the
+    // downstream writer with zero exchanges.
+    QueryDef("tx14_chunk_spans", (s, d) => {
+      val budget = 64
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n", size(col("ws")))
+        .select(col("doc_id"), col("ws"), col("n"),
+          explode(sequence(lit(0), expr(s"(n + ${budget - 1}) div $budget") - 1))
+            .as("chunk_idx"))
+        .withColumn("tok_start", col("chunk_idx") * budget + 1)
+        .withColumn("tok_end", least(col("n"), (col("chunk_idx") + 1) * budget))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("tok_start").cast("long").as("tok_start"),
+          col("tok_end").cast("long").as("tok_end"),
+          md5(array_join(slice(col("ws"), col("tok_start"),
+            col("tok_end") - col("tok_start") + 1), " ").cast("binary")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_idx")
+    }, Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                        len(string_split(text, ' ')) AS n FROM documents),
+      chunks AS (
+        SELECT doc_id, ws, n, unnest(generate_series(0, (n + 63) // 64 - 1)) AS chunk_idx
+        FROM t)
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+             CAST(chunk_idx * 64 + 1 AS BIGINT) AS tok_start,
+             CAST(LEAST(n, (chunk_idx + 1) * 64) AS BIGINT) AS tok_end,
+             md5(array_to_string(ws[(chunk_idx * 64 + 1):LEAST(n, (chunk_idx + 1) * 64)], ' ')) AS chunk_fp
+      FROM chunks ORDER BY doc_id, chunk_idx"""))
   )
 }

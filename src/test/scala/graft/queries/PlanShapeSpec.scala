@@ -31,7 +31,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "q14_crossjoin_regions", "sim01_cosine_topk", "sim03_ann_ivf",
     "sim06_semantic_dedup", "tx12_tfidf_top_term", "dd06_neardup_exact200",
     "age04_roundtrip_multi", "age11_key_rotation",
-    "sim07_topk_operator") // sim01's shape through the custom physical operator
+    "sim07_topk_operator", // sim01's shape through the custom physical operator
+    "sim08_ann_recall") // sim01's exact side + sim03's broadcast codebook
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -134,5 +135,23 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = physicalPlan("q01_agg_pricing")
     assert(!plan.contains("l_comment"), "q01 reads dropped columns")
     assert(plan.contains("ReadSchema"), "no parquet read schema section")
+  }
+
+  test("tx14 chunking is a pure map stage (one Generate, no exchange before the sort)") {
+    val plan = physicalPlan("tx14_chunk_spans")
+    assert(!plan.contains("HashAggregate"), "tx14 grew an aggregate")
+    // the chunk-index explode is the single Generate; the only exchange
+    // is the final presentation sort's range partitioning
+    assert("Generate".r.findAllIn(plan).size == 1, "tx14 should have exactly one explode")
+    assert("Exchange".r.findAllIn(plan).size <= 2, // range repartition + sort prep
+      "tx14 grew a mid-pipeline shuffle")
+  }
+
+  test("dd14 normalization happens scan-side (one aggregate exchange, no Generate)") {
+    val plan = physicalPlan("dd14_normalized_dedup")
+    assert(!plan.contains("Generate"), "dd14 should not explode anything")
+    // partial agg -> single hash exchange -> final agg -> sort exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "dd14 should shuffle exactly once on the fingerprint")
   }
 }
