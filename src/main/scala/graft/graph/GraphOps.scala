@@ -94,6 +94,19 @@ object GraphOps {
     Graph.fromEdges(edges, defaultValue = 0)
   }
 
+  /** Total triangles in the co-purchase projection via GraphX
+    * TriangleCount (which canonicalizes edges itself: self-edges dropped,
+    * src<dst dedup). Per-vertex counts sum to 3× the triangle total. The
+    * quadratic hot-part fan-out is already capped upstream in
+    * coPurchasePairs, so the neighborhood-intersection stage is bounded. */
+  def coPurchaseTriangles(spark: SparkSession, dir: String): Long = {
+    val pairs = coPurchasePairs(spark, dir)
+    val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
+    Graph.fromEdges(edges, 0)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)
+      .triangleCount().vertices.map(_._2.toLong).sum().toLong / 3
+  }
+
   /** PageRank over the co-purchase projection — top-n central customers. */
   def coPurchaseRankTop(spark: SparkSession, dir: String, n: Int = 10): DataFrame = {
     import spark.implicits._

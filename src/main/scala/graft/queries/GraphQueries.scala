@@ -67,6 +67,28 @@ object GraphQueries {
         UNION
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
       SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_components
-      FROM (SELECT node, MIN(lbl) AS m FROM reach GROUP BY node)"""))
+      FROM (SELECT node, MIN(lbl) AS m FROM reach GROUP BY node)""")),
+
+    // triangle counting — the classic neighborhood-intersection graph
+    // kernel (cluster-coefficient building block) over the co-purchase
+    // projection, vs the first-principles SQL triple-join: a triangle
+    // a<b<c is the edge triple (a,b),(a,c),(b,c) in the src<dst pair set.
+    QueryDef("graph05_triangles", (s, d) => {
+      import s.implicits._
+      Seq(GraphOps.coPurchaseTriangles(s, d)).toDF("n_triangles")
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                WHERE c <= 40),
+      bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+      pairs AS (
+        SELECT DISTINCT a.cust AS src, b.cust AS dst
+        FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs p1
+      JOIN pairs p2 ON p2.src = p1.src AND p2.dst > p1.dst
+      JOIN pairs p3 ON p3.src = p1.dst AND p3.dst = p2.dst"""))
   )
 }

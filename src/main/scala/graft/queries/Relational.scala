@@ -921,6 +921,49 @@ object Relational {
              COALESCE(n_orders, 0) AS n_orders,
              COALESCE(total_cents, 0) AS total_cents
       FROM cal c LEFT JOIN omo ON c.y = omo.y AND c.mo = omo.mo
-      ORDER BY y, mo"""))
+      ORDER BY y, mo""")),
+
+    // ---- q46: DISTINCT ON — DuckDB's pick-one-row-per-key idiom (latest
+    // order per customer). Spark has no DISTINCT ON; the idiomatic
+    // re-expression is a row_number window with the same (key, order)
+    // spec. Deterministic via the o_orderkey tiebreak. The window
+    // partitions by o_custkey — one shuffle on the key, same as the
+    // DISTINCT ON hash table at scale.
+    QueryDef("q46_distinct_on", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("last_orderkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("last_cents"))
+        .orderBy("o_custkey")
+    }, Some("""
+      SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey AS last_orderkey,
+             CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS last_cents
+      FROM orders
+      ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""")),
+
+    // ---- q47: higher-order list functions (transform / filter /
+    // aggregate lambdas) — the host-engine list-processing surface beyond
+    // q15's indexing: per-row lambda evaluation inside codegen, no
+    // explode, no shuffle. Element math goes through the integer
+    // quantization so the fold is order-independent and engine-exact.
+    QueryDef("q47_list_hof", (s, d) => {
+      t(s, d, "embeddings")
+        .filter(col("vec_id") < 500)
+        .select(col("vec_id"),
+          size(expr("filter(embedding, x -> x > 0)")).as("n_pos"),
+          expr("""aggregate(
+                    transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                    CAST(0 AS BIGINT), (acc, x) -> acc + x)""").as("qsum"))
+        .orderBy("vec_id")
+    }, Some("""
+      SELECT vec_id,
+             CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER) AS n_pos,
+             list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> CAST(FLOOR(x * 1000) AS BIGINT)), 'sum') AS qsum
+      FROM embeddings WHERE vec_id < 500 ORDER BY vec_id"""))
   )
 }

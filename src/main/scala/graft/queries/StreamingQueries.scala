@@ -286,6 +286,39 @@ object StreamingQueries {
         .dropDuplicates("fp")
       drain(s, rt, "append") { _ => () }
         .orderBy("fp")
-    }, Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp"))
+    }, Some("SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp")),
+
+    // ---- stream08: APPEND-mode watermark finalization — the semantics
+    // stream02 (complete mode) does not exercise: a window row is emitted
+    // exactly once, only after the watermark passes its end, and its state
+    // is then dropped (what bounds rollup state at 100 TB/day). A
+    // far-future sentinel advances the watermark past every real window
+    // (batch 2) and a second sentinel runs the eviction sweep (emission
+    // happens against the PREVIOUS batch's watermark — stream03's
+    // pattern); the sentinel's own still-open window is filtered, leaving
+    // exactly the batch q25 aggregation over the same slice.
+    QueryDef("stream08_append_rollup", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 50)
+        .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+        .collect().toSeq // bounded feed plumbing (user_id <= 50 slice)
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      val maxMs = ev.map(_._1.getTime).max
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = StreamingOps.hourlyRollup(mem.toDF().toDF("ts", "event_type", "value"))
+      drain(s, out, "append") { q =>
+        mem.addData(ev); q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 36000000L), "zz", 0.0))
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 72000000L), "zz", 0.0))
+      }
+        .filter(col("event_type") =!= "zz")
+        .orderBy("hour", "event_type")
+    }, Some("""
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events WHERE user_id <= 50 GROUP BY 1, 2 ORDER BY hour, event_type"""))
   )
 }

@@ -118,12 +118,19 @@ object TextDedup {
     * band-equality bucket join — (ida, idb, shared_bands), unordered.
     * Shared body of dd03 (bounded), dd08 (whole corpus) and dd09 (cluster
     * step); the scale shape is the bucket equi-join, never n². */
-  private[queries] def minhashBandPairs(sh0: DataFrame): DataFrame = {
+  /** Per-doc 8-hash MinHash signatures as a wide (doc_id, m0..m7) frame —
+    * the shared signature step of minhashBandPairs, exposed so estimator
+    * diagnostics (dd15) can read the raw signatures. */
+  private[queries] def minhashSignatures(sh0: DataFrame): DataFrame = {
     val sh = sh0.withColumn("h", h28(col("sh")))
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash_agg(col("h")).as("sig"))
-    val minhashes = sig.select(col("doc_id") +:
+    sig.select(col("doc_id") +:
       (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
+  }
+
+  private[queries] def minhashBandPairs(sh0: DataFrame): DataFrame = {
+    val minhashes = minhashSignatures(sh0)
     val bands = minhashes.select(col("doc_id"),
       explode(array((0 until 4).map(bi =>
         struct(lit(bi).as("band"),
@@ -876,6 +883,54 @@ object TextDedup {
              CAST(chunk_idx * 64 + 1 AS BIGINT) AS tok_start,
              CAST(LEAST(n, (chunk_idx + 1) * 64) AS BIGINT) AS tok_end,
              md5(array_to_string(ws[(chunk_idx * 64 + 1):LEAST(n, (chunk_idx + 1) * 64)], ' ')) AS chunk_fp
-      FROM chunks ORDER BY doc_id, chunk_idx"""))
+      FROM chunks ORDER BY doc_id, chunk_idx""")),
+
+    // ---- dd15: MinHash estimator quality — the dedup twin of sim08's
+    // recall gate: per LSH candidate pair, the signature-agreement
+    // estimate (agree/8) next to the exact shingle Jaccard, so the
+    // 8-hash/4-band configuration's accuracy is itself a verifiable
+    // query. agree/8 is a dyadic rational, so floor(x*1e4) is bit-equal
+    // in both engines; the exact side is the uncapped intersection join
+    // restricted to the bounded 200-doc slice (at scale the candidate
+    // set, not the corpus, bounds the exact-confirm join — the standard
+    // LSH-then-verify shape).
+    QueryDef("dd15_minhash_quality", (s, d) => {
+      val mhs = minhashSignatures(shinglesRaw(s, d, 200))
+      val cands = minhashBandPairs(shinglesRaw(s, d, 200)).select("ida", "idb")
+      val est = cands
+        .join(mhs.as("ma"), col("ida") === col("ma.doc_id"))
+        .join(mhs.as("mb"), col("idb") === col("mb.doc_id"))
+        .select(col("ida"), col("idb"),
+          (0 until 8).map(j =>
+            when(col(s"ma.m$j") === col(s"mb.m$j"), 1).otherwise(0))
+            .reduce(_ + _).cast("int").as("agree"))
+      val exact = cappedPairCounts(shingles(s, d, 200), Int.MaxValue)
+      est.join(exact, Seq("ida", "idb"), "left")
+        .select(col("ida"), col("idb"), col("agree"),
+          floor(col("agree").cast("double") / 8 * 10000).cast("long").as("est_x1e4"),
+          coalesce(floor(col("c").cast("double") / (col("sa_n") + col("sb_n") - col("c")) * 10000)
+            .cast("long"), lit(0L)).as("jac_x1e4"))
+        .orderBy("ida", "idb")
+    }, Some(s"""
+      WITH docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      ${minhashPairsSql("docs200")},
+      est AS (
+        SELECT p.ida, p.idb,
+               (${(0 until 8).map(j =>
+                 s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")}) AS agree
+        FROM pairs p JOIN mh a ON p.ida = a.doc_id JOIN mh b ON p.idb = b.doc_id),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      common AS (
+        SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      SELECT e.ida AS ida, e.idb AS idb, CAST(e.agree AS INTEGER) AS agree,
+             CAST(FLOOR(CAST(e.agree AS DOUBLE) / 8 * 10000) AS BIGINT) AS est_x1e4,
+             COALESCE(CAST(FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000) AS BIGINT), 0)
+               AS jac_x1e4
+      FROM est e
+      LEFT JOIN common ON e.ida = common.ida AND e.idb = common.idb
+      LEFT JOIN sz sa ON e.ida = sa.doc_id
+      LEFT JOIN sz sb ON e.idb = sb.doc_id
+      ORDER BY ida, idb"""))
   )
 }
