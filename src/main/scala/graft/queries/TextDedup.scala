@@ -931,6 +931,43 @@ object TextDedup {
       LEFT JOIN common ON e.ida = common.ida AND e.idb = common.idb
       LEFT JOIN sz sa ON e.ida = sa.doc_id
       LEFT JOIN sz sb ON e.idb = sb.doc_id
-      ORDER BY ida, idb"""))
+      ORDER BY ida, idb""")),
+
+    // ---- tx15: sequence packing (the T5/concat-and-split shape) — docs
+    // are concatenated in doc_id order WITHIN EACH LANGUAGE and the token
+    // stream is split into 4096-token bins: each doc lands at (bin,
+    // offset) = divmod(running-sum-before-doc, 4096). The per-lang window
+    // cumsum is the packing plan itself — one shuffle on lang, then a
+    // sorted scan; partitioning by lang (or any sharding key) is what
+    // keeps the inherently-sequential prefix sum parallel at 100 TB (a
+    // global pack order would serialize the corpus through one task).
+    // Integer-only arithmetic; token counts via the native token_stats.
+    QueryDef("tx15_pack_bins", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          graft.functions.TokenStats.token_stats(col("text"))
+            .getItem(0).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("start", col("cum") - col("n_tokens")) // tokens before this doc
+        .select(col("doc_id"), col("lang"), col("n_tokens").cast("long").as("n_tokens"),
+          expr("start div 4096").cast("long").as("bin_id"),
+          (col("start") % 4096).cast("long").as("bin_offset"))
+        .orderBy("lang", "doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents),
+      packed AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM toks)
+      SELECT doc_id, lang, n_tokens,
+             CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin_id,
+             CAST((cum - n_tokens) % 4096 AS BIGINT) AS bin_offset
+      FROM packed ORDER BY lang, doc_id"""))
   )
 }

@@ -70,4 +70,43 @@ class DedupScaleSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(exact))
   }
+
+  test("tx14 chunk spans tile every document exactly (no gaps, no overlap, budget bound)") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("tx14_chunk_spans")(spark, d)
+      .select("doc_id", "chunk_idx", "tok_start", "tok_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byDoc = rows.groupBy(_._1)
+    val docTokens = graft.queries.Tables.load(spark, d, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc.keySet == docTokens.keySet, "every doc must produce chunks")
+    byDoc.foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 1L, s"doc $doc: first chunk must start at token 1")
+      assert(sorted.last._4 == docTokens(doc), s"doc $doc: last chunk must end at n")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, e1), (_, _, s2, _)) =>
+          assert(s2 == e1 + 1, s"doc $doc: chunks must tile without gap/overlap")
+        case _ => ()
+      }
+      assert(sorted.forall { case (_, _, st, en) => en - st + 1 <= 64 && en >= st },
+        s"doc $doc: every chunk within the 64-token budget")
+    }
+  }
+
+  test("tx15 packing: bins fill to exactly 4096 tokens (offset+carry arithmetic consistent)") {
+    val d = "/root/testdata/sf0.01"
+    val rows = graft.SparkEntry.queries("tx15_pack_bins")(spark, d)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).foreach { case (lang, ds) =>
+      // within a language, each doc starts where the previous ended
+      var cum = 0L
+      ds.foreach { case (_, n, bin, off) =>
+        assert(bin == cum / 4096 && off == cum % 4096,
+          s"$lang: doc placement must equal divmod of the running total")
+        cum += n
+      }
+    }
+  }
 }
