@@ -154,4 +154,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       "dd14 should shuffle exactly once on the fingerprint")
   }
+
+  test("tx15 packing shuffles once on lang (the shard key that parallelizes the prefix sum)") {
+    val plan = physicalPlan("tx15_pack_bins")
+    assert(plan.contains("token_stats"), "tx15 lost the native token_stats expression")
+    assert(!plan.contains("Generate"), "tx15 should not explode tokens")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "tx15 should have exactly the per-lang window exchange")
+  }
 }
