@@ -560,6 +560,47 @@ object Similarity {
       SELECT e.qid AS qid, COUNT(a.vid) AS n_common,
              CAST(COUNT(a.vid) * 2000 AS BIGINT) AS recall_x1e4
       FROM exact5 e LEFT JOIN approx5 a ON e.qid = a.qid AND e.vid = a.vid
-      GROUP BY e.qid ORDER BY e.qid"""))
+      GROUP BY e.qid ORDER BY e.qid""")),
+
+    // ---- sim09: product-quantization encode — the other standard ANN
+    // compression next to sim05's scalar int8: the 64-dim vector splits
+    // into 8 subvectors of 8 dims, each assigned to its nearest codeword
+    // in a per-subspace codebook (here the fixed first-4-vectors codebook,
+    // sim03's convention), so a vector stores as 8 small codes. All in
+    // integer space: quantized coordinates, exact long squared distances,
+    // ties to the lowest code — fully oracle-checkable. Codebook (4×64
+    // rows) broadcasts; per-vector work is one groupBy + one bounded
+    // window per subspace, no cross-vector joins anywhere — encoding
+    // stays embarrassingly parallel at 100 TB.
+    QueryDef("sim09_pq_encode", (s, d) => {
+      val flat = flatQuantized(emb(s, d).filter(col("vec_id") < 300))
+      val cb = flat.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("dim"), col("xq").as("cq"))
+      val dist = flat.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), expr("CAST((dim - 1) div 8 AS INT)").as("sub"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val w = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("c"))
+      dist.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("sub"), col("c").cast("int").as("code"), col("d2"))
+        .orderBy("vec_id", "sub")
+    }, Some("""
+      WITH flat AS (
+        SELECT vec_id, dim,
+               CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 300),
+      cb AS (SELECT vec_id AS c, dim, xq AS cq FROM flat WHERE vec_id < 4),
+      dist AS (
+        SELECT f.vec_id, CAST((f.dim - 1) // 8 AS INTEGER) AS sub, cb.c,
+               SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS d2
+        FROM flat f JOIN cb ON cb.dim = f.dim
+        GROUP BY 1, 2, 3),
+      ranked AS (
+        SELECT vec_id, sub, c, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+        FROM dist)
+      SELECT vec_id, sub, CAST(c AS INTEGER) AS code, d2
+      FROM ranked WHERE rn = 1 ORDER BY vec_id, sub"""))
   )
 }
