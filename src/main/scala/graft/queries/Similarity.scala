@@ -601,6 +601,79 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
         FROM dist)
       SELECT vec_id, sub, CAST(c AS INTEGER) AS code, d2
-      FROM ranked WHERE rn = 1 ORDER BY vec_id, sub"""))
+      FROM ranked WHERE rn = 1 ORDER BY vec_id, sub""")),
+
+    // ---- sim10: PQ asymmetric-distance search (ADC) over sim09's codes —
+    // how a PQ index actually answers queries: per query, one tiny
+    // (8 sub × 4 codeword) distance table against the UNQUANTIZED query
+    // subvectors; each database vector scores as the sum of 8 table
+    // lookups keyed by its stored codes, never touching the original
+    // vectors. Top-3 per query on the exact long ADC score (ties → vid).
+    // The table (≤32 rows/query) broadcasts; the scoring join is
+    // codes ⨝ table on (sub, code) — at 100 TB the codes relation is the
+    // only big operand and it's 8 small ints per vector, the whole point
+    // of PQ.
+    QueryDef("sim10_pq_adc", (s, d) => {
+      val flat = flatQuantized(emb(s, d).filter(col("vec_id") < 300))
+      val sub = expr("CAST((dim - 1) div 8 AS INT)")
+      val cb = flat.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("dim"), col("xq").as("cq"))
+      // codes: sim09's encode (nearest codeword per subvector)
+      val dist = flat.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), sub.as("sub"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("c"))
+      val codes = dist.withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("vid"), col("sub"), col("c").as("code"))
+      // per-query distance table: query subvector vs every codeword
+      val qflat = flat.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("dim"), col("xq").as("qx"))
+      val table = qflat.join(broadcast(cb), "dim")
+        .groupBy(col("qid"), sub.as("sub"), col("c").as("code"))
+        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("td2"))
+      // ADC score: 8 table lookups per (query, vector)
+      val scored = codes.join(broadcast(table), Seq("sub", "code"))
+        .filter(col("vid") =!= col("qid"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(sum(col("td2")).as("adc"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+      scored.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"), col("adc"), col("rank"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH flat AS (
+        SELECT vec_id, dim,
+               CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 300),
+      cb AS (SELECT vec_id AS c, dim, xq AS cq FROM flat WHERE vec_id < 4),
+      dist AS (
+        SELECT f.vec_id, CAST((f.dim - 1) // 8 AS INTEGER) AS sub, cb.c,
+               SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS d2
+        FROM flat f JOIN cb ON cb.dim = f.dim
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id AS vid, sub, c AS code FROM (
+          SELECT vec_id, sub, c, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+          FROM dist) WHERE rn = 1),
+      tbl AS (
+        SELECT f.vec_id AS qid, CAST((f.dim - 1) // 8 AS INTEGER) AS sub,
+               cb.c AS code, SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS td2
+        FROM flat f JOIN cb ON cb.dim = f.dim
+        WHERE f.vec_id < 10 GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT t.qid, codes.vid, SUM(t.td2) AS adc
+        FROM codes JOIN tbl t ON t.sub = codes.sub AND t.code = codes.code
+        WHERE codes.vid <> t.qid
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, vid, adc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+        FROM scored)
+      SELECT qid, vid, adc, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }
