@@ -1,35 +1,71 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Round-8's gate returned empty because the serial dump outran the driver
+  * timeout on a throttled instance. This main is now wall-clock-engineered:
+  *
+  *  - CONCURRENT: 8 worker threads share one SparkContext (FAIR pools), so
+  *    total ≈ critical path, not sum. Streaming queries are scheduled
+  *    FIRST (longest-processing-time-first): they dominate the tail.
+  *  - MOSTLY INTERPRETED: 122 distinct queries generate thousands of
+  *    codegen classes whose loading serializes on the ExecutorClassLoader
+  *    monitor (measured: executor threads BLOCKED in loadClass, >80% CPU
+  *    idle). A/B at sf0.01 showed interpreted mode is faster for ~100 of
+  *    122 queries — janino cost dwarfs row-eval cost at this scale.
+  *  - SELECTIVE CODEGEN: the measured exceptions (per-row compute-dense:
+  *    higher-order lambdas, 64-dim vector math, recursive CTE, pivot/
+  *    window families — each 3-20× slower interpreted) run in a sibling
+  *    session with codegen restored.
+  *  - STREAMING on 2 shuffle partitions: state-store instances per
+  *    stateful operator scale with the partition count and their setup
+  *    latency is the micro-batch floor; sf0.01 state fits trivially.
+  *
+  * Bench is untouched: performance claims are measured there, codegen on.
+  */
 object Verify {
+  /** Queries measured ≥~2× faster WITH codegen at sf0.01 (r9 A/B): per-row
+    * compute density high enough that interpreted eval beats janino cost. */
+  private val hotList = Set(
+    "q38_pivot", "q40_lateral_topn", "q42_range_frame", "q43_unpivot",
+    "q44_mixed_distinct", "q45_recursive_cte", "q46_distinct_on",
+    "q47_list_hof", "sim01_cosine_topk", "sim02_ann_lsh_buckets",
+    "sim03_ann_ivf", "sim04_ann_ivf_kmeans", "sim05_quantize_int8",
+    "sim06_semantic_dedup", "sim07_topk_operator", "tx03_langid",
+    "tx04_fingerprint", "tx06_top_ngrams", "tx07_hash_sample",
+    "tx15_pack_bins", "graph03_components")
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(',').toSet) else None
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val base = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.sql.GraftSparkExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    base.sparkContext.setLogLevel("WARN")
+    val hot = base.newSession()
+    hot.conf.set("spark.sql.codegen.wholeStage", "true")
+    hot.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    val streaming = base.newSession()
+    streaming.conf.set("spark.sql.shuffle.partitions", "2")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,9 +78,45 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // write the oracle map FIRST: if a throttled instance trips the driver
+    // timeout mid-dump, the partial parquet outputs are still comparable
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+
+    // longest-first: streaming (the measured tail), then codegen-hot
+    // compute, then the cheap bulk — so the critical path starts at t=0
+    def costClass(name: String): Int =
+      if (name.startsWith("stream")) 0 else if (hotList(name)) 1 else 2
+    val todo = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy { case (name, _) => (costClass(name), name) }
+    val workers = math.max(1, math.min(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt, todo.size))
+    val pool = Executors.newFixedThreadPool(workers)
+    val t0 = System.nanoTime()
+    todo.foreach { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val sess =
+            if (name.startsWith("stream")) streaming
+            else if (hotList(name)) hot else base
+          sess.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"w${Thread.currentThread().getId}")
+          val tq = System.nanoTime()
+          try {
+            fn(sess, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            System.err.println(f"[verify] $name ok ${(System.nanoTime()-tq)/1e9}%.1fs")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(4, TimeUnit.HOURS)
+    System.err.println(f"[verify] total ${(System.nanoTime()-t0)/1e9}%.1fs for ${todo.size} queries x $workers workers")
+    base.stop()
   }
 }

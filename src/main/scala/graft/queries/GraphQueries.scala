@@ -89,6 +89,70 @@ object GraphQueries {
       SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
       FROM pairs p1
       JOIN pairs p2 ON p2.src = p1.src AND p2.dst > p1.dst
-      JOIN pairs p3 ON p3.src = p1.dst AND p3.dst = p2.dst"""))
+      JOIN pairs p3 ON p3.src = p1.dst AND p3.dst = p2.dst""")),
+
+    // ---- graph06: PageRank in INTEGER FIXED-POINT over the co-purchase
+    // projection — 3 power iterations where every quantity is a long
+    // (rank scale 1e12, floor division for contributions and damping), so
+    // both engines compute bit-identical ranks: integer sums are exact and
+    // order-independent, which float PageRank is not (SURVEY §5.4 applied
+    // to an iterative algorithm). The iteration is the canonical Spark
+    // shape — edges JOIN ranks on src, groupBy dst, map-side-combined SUM
+    // — and the edge relation is localCheckpoint'd once so the expensive
+    // co-purchase projection isn't re-derived per iteration. At 100 TB the
+    // per-iteration shuffle partitions by dst; the symmetric edge set
+    // guarantees every vertex receives inflow, so no dangling-mass term.
+    QueryDef("graph06_pagerank", (s, d) => {
+      val base = 1000000000000L
+      val pairs = GraphOps.coPurchasePairs(s, d).select("src", "dst")
+      val edges = pairs.union(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint() // cache the projection across the 3 iterations
+      val verts = edges.select(col("src").as("node")).distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = verts.count() // one scalar for the init rank, as in any PR impl
+      val init = base / n
+      val teleport = 15L * init / 100L
+      var ranks = verts.select(col("node"), lit(init).as("pr"))
+      for (_ <- 1 to 3) {
+        ranks = edges.join(ranks, col("src") === col("node"))
+          .join(outdeg, "src")
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).as("inflow"))
+          .select(col("node"),
+            (lit(teleport) + expr("(85 * inflow) div 100")).as("pr"))
+      }
+      ranks.orderBy("node")
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                WHERE c <= 40),
+      bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+      pairs AS (
+        SELECT DISTINCT a.cust AS src, b.cust AS dst
+        FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust),
+      edges AS (SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      prm AS (SELECT 1000000000000 // COUNT(*) AS init,
+                     (15 * (1000000000000 // COUNT(*))) // 100 AS tp
+              FROM verts),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      r0 AS (SELECT node, (SELECT init FROM prm) AS pr FROM verts),
+      it1 AS (SELECT e.dst AS node,
+                     (SELECT tp FROM prm) + (85 * SUM(r.pr // d.deg)) // 100 AS pr
+              FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      it2 AS (SELECT e.dst AS node,
+                     (SELECT tp FROM prm) + (85 * SUM(r.pr // d.deg)) // 100 AS pr
+              FROM edges e JOIN it1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst),
+      it3 AS (SELECT e.dst AS node,
+                     (SELECT tp FROM prm) + (85 * SUM(r.pr // d.deg)) // 100 AS pr
+              FROM edges e JOIN it2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+              GROUP BY e.dst)
+      SELECT node, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY node"""))
   )
 }

@@ -962,8 +962,40 @@ object Relational {
     }, Some("""
       SELECT vec_id,
              CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INTEGER) AS n_pos,
-             list_aggregate(list_transform(embedding::DOUBLE[],
-               x -> CAST(FLOOR(x * 1000) AS BIGINT)), 'sum') AS qsum
-      FROM embeddings WHERE vec_id < 500 ORDER BY vec_id"""))
+             CAST(list_aggregate(list_transform(embedding::DOUBLE[],
+               x -> CAST(FLOOR(x * 1000) AS BIGINT)), 'sum') AS BIGINT) AS qsum
+      FROM embeddings WHERE vec_id < 500 ORDER BY vec_id""")),
+
+    // ---- q48: LOCF gap-fill (last observation carried forward) — the
+    // IGNORE NULLS window-frame idiom every feature-engineering pipeline
+    // uses: each event row carries the most recent purchase value its user
+    // has produced so far (NULL-skipping last_value over a running frame).
+    // One shuffle on user_id, then a sorted running scan per partition —
+    // the same shape at 100 TB (user_id partitioning bounds per-task
+    // state to one user's history). Cents quantization (SURVEY §5.4).
+    QueryDef("q48_locf_gapfill", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events").filter(col("user_id") <= 50)
+        .withColumn("pv", when(col("event_type") === "purchase",
+          floor(col("value") * 100).cast("long")))
+        .select(col("user_id"), col("event_id"),
+          coalesce(last(col("pv"), ignoreNulls = true).over(w), lit(-1L))
+            .as("last_purchase_cents"))
+        .orderBy("user_id", "event_id")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100) AS BIGINT) END AS pv
+        FROM events WHERE user_id <= 50)
+      SELECT user_id, event_id,
+             COALESCE(LAST_VALUE(pv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+               AS last_purchase_cents
+      FROM e ORDER BY user_id, event_id"""))
   )
 }

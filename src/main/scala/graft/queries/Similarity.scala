@@ -600,7 +600,8 @@ object Similarity {
         SELECT vec_id, sub, c, d2,
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
         FROM dist)
-      SELECT vec_id, sub, CAST(c AS INTEGER) AS code, d2
+      SELECT vec_id, sub, CAST(c AS INTEGER) AS code,
+             CAST(d2 AS BIGINT) AS d2
       FROM ranked WHERE rn = 1 ORDER BY vec_id, sub""")),
 
     // ---- sim10: PQ asymmetric-distance search (ADC) over sim09's codes —
@@ -673,7 +674,7 @@ object Similarity {
         SELECT qid, vid, adc,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
         FROM scored)
-      SELECT qid, vid, adc, CAST(rank AS INTEGER) AS rank
+      SELECT qid, vid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INTEGER) AS rank
       FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }

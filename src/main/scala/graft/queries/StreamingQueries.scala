@@ -232,8 +232,13 @@ object StreamingQueries {
     // relation joined into every micro-batch (Spark re-broadcasts it per
     // batch; at scale it's the small side by construction, same argument
     // as dd10). The shingle explode is stateless codegen inside the
-    // micro-batch; the only streaming state is the doc_id dedup. Result ==
-    // dd13's exact contaminated-doc list, so the oracle is shared.
+    // micro-batch; the only streaming state is the doc_id dedup, and it is
+    // WATERMARK-BOUNDED (ADVICE r8): ingest time is stamped on each doc and
+    // dropDuplicatesWithinWatermark drops flag-state 1 h after the doc's
+    // event time passes — at 100 TB the state is delay × flag-rate, not
+    // corpus size. All shingle copies of a doc share its timestamp, so the
+    // within-watermark dedup is exact here. Result == dd13's exact
+    // contaminated-doc list, so the oracle is shared.
     QueryDef("stream06_decontaminate", (s, d) => {
       val raw = Tables.load(s, d, "documents")
       val bucket = TextDedup.h28(col("doc_id").cast("string")) % 20
@@ -245,7 +250,10 @@ object StreamingQueries {
         .parquet(s"$d/documents.parque[t]")
       val tsh = TextDedup.shinglesRawOf(stream0.filter(bucket =!= 0))
       val flagged = tsh.join(bsh, Seq("sh"), "left_semi")
-        .select("doc_id").dropDuplicates("doc_id")
+        .withColumn("ets", timestamp_millis(lit(60000L) + col("doc_id")))
+        .withWatermark("ets", "1 hour")
+        .dropDuplicatesWithinWatermark("doc_id")
+        .select("doc_id")
       drain(s, flagged, "append") { _ => () }
         .orderBy("doc_id")
     }, Some("""
@@ -319,6 +327,60 @@ object StreamingQueries {
     }, Some("""
       SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-      FROM events WHERE user_id <= 50 GROUP BY 1, 2 ORDER BY hour, event_type"""))
+      FROM events WHERE user_id <= 50 GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- stream09: NATIVE session windows — q27's gaps-and-islands
+    // sessionization re-expressed on Spark's built-in session_window
+    // (merging-interval state store), the streaming-first way to
+    // sessionize an unbounded event stream: state per OPEN session only,
+    // closed + emitted once the watermark passes session end (stream08's
+    // append-mode discipline, two-sentinel eviction). Semantics note:
+    // session_window starts a new session at gap >= 30 min (an event AT
+    // the merged window's exclusive end does not extend it), so the
+    // oracle's boundary predicate is >=, where q27's batch LAG idiom
+    // uses >. dur_ms = window end - start - gap == last - first event.
+    QueryDef("stream09_session_window", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 50)
+        .select(col("ts").cast("timestamp"), col("user_id"))
+        .collect().toSeq // bounded feed plumbing (user_id <= 50 slice)
+        .map(r => (r.getTimestamp(0), r.getLong(1)))
+      val maxMs = ev.map(_._1.getTime).max
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val out = mem.toDF().toDF("ts", "user_id")
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_millis(col("sw.start")).as("sess_start"),
+          (unix_millis(col("sw.end")) - unix_millis(col("sw.start"))
+            - lit(1800000L)).as("dur_ms"),
+          col("n_events"))
+      drain(s, out, "append") { q =>
+        mem.addData(ev); q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 36000000L), -1L))
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 72000000L), -1L))
+      }
+        .filter(col("user_id") >= 0)
+        .orderBy("user_id", "sess_start")
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, epoch_ms(ts) AS tms,
+               CASE WHEN epoch_ms(ts) -
+                    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                    >= 1800000 THEN 1 ELSE 0 END AS boundary
+        FROM events WHERE user_id <= 50),
+      sessions AS (
+        SELECT user_id, tms,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY tms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, MIN(tms) AS sess_start,
+             CAST(MAX(tms) - MIN(tms) AS BIGINT) AS dur_ms,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, sess_start"""))
   )
 }

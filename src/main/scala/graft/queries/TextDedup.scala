@@ -129,8 +129,15 @@ object TextDedup {
       (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
 
-  private[queries] def minhashBandPairs(sh0: DataFrame): DataFrame = {
-    val minhashes = minhashSignatures(sh0)
+  private[queries] def minhashBandPairs(sh0: DataFrame): DataFrame =
+    bandPairsFromSignatures(minhashSignatures(sh0))
+
+  /** LSH banding over an ALREADY-COMPUTED signature frame — lets callers
+    * that also read the raw signatures (dd15) share one signature
+    * aggregation: both consumers hang off the same plan, so the shingle
+    * shuffle feeding the aggregate is planned once and reused, instead of
+    * the signature stage executing twice per run (ADVICE r8). */
+  private[queries] def bandPairsFromSignatures(minhashes: DataFrame): DataFrame = {
     val bands = minhashes.select(col("doc_id"),
       explode(array((0 until 4).map(bi =>
         struct(lit(bi).as("band"),
@@ -835,16 +842,20 @@ object TextDedup {
     // Same scale shape as dd01: the normalization is pure codegen string
     // ops inside the scan, the exchange carries one (fp, doc) row per doc,
     // map-side combine collapses same-partition dup groups first.
+    // Engine-portable by construction (ADVICE r8): non-ASCII is stripped
+    // BEFORE lower(), so the only case-folding exercised is ASCII A-Z →
+    // a-z, where Java (Spark) and utf8proc (DuckDB) agree bit-for-bit —
+    // no dependence on locale-sensitive Unicode folding (İ, ß, …).
     QueryDef("dd14_normalized_dedup", (s, d) => {
       val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+        lower(regexp_replace(col("text"), "[^A-Za-z0-9 ]", "")), " +", " "))
       docs(s, d)
         .select(col("doc_id"), md5(norm.cast("binary")).as("fp"))
         .groupBy(col("fp"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
         .orderBy("fp")
     }, Some("""
-      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      SELECT md5(trim(regexp_replace(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')),
                                      ' +', ' ', 'g'))) AS fp,
              COUNT(*) AS n, MIN(doc_id) AS keeper
       FROM documents GROUP BY 1 ORDER BY fp""")),
@@ -896,7 +907,7 @@ object TextDedup {
     // LSH-then-verify shape).
     QueryDef("dd15_minhash_quality", (s, d) => {
       val mhs = minhashSignatures(shinglesRaw(s, d, 200))
-      val cands = minhashBandPairs(shinglesRaw(s, d, 200)).select("ida", "idb")
+      val cands = bandPairsFromSignatures(mhs).select("ida", "idb")
       val est = cands
         .join(mhs.as("ma"), col("ida") === col("ma.doc_id"))
         .join(mhs.as("mb"), col("idb") === col("mb.doc_id"))
@@ -968,6 +979,73 @@ object TextDedup {
       SELECT doc_id, lang, n_tokens,
              CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin_id,
              CAST((cum - n_tokens) % 4096 AS BIGINT) AS bin_offset
-      FROM packed ORDER BY lang, doc_id"""))
+      FROM packed ORDER BY lang, doc_id""")),
+
+    // ---- dd16: boilerplate n-gram detection (the Gopher/MassiveText
+    // repeated-n-gram filter): 5-gram spans that appear in >= 3 DISTINCT
+    // documents are boilerplate candidates (headers, footers, license
+    // blurbs) to strip before training. Scale shape: the per-doc gram SET
+    // is built MAP-SIDE (array_distinct inside the scan projection — no
+    // set-semantics exchange like dd02's shingle distinct), so the only
+    // shuffle carries one (gram, doc) row per distinct gram per doc into
+    // a map-side-combined count. Document frequency == plain COUNT after
+    // the per-doc dedup, never COUNT(DISTINCT).
+    QueryDef("dd16_boilerplate_ngrams", (s, d) => {
+      val grams = docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(ws) - 5), i -> concat_ws(' ', slice(ws, i + 1, 5)))")))
+          .as("gram"))
+      grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .orderBy(col("df").desc, col("gram"))
+    }, Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                 WHERE len(string_split(text, ' ')) >= 5),
+      g AS (SELECT DISTINCT doc_id,
+                   ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4] AS gram
+            FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-4)) AS i FROM w))
+      SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+      FROM g GROUP BY 1 HAVING COUNT(*) >= 3 ORDER BY df DESC, gram""")),
+
+    // ---- tx16: Zipf vocabulary table — the tokenizer-construction view of
+    // the corpus: per-word frequency, Zipf rank, and cumulative corpus
+    // coverage in ppm (what "top-k vocab covers 99.x% of tokens" is read
+    // off of). The word count is a map-side-combined groupBy over the
+    // token explode (corpus-sized input, vocab-sized output); the rank and
+    // running-coverage window then runs over the VOCAB relation, which is
+    // orders of magnitude smaller than the corpus — the single-partition
+    // global-order window is bounded by vocab size (~1e6 rows at web
+    // scale), not by the 100 TB corpus. Integer ppm: exact in both engines.
+    QueryDef("tx16_zipf_vocab", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val wOrd = Window.orderBy(col("freq").desc, col("word"))
+      freq
+        .withColumn("rank", row_number().over(wOrd))
+        .withColumn("cum", sum(col("freq")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(freq.agg(sum(col("freq")).as("t"))))
+        .select(col("word"), col("freq"),
+          col("rank").cast("int").as("rank"),
+          expr("(cum * 1000000) div t").as("cov_ppm"))
+        .orderBy("rank")
+    }, Some("""
+      WITH wds AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      freq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM wds
+               WHERE len(word) > 0 GROUP BY 1),
+      tot AS (SELECT SUM(freq) AS t FROM freq),
+      r AS (SELECT word, freq,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rank,
+                   SUM(freq) OVER (ORDER BY freq DESC, word
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM freq)
+      SELECT word, freq, CAST(rank AS INTEGER) AS rank,
+             CAST((cum * 1000000) // t AS BIGINT) AS cov_ppm
+      FROM r, tot ORDER BY rank"""))
   )
 }

@@ -107,7 +107,13 @@ object AgeFunctions {
     * O(1) no-ops while the secret registry is unchanged — query bodies call
     * this defensively, and re-binding 8 UDFs per execution is pure planner
     * overhead (it showed up as ~tens of ms in the bench loop). */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = synchronized {
+    // version + snapshot are read INSIDE the lock: with concurrent queries
+    // (parallel Verify) an unsynchronized register could read a pre-CREATE
+    // snapshot, lose the CPU, and then overwrite the onChange hook's fresh
+    // registration with stale secret bindings — age06's secret-name lookup
+    // then fails at execution. Atomic read-check-register makes the last
+    // writer's (version, snapshot) pair consistent.
     val version = AgeSecretManager.version
     if (sessions.get(spark) == version) return
     val secrets: Secrets = AgeSecretManager.snapshot

@@ -32,7 +32,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim06_semantic_dedup", "tx12_tfidf_top_term", "dd06_neardup_exact200",
     "age04_roundtrip_multi", "age11_key_rotation",
     "sim07_topk_operator", // sim01's shape through the custom physical operator
-    "sim08_ann_recall") // sim01's exact side + sim03's broadcast codebook
+    "sim08_ann_recall", // sim01's exact side + sim03's broadcast codebook
+    "tx16_zipf_vocab") // 1-row corpus-total broadcast into coverage (tx12 shape)
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
