@@ -996,6 +996,32 @@ object Relational {
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
                AS last_purchase_cents
-      FROM e ORDER BY user_id, event_id"""))
+      FROM e ORDER BY user_id, event_id""")),
+
+    // ---- q49: FILTER-clause aggregates — the SQL-standard conditional
+    // aggregation idiom (one pass, N predicates) that replaces N
+    // self-joins or CASE pyramids: every FILTER'd aggregate is still one
+    // map-side-combined hash aggregate over a single scan, so the 100 TB
+    // cost is one pass regardless of how many conditional metrics ride it.
+    QueryDef("q49_filtered_agg", (s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COALESCE(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+                 FILTER (WHERE l_tax > 0.04) AS BIGINT), 0)
+                 AS taxed_cents
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }, Some("""
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+             COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+             COALESCE(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+               FILTER (WHERE l_tax > 0.04) AS BIGINT), 0)
+               AS taxed_cents
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -1046,6 +1046,36 @@ object TextDedup {
             FROM freq)
       SELECT word, freq, CAST(rank AS INTEGER) AS rank,
              CAST((cum * 1000000) // t AS BIGINT) AS cov_ppm
-      FROM r, tot ORDER BY rank"""))
+      FROM r, tot ORDER BY rank""")),
+
+    // ---- dd17: edit-distance near-dup confirm — the second LSH-then-
+    // verify shape (dd15 verifies with Jaccard; real pipelines confirming
+    // SMALL edits use Levenshtein): MinHash-LSH proposes candidate pairs,
+    // the exact confirm runs ONLY on candidates, and Spark's 3-arg
+    // levenshtein(l, r, threshold) bounds the DP to the O(k·n) band and
+    // early-abandons above k — per-pair cost is capped at 100 TB even for
+    // long documents (it returns -1 above the threshold, filtered here).
+    // The oracle recomputes the unbounded distance and post-filters; kept
+    // rows carry identical distances by the threshold contract.
+    QueryDef("dd17_editdist_confirm", (s, d) => {
+      val d200 = docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text")
+      val cands = minhashBandPairs(shinglesRawOf(d200)).select("ida", "idb")
+      cands
+        .join(d200.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
+        .join(d200.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
+        .select(col("ida"), col("idb"),
+          levenshtein(col("ta"), col("tb"), 50).cast("int").as("dist"))
+        .filter(col("dist") >= 0)
+        .orderBy("ida", "idb")
+    }, Some(s"""
+      WITH docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      ${minhashPairsSql("docs200")},
+      confirmed AS (
+        SELECT p.ida, p.idb, levenshtein(a.text, b.text) AS dist
+        FROM pairs p
+        JOIN docs200 a ON a.doc_id = p.ida
+        JOIN docs200 b ON b.doc_id = p.idb)
+      SELECT ida, idb, CAST(dist AS INTEGER) AS dist
+      FROM confirmed WHERE dist <= 50 ORDER BY ida, idb"""))
   )
 }
