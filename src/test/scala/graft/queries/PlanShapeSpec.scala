@@ -163,4 +163,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       "tx15 should have exactly the per-lang window exchange")
   }
+
+  test("dd16 per-doc gram set is built map-side (one explode, one gram shuffle)") {
+    val plan = physicalPlan("dd16_boilerplate_ngrams")
+    assert(plan.contains("array_distinct"), "dd16 lost the map-side per-doc dedup")
+    assert("Generate".r.findAllIn(plan).size == 1, "dd16 should explode once")
+    // per-doc set via array_distinct means NO (doc, gram) distinct exchange:
+    // partial count -> one hash exchange on gram -> final -> sort exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "dd16 should shuffle exactly once on the gram")
+  }
+
+  test("q48 LOCF is one user_id shuffle feeding a running window") {
+    val plan = physicalPlan("q48_locf_gapfill")
+    assert(plan.contains("last("), "q48 lost the ignore-nulls last_value")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "q48 should shuffle exactly once on user_id")
+  }
+
+  test("q49 FILTER aggregates stay one pass (no Expand, one aggregate exchange)") {
+    val plan = physicalPlan("q49_filtered_agg")
+    assert(!plan.contains("Expand"), "q49 grew an Expand — conditional " +
+      "aggregation must stay single-pass")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "q49 should shuffle exactly once on the group key")
+  }
+
+  test("graph06 iterates over the checkpointed edge projection (no rebuild per iteration)") {
+    val plan = physicalPlan("graph06_pagerank")
+    // localCheckpoint materializes edges once; iterations must scan the
+    // checkpointed RDD, not re-derive the orders⨝lineitem projection
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      "graph06 lost the checkpointed edge reuse")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "graph06 grew an unbounded join")
+  }
+
+  test("dd17 confirm runs threshold-banded levenshtein on LSH candidates only") {
+    val plan = physicalPlan("dd17_editdist_confirm")
+    assert(plan.contains("levenshtein"), "dd17 lost the edit-distance confirm")
+    assert(plan.contains("50"), "dd17 lost the DP threshold bound")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "dd17 must confirm candidates, never all pairs")
+  }
 }
