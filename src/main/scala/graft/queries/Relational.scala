@@ -1022,6 +1022,27 @@ object Relational {
              COALESCE(CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
                FILTER (WHERE l_tax > 0.04) AS BIGINT), 0)
                AS taxed_cents
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q50: GROUP BY ALL — the modern-SQL ergonomic idiom (DuckDB
+    // popularized it; Spark 4 supports it): every non-aggregate select
+    // item becomes a grouping key. Planner sugar only — the physical plan
+    // is the same map-side-combined two-phase aggregate as writing the
+    // keys out, so it is free at any scale. Same SQL text runs on both
+    // engines verbatim.
+    QueryDef("q50_group_by_all", (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+        FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority""")
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+      FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority"""))
   )
 }
