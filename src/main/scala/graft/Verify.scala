@@ -95,6 +95,13 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt, todo.size))
     val pool = Executors.newFixedThreadPool(workers)
     val t0 = System.nanoTime()
+    // A thrown query must be LOUD (ADVICE r10): CORRECTNESS_r10 read as
+    // "all green" while 7 queries silently vanished because the catch
+    // below only logged to stderr. Now each failure ALSO writes a
+    // `<name>._FAILED` marker file next to the (absent) parquet dir and
+    // lands in a `verify_errors.json` manifest, so the compare — or any
+    // human reading the out dir — sees the failure instead of an omission.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     todo.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit = {
@@ -109,14 +116,26 @@ object Verify {
               .parquet(s"$outDir/$name")
             System.err.println(f"[verify] $name ok ${(System.nanoTime()-tq)/1e9}%.1fs")
           } catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            System.err.println(s"[verify] $name FAILED: $msg")
+            failures.add((name, msg))
+            try Files.writeString(Paths.get(s"$outDir/$name._FAILED"), msg)
+            catch { case _: Throwable => () }
           }
         }
       })
     }
     pool.shutdown()
     pool.awaitTermination(4, TimeUnit.HOURS)
-    System.err.println(f"[verify] total ${(System.nanoTime()-t0)/1e9}%.1fs for ${todo.size} queries x $workers workers")
+    val failed = {
+      val it = failures.iterator(); val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) b += it.next(); b.result().sortBy(_._1)
+    }
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      failed.map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}"))
+    System.err.println(f"[verify] total ${(System.nanoTime()-t0)/1e9}%.1fs for ${todo.size} queries x $workers workers; ${failed.size} FAILED")
+    // exit 0 even on failures: the driver must still run the DuckDB compare
+    // over the queries that DID dump — the markers carry the bad news
     base.stop()
   }
 }

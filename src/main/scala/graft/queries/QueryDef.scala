@@ -43,9 +43,32 @@ object Tables {
     })
   }
 
-  /** Read one testdata table. `events.ts` is TIMESTAMP(NANOS) parquet,
-    * which Spark 4 only reads as Long via the legacy flag — normalize it
-    * back to a (microsecond) timestamp here so queries see a real ts. */
+  /** Normalize an event-time `ts` column to [[TimestampType]] no matter
+    * which parquet shape the testdata writer produced. Three shapes have
+    * shipped so far:
+    *   - `timestamp[ns]` — Spark 4 only reads it as Long (via the legacy
+    *     nanosAsLong flag); integer-div to micros (NOT `/`: double division
+    *     of ~1.7e18 ns loses ULPs and can flip a microsecond — caught by
+    *     the q27 oracle at row 3167).
+    *   - `timestamp[us], isAdjustedToUTC=0` — Spark reads TIMESTAMP_NTZ,
+    *     which `unix_millis`/`withWatermark` reject. Sessions pin the TZ to
+    *     UTC, so `cast(TimestampType)` is value-preserving.
+    *   - already `timestamp` — pass through.
+    * Every batch consumer goes through [[load]]; every `readStream` source
+    * over `events` MUST route through this helper too (a raw parquet ts
+    * column may be NTZ and would fail analysis at the watermark). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    if (!df.columns.contains("ts")) df
+    else df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
+  /** Read one testdata table, with `events.ts` normalized to a true
+    * (UTC-adjusted, microsecond) timestamp via [[normalizeTs]]. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (loadCache.size > 128) // drop entries pinned by stopped test sessions
       loadCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
@@ -56,12 +79,7 @@ object Tables {
     if (cached != null) cached
     else {
       val df = loadRaw(spark, dir, name)
-      val normalized =
-        if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          // integer div, not `/`: double division of ~1.7e18 ns loses ULPs and
-          // can flip a microsecond (caught by the q27 oracle at row 3167)
-          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else df
+      val normalized = if (name == "events") normalizeTs(df) else df
       loadCache.putIfAbsent((spark, dir, name), normalized)
       loadCache.get((spark, dir, name))
     }

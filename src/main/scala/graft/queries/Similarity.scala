@@ -593,7 +593,7 @@ object Similarity {
       cb AS (SELECT vec_id AS c, dim, xq AS cq FROM flat WHERE vec_id < 4),
       dist AS (
         SELECT f.vec_id, CAST((f.dim - 1) // 8 AS INTEGER) AS sub, cb.c,
-               SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS d2
+               CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS d2
         FROM flat f JOIN cb ON cb.dim = f.dim
         GROUP BY 1, 2, 3),
       ranked AS (
@@ -652,7 +652,7 @@ object Similarity {
       cb AS (SELECT vec_id AS c, dim, xq AS cq FROM flat WHERE vec_id < 4),
       dist AS (
         SELECT f.vec_id, CAST((f.dim - 1) // 8 AS INTEGER) AS sub, cb.c,
-               SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS d2
+               CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS d2
         FROM flat f JOIN cb ON cb.dim = f.dim
         GROUP BY 1, 2, 3),
       codes AS (
@@ -662,11 +662,11 @@ object Similarity {
           FROM dist) WHERE rn = 1),
       tbl AS (
         SELECT f.vec_id AS qid, CAST((f.dim - 1) // 8 AS INTEGER) AS sub,
-               cb.c AS code, SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS td2
+               cb.c AS code, CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS td2
         FROM flat f JOIN cb ON cb.dim = f.dim
         WHERE f.vec_id < 10 GROUP BY 1, 2, 3),
       scored AS (
-        SELECT t.qid, codes.vid, SUM(t.td2) AS adc
+        SELECT t.qid, codes.vid, CAST(SUM(t.td2) AS BIGINT) AS adc
         FROM codes JOIN tbl t ON t.sub = codes.sub AND t.code = codes.code
         WHERE codes.vid <> t.qid
         GROUP BY 1, 2),

@@ -4,7 +4,6 @@ import graft.streaming.StreamingOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Streaming operators promoted into the batch correctness gate (VERDICT r2
   * "What's missing #2"): each query drives the REAL Structured Streaming
@@ -89,12 +88,10 @@ object StreamingQueries {
       // derives its basePath from the non-glob prefix of the path, so a
       // glob that matches the one file roots the base at the sf directory
       val stream0 = s.readStream.schema(raw.schema).parquet(s"$d/events.parque[t]")
-      // events.ts is TIMESTAMP(NANOS) parquet read as Long (Tables.load
-      // note) — normalize identically here
-      val events =
-        if (raw.schema("ts").dataType == LongType)
-          stream0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else stream0
+      // raw parquet ts may be nanos-Long or NTZ depending on the testdata
+      // writer — Tables.normalizeTs is the single source of truth for both
+      // batch loads and stream sources (an NTZ ts fails withWatermark)
+      val events = Tables.normalizeTs(stream0)
       drain(s, StreamingOps.hourlyRollup(events), "complete") { _ => () }
         .orderBy("hour", "event_type")
     }, Some("""

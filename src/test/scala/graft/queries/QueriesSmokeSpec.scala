@@ -15,6 +15,22 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  // Schema-drift canary (VERDICT r10 #3): the driver has regenerated
+  // /root/testdata with different parquet timestamp shapes twice (nanos →
+  // NTZ micros); each time every event-time query broke at analysis. This
+  // pins the ONE invariant all of them rely on: after Tables.load, ts is a
+  // true UTC-adjusted TimestampType — whatever the writer produced.
+  test("events.ts loads as TimestampType at every sf") {
+    import org.apache.spark.sql.types.TimestampType
+    for (sfn <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sfn"
+      if (new java.io.File(dir).isDirectory) {
+        val dt = Tables.load(spark, dir, "events").schema("ts").dataType
+        assert(dt == TimestampType, s"sf$sfn events.ts loaded as $dt")
+      }
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
