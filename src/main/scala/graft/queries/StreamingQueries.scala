@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * as late), state TTLs are sized so nothing expires mid-run, and outputs
   * are DISTINCT + totally ordered — so micro-batch boundaries cannot
   * change the result set.
+  *
+  * Event-time rule (VERDICT r10 #7): NEVER watermark a raw parquet ts
+  * column — the testdata writer has shipped both nanos (reads as Long) and
+  * NTZ micros (rejected by withWatermark) shapes. Either route the source
+  * through [[Tables.normalizeTs]] (stream02) or synthesize event time with
+  * `timestamp_millis` (stream06/08/09); batch feeds via [[Tables.load]]
+  * are already normalized.
   */
 object StreamingQueries {
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)

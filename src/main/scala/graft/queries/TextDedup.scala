@@ -1076,6 +1076,163 @@ object TextDedup {
         JOIN docs200 a ON a.doc_id = p.ida
         JOIN docs200 b ON b.doc_id = p.idb)
       SELECT ida, idb, CAST(dist AS INTEGER) AS dist
-      FROM confirmed WHERE dist <= 50 ORDER BY ida, idb"""))
+      FROM confirmed WHERE dist <= 50 ORDER BY ida, idb""")),
+
+    // ---- tx17: BPE merge-candidate mining — the first iteration of BPE
+    // tokenizer training: the most frequent adjacent character pairs,
+    // weighted by word frequency. The 100 TB shape is the point: the
+    // corpus-sized scan collapses to the VOCABULARY in the first exchange
+    // (explode words → map-side-combined count), and all character-level
+    // work runs on distinct words only — a corpus 1000× bigger with the
+    // same vocabulary does no more pair work, which is why real BPE
+    // trainers (GPT-2's, SentencePiece) all pre-aggregate to word counts.
+    QueryDef("tx17_bpe_merge_pairs", (s, d) => {
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .filter(length(col("word")) >= 2)
+      words
+        .select(col("n"), explode(
+          expr("transform(sequence(1, char_length(word)-1), i -> substr(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("pair"))
+        .limit(20)
+    }, Some("""
+      WITH words AS (
+        SELECT w AS word, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY 1),
+      pairs AS (
+        SELECT substr(word, i, 2) AS pair, CAST(SUM(n) AS BIGINT) AS total
+        FROM (SELECT word, n, unnest(generate_series(1, len(word)-1)) AS i
+              FROM words WHERE len(word) >= 2)
+        GROUP BY 1)
+      SELECT pair, total FROM pairs ORDER BY total DESC, pair LIMIT 20""")),
+
+    // ---- tx18: quality-filter ATTRITION report — tx05 answers "how many
+    // docs survive"; this answers the debugging question every pipeline
+    // run starts with: WHICH rule kills how many docs, per source. Rules
+    // are the Gopher/RefinedWeb shapes (token-count bounds, mean-token-
+    // length bounds, minimum stopword evidence, distinct-token ratio),
+    // with bounds placed to discriminate on this corpus (the published
+    // mean-length bound [3,10] is kept verbatim — passing ~all docs is
+    // itself the signal that the corpus is prose-like). All rule inputs
+    // are exact ints or single IEEE divisions, so both engines agree
+    // bit-for-bit at the thresholds. One scan, one source-sized exchange.
+    QueryDef("tx18_gopher_attrition", (s, d) => {
+      val ws = split(col("text"), " ")
+      val stopArr = array(stopwords.map(lit): _*)
+      def fails(p: Column) = sum(when(!p, 1L).otherwise(0L))
+      val doc = docs(s, d)
+        .withColumn("ntok", size(ws))
+        .withColumn("meanlen", length(col("text")).cast("double") / size(ws))
+        .withColumn("nstop", size(filter(ws, w => array_contains(stopArr, w))))
+        .withColumn("uniq", size(array_distinct(ws)).cast("double") / size(ws))
+        .withColumn("p1", col("ntok") >= 25 && col("ntok") <= 100000)
+        .withColumn("p2", col("meanlen") >= 3.0 && col("meanlen") <= 10.0)
+        .withColumn("p3", col("nstop") >= 2)
+        .withColumn("p4", col("uniq") >= 0.45)
+      doc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          fails(col("p1")).as("f_len"), fails(col("p2")).as("f_meanlen"),
+          fails(col("p3")).as("f_stop"), fails(col("p4")).as("f_uniq"),
+          sum(when(col("p1") && col("p2") && col("p3") && col("p4"), 1L)
+            .otherwise(0L)).as("n_keep"))
+        .orderBy("source")
+    }, Some("""
+      WITH scored AS (
+        SELECT source,
+               len(string_split(text,' ')) AS ntok,
+               CAST(length(text) AS DOUBLE)/len(string_split(text,' ')) AS meanlen,
+               len(list_filter(string_split(text,' '),
+                   w -> list_contains(['the','a','of','and','to','in'], w))) AS nstop,
+               CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                 / len(string_split(text,' ')) AS uniq
+        FROM documents),
+      flags AS (
+        SELECT source,
+               (ntok >= 25 AND ntok <= 100000) AS p1,
+               (meanlen >= 3.0 AND meanlen <= 10.0) AS p2,
+               (nstop >= 2) AS p3, (uniq >= 0.45) AS p4
+        FROM scored)
+      SELECT source, COUNT(*) AS n_total,
+             CAST(SUM(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+             CAST(SUM(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+             CAST(SUM(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+             CAST(SUM(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT) AS f_uniq,
+             CAST(SUM(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM flags GROUP BY source ORDER BY source""")),
+
+    // ---- dd18: dedup cluster-size HISTOGRAM — the multiplicity report a
+    // dedup run is judged by ("how much of the corpus is duplicated N
+    // ways"): dd09's LSH→connected-components clusters bucketed by size,
+    // plus the singleton row (docs in no candidate pair) so every doc is
+    // accounted for. Cluster sizes from edges are ≥2 by construction, so
+    // the singleton row is exactly the anti-join remainder. Scale: the
+    // histogram is a two-level aggregate over the (already tiny) cluster
+    // relation; the heavy lifting is dd09's banded candidate generation,
+    // never all-pairs.
+    QueryDef("dd18_cluster_size_histogram", (s, d) => {
+      import s.implicits._
+      val d200 = docs(s, d).filter(col("doc_id") < 200).select("doc_id")
+      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
+      val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
+        .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
+      val comp = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+        .connectedComponents().vertices.toDF("doc_id", "root")
+      val multi = comp.groupBy(col("root")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+      val single = d200.join(comp.select("doc_id"), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(lit(1L).as("csize"), col("n_clusters"),
+          col("n_clusters").as("n_docs"))
+        .filter(col("n_clusters") > 0)
+      multi.unionByName(single).orderBy("csize")
+    }, Some(s"""
+      WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      ${minhashPairsSql("docs200")},
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node),
+      sizes AS (SELECT root, COUNT(*) AS csize FROM comp GROUP BY 1),
+      multi AS (SELECT csize, COUNT(*) AS n_clusters, CAST(SUM(csize) AS BIGINT) AS n_docs
+                FROM sizes GROUP BY 1),
+      single AS (SELECT CAST(1 AS BIGINT) AS csize, COUNT(*) AS n_clusters,
+                        COUNT(*) AS n_docs
+                 FROM docs200 WHERE doc_id NOT IN (SELECT node FROM comp)
+                 HAVING COUNT(*) > 0)
+      SELECT csize, n_clusters, n_docs FROM multi
+      UNION ALL SELECT csize, n_clusters, n_docs FROM single
+      ORDER BY csize""")),
+
+    // ---- tx19: JSONL round-trip — newline-delimited JSON is the
+    // interchange format every LLM data pipeline ingests and publishes;
+    // this drives Spark's json SINK then SOURCE (schema-explicit read: no
+    // inference pass — at 100 TB, schema inference is a full extra scan)
+    // and proves the documents table survives the trip byte-exactly via
+    // the same per-lang aggregate the parquet oracle computes. Unique temp
+    // dir per invocation: Verify runs queries concurrently.
+    QueryDef("tx19_jsonl_io", (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+      docs(s, d).select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").json(tmp)
+      val back = s.read.schema("doc_id LONG, text STRING, lang STRING").json(tmp)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             MIN(doc_id) AS first_doc
+      FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }
