@@ -207,4 +207,41 @@ class PlanShapeSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       "dd17 must confirm candidates, never all pairs")
   }
+
+  test("tx17 BPE pair mining collapses corpus to vocabulary before char work") {
+    val plan = physicalPlan("tx17_bpe_merge_pairs")
+    // corpus explode -> word agg (exchange 1, vocab-sized) -> pair explode
+    // -> pair agg (exchange 2) -> TakeOrdered; char-level work must sit
+    // ABOVE the word aggregate so it is vocab-bounded at any corpus size
+    assert("Generate".r.findAllIn(plan).size == 2, "tx17 should explode exactly twice")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      "tx17 should shuffle exactly twice (word, then pair)")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "tx17 top-20 must ride TakeOrdered, not a global sort")
+  }
+
+  test("tx18 attrition report is one scan, one aggregate exchange, no explode") {
+    val plan = physicalPlan("tx18_gopher_attrition")
+    assert(!plan.contains("Generate"), "tx18 rule inputs must stay array exprs, not explodes")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "tx18 should shuffle exactly once on source")
+    assert(plan.contains("ReadSchema: struct<text:string,source:string>"),
+      "tx18 scan must prune to the two used columns")
+  }
+
+  test("tx19 reads JSONL with an explicit schema (no inference scan)") {
+    val plan = physicalPlan("tx19_jsonl_io")
+    assert(plan.contains("FileScan json"), "tx19 lost the json source")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang:string>"),
+      "tx19 must read with the explicit schema")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "tx19 should shuffle exactly once on lang")
+  }
+
+  test("dd18 histogram rides the GraphX component relation, never all pairs") {
+    val plan = physicalPlan("dd18_cluster_size_histogram")
+    assert(plan.contains("SerializeFromObject"), "dd18 lost the GraphX CC vertex relation")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), "dd18 grew an unbounded join")
+  }
 }
