@@ -675,6 +675,58 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
         FROM scored)
       SELECT qid, vid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INTEGER) AS rank
-      FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ---- sim11: MATRYOSHKA (truncated-dimension) retrieval recall — the
+    // third standard ANN compression next to int8 (sim05) and PQ (sim09):
+    // MRL-style embeddings are searched on their first-k prefix (here
+    // 16 of 64 dims — 4× less bandwidth and compute per comparison), and
+    // this measures what that costs: per query, |prefix-cosine top-5 ∩
+    // full-cosine top-5| / 5. Same integer-quantized determinism and
+    // bounded topk_agg exchange discipline as sim08; both rankings scan
+    // once, and the prefix slice happens inside the scan projection — at
+    // 100 TB the prefix pass reads the same rows but does quarter the
+    // vector math, exactly MRL's production trade.
+    QueryDef("sim11_matryoshka_recall", (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val scored = q.join(v, col("qid") =!= col("vid"))
+        .withColumn("sq", floor(cosine(col("qe"), col("ve")) * 10000).cast("double"))
+        .withColumn("s16", floor(cosine(slice(col("qe"), 1, 16),
+          slice(col("ve"), 1, 16)) * 10000).cast("double"))
+      def top5(df: DataFrame, score: Column): DataFrame = df
+        .groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_agg(score, col("vid"), 5).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("vid"))
+      val exact5 = top5(scored, col("sq"))
+      val prefix5 = top5(scored, col("s16"))
+      val common = exact5.join(prefix5, Seq("qid", "vid"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_common"))
+      exact5.select("qid").distinct()
+        .join(common, Seq("qid"), "left")
+        .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"),
+          (coalesce(col("n_common"), lit(0L)) * 2000).as("recall_x1e4"))
+        .orderBy("qid")
+    }, Some("""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, v.vec_id AS vid,
+               CAST(FLOOR(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 v.embedding::DOUBLE[])*10000) AS BIGINT) AS sq,
+               CAST(FLOOR(list_cosine_similarity((q.embedding[1:16])::DOUBLE[],
+                                                 (v.embedding[1:16])::DOUBLE[])*10000) AS BIGINT) AS s16
+        FROM embeddings q JOIN embeddings v ON q.vec_id < 10 AND q.vec_id <> v.vec_id),
+      exact5 AS (SELECT qid, vid FROM (
+        SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sq DESC, vid) AS rn
+        FROM scored) WHERE rn <= 5),
+      prefix5 AS (SELECT qid, vid FROM (
+        SELECT qid, vid, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s16 DESC, vid) AS rn
+        FROM scored) WHERE rn <= 5)
+      SELECT e.qid AS qid, COUNT(p.vid) AS n_common,
+             CAST(COUNT(p.vid) * 2000 AS BIGINT) AS recall_x1e4
+      FROM exact5 e LEFT JOIN prefix5 p ON e.qid = p.qid AND e.vid = p.vid
+      GROUP BY e.qid ORDER BY e.qid"""))
   )
 }

@@ -33,6 +33,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "age04_roundtrip_multi", "age11_key_rotation",
     "sim07_topk_operator", // sim01's shape through the custom physical operator
     "sim08_ann_recall", // sim01's exact side + sim03's broadcast codebook
+    "sim11_matryoshka_recall", // sim08's exact side, 10 bounded queries
     "tx16_zipf_vocab") // 1-row corpus-total broadcast into coverage (tx12 shape)
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
