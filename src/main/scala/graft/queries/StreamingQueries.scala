@@ -385,6 +385,35 @@ object StreamingQueries {
       SELECT user_id, MIN(tms) AS sess_start,
              CAST(MAX(tms) - MIN(tms) AS BIGINT) AS dur_ms,
              COUNT(*) AS n_events
-      FROM sessions GROUP BY user_id, sid ORDER BY user_id, sess_start"""))
+      FROM sessions GROUP BY user_id, sid ORDER BY user_id, sess_start""")),
+
+    // ---- stream10: streaming JSONL ingest — tx19's interchange format on
+    // the arrival path a 100 TB landing zone actually has: documents land
+    // as newline-delimited JSON files, readStream discovers and parses
+    // them with an EXPLICIT schema (inference on a stream is a trap: it
+    // samples only the files present at start), and a complete-mode
+    // rollup proves every row survived the trip. The JSONL zone is
+    // written batch-side first (tx19's writer, unique dir per invocation
+    // — Verify runs queries concurrently); the operator under test is the
+    // json FileStreamSource + the streaming aggregate.
+    QueryDef("stream10_jsonl_ingest", (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_stream_").toString
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").json(tmp)
+      val stream = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING").json(tmp)
+      val rolled = stream.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+      drain(s, rolled, "complete") { _ => () }
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             MIN(doc_id) AS first_doc
+      FROM documents GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -33,4 +33,16 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(stream.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(stream).count() == 0)
   }
+
+  test("stream10 JSONL ingest rollup == batch documents aggregation") {
+    val stream = run("stream10_jsonl_ingest")
+    val batch = Tables.load(spark, sf, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+    assert(stream.count() > 0)
+    assert(stream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stream).count() == 0)
+  }
 }
