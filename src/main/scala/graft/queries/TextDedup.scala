@@ -1212,6 +1212,47 @@ object TextDedup {
       UNION ALL SELECT csize, n_clusters, n_docs FROM single
       ORDER BY csize""")),
 
+    // ---- tx20: DSIR-style importance weighting — data SELECTION, the
+    // pipeline stage after cleaning and dedup: score each document by how
+    // much its unigrams look like a target slice (here lang='en') vs the
+    // raw corpus, and keep the top-k. Published DSIR uses hashed-n-gram
+    // log-likelihood ratios; this is the same estimator with add-one
+    // smoothing kept in INTEGER arithmetic (per-word weight =
+    // (tf_target+1)*10000 div (tf_raw+V) — rank-preserving for selection,
+    // and exact in any engine; a float log at a floor boundary is not).
+    // Scale shape: both frequency tables and the weight table are
+    // VOCABULARY-sized (broadcast side of the scoring join); the only
+    // corpus-sized exchanges are the word explode's map-side-combined
+    // counts and the per-doc sum — tx12's TF-IDF discipline.
+    QueryDef("tx20_dsir_weights", (s, d) => {
+      val words = docs(s, d)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val tfAll = words.groupBy("w").agg(count(lit(1)).as("tf_r"))
+      val tfTgt = words.filter(col("lang") === "en")
+        .groupBy("w").agg(count(lit(1)).as("tf_t"))
+      val vocab = tfAll.agg(count(lit(1)).as("vocab"))
+      val wt = tfAll.join(tfTgt, Seq("w"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("w"),
+          expr("((coalesce(tf_t, 0L) + 1L) * 10000L) div (tf_r + vocab)").as("wt"))
+      words.join(broadcast(wt), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("wt")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(50)
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf_r AS (SELECT w, COUNT(*) AS tf_r FROM words GROUP BY 1),
+      tf_t AS (SELECT w, COUNT(*) AS tf_t FROM words WHERE lang = 'en' GROUP BY 1),
+      v AS (SELECT COUNT(*) AS vocab FROM tf_r),
+      wt AS (SELECT w, ((COALESCE(tf_t, 0) + 1) * 10000) // (tf_r + vocab) AS wt
+             FROM tf_r LEFT JOIN tf_t USING (w), v),
+      scores AS (SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS score
+                 FROM words JOIN wt USING (w) GROUP BY 1)
+      SELECT doc_id, score FROM scores
+      ORDER BY score DESC, doc_id LIMIT 50""")),
+
     // ---- tx19: JSONL round-trip — newline-delimited JSON is the
     // interchange format every LLM data pipeline ingests and publishes;
     // this drives Spark's json SINK then SOURCE (schema-explicit read: no

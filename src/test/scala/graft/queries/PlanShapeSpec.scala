@@ -34,7 +34,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim07_topk_operator", // sim01's shape through the custom physical operator
     "sim08_ann_recall", // sim01's exact side + sim03's broadcast codebook
     "sim11_matryoshka_recall", // sim08's exact side, 10 bounded queries
-    "tx16_zipf_vocab") // 1-row corpus-total broadcast into coverage (tx12 shape)
+    "tx16_zipf_vocab", // 1-row corpus-total broadcast into coverage (tx12 shape)
+    "tx20_dsir_weights") // 1-row vocab-size broadcast into the weight calc (tx12 shape)
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
