@@ -54,6 +54,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", // bucketed-table queries (q51)
+        Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.codegen.wholeStage", "false")
       .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")

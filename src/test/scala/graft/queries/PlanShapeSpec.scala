@@ -240,6 +240,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "tx19 should shuffle exactly once on lang")
   }
 
+  test("q51 bucketed join co-locates: no exchange below the join") {
+    val plan = physicalPlan("q51_bucketed_join")
+    assert(plan.contains("SortMergeJoin"), "q51 lost the merge join")
+    assert(plan.contains("SelectedBucketsCount"), "q51 scans must be bucketed reads")
+    // the ONLY hash exchange is the post-join aggregate on o_orderpriority;
+    // both join inputs arrive pre-distributed by their 8 write-time buckets
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "q51 join inputs must ride the bucket distribution, not a shuffle")
+  }
+
   test("dd18 histogram rides the GraphX component relation, never all pairs") {
     val plan = physicalPlan("dd18_cluster_size_histogram")
     assert(plan.contains("SerializeFromObject"), "dd18 lost the GraphX CC vertex relation")
