@@ -727,6 +727,48 @@ object Similarity {
       SELECT e.qid AS qid, COUNT(p.vid) AS n_common,
              CAST(COUNT(p.vid) * 2000 AS BIGINT) AS recall_x1e4
       FROM exact5 e LEFT JOIN prefix5 p ON e.qid = p.qid AND e.vid = p.vid
-      GROUP BY e.qid ORDER BY e.qid"""))
+      GROUP BY e.qid ORDER BY e.qid""")),
+
+    // ---- sim12: HYBRID (filtered) search — the RAG retrieval shape: a
+    // metadata predicate (here lang='en', the source/ACL/recency filter of
+    // a real index) prunes the corpus FIRST, then cosine top-3 runs only
+    // on survivors. The order matters at 100 TB: the predicate is a
+    // pushdown-able scan filter on the (cheap) metadata table joined to
+    // vectors by id, so the vector math — the expensive part — touches
+    // only the filtered sliver; post-filtering an unfiltered top-k instead
+    // UNDER-RETURNS when the filter is selective. Same bounded-query-side
+    // scoring and integer quantization as sim01; top-3 via bounded
+    // topk_agg exchanges.
+    QueryDef("sim12_hybrid_search", (s, d) => {
+      val keep = Tables.load(s, d, "documents")
+        .filter(col("lang") === "en").select(col("doc_id"))
+      val e = emb(s, d)
+      val cand = e.join(keep, e("vec_id") === keep("doc_id"), "left_semi")
+        .select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val scored = q.join(cand, col("qid") =!= col("vid"))
+        .withColumn("sq", floor(cosine(col("qe"), col("ve")) * 10000).cast("double"))
+      scored.groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_agg(col("sq"), col("vid"), 3).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("vid"), col("t.score").cast("long").as("cos_x1e4"))
+        .orderBy(col("qid"), col("cos_x1e4").desc, col("vid"))
+    }, Some("""
+      WITH keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      scored AS (
+        SELECT q.vec_id AS qid, v.vec_id AS vid,
+               CAST(FLOOR(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 v.embedding::DOUBLE[])*10000) AS BIGINT)
+                 AS cos_x1e4
+        FROM embeddings q
+        JOIN embeddings v ON q.vec_id < 10 AND q.vec_id <> v.vec_id
+        JOIN keep k ON v.vec_id = k.doc_id),
+      ranked AS (
+        SELECT qid, vid, cos_x1e4,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vid) AS rank
+        FROM scored)
+      SELECT qid, vid, cos_x1e4
+      FROM ranked WHERE rank <= 3 ORDER BY qid, cos_x1e4 DESC, vid"""))
   )
 }

@@ -34,6 +34,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim07_topk_operator", // sim01's shape through the custom physical operator
     "sim08_ann_recall", // sim01's exact side + sim03's broadcast codebook
     "sim11_matryoshka_recall", // sim08's exact side, 10 bounded queries
+    "sim12_hybrid_search", // sim01's bounded query side over the filtered sliver
     "tx16_zipf_vocab", // 1-row corpus-total broadcast into coverage (tx12 shape)
     "tx20_dsir_weights") // 1-row vocab-size broadcast into the weight calc (tx12 shape)
 
