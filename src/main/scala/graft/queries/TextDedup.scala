@@ -1212,6 +1212,41 @@ object TextDedup {
       UNION ALL SELECT csize, n_clusters, n_docs FROM single
       ORDER BY csize""")),
 
+    // ---- tx21: curriculum stage assignment — training-ORDER prep: docs
+    // ranked by a quality signal (tx02's distinct-token ratio, integer-
+    // quantized) and cut into 4 equal stages per language with NTILE, the
+    // easy→hard curriculum shape. The per-lang PARTITION BY is the scale
+    // lever (tx15's discipline): each language sorts independently, so no
+    // global single-partition sort exists; at 100 TB the same stages come
+    // from approx-quantile cutpoints instead of an exact ntile, with this
+    // exact version as the certification oracle. NTILE fan-out is
+    // deterministic: total order within lang via (score, doc_id).
+    QueryDef("tx21_curriculum_stages", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ws = split(col("text"), " ")
+      val score = floor(size(array_distinct(ws)).cast("double") / size(ws) * 10000)
+        .cast("long")
+      val doc = docs(s, d).select(col("doc_id"), col("lang"), score.as("score"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+      doc.withColumn("stage", ntile(4).over(w))
+        .groupBy(col("lang"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+        .orderBy("lang", "stage")
+    }, Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(FLOOR(CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE)
+                    / len(string_split(text,' ')) * 10000) AS BIGINT) AS score
+        FROM documents),
+      staged AS (
+        SELECT lang, score,
+               NTILE(4) OVER (PARTITION BY lang ORDER BY score, doc_id) AS stage
+        FROM scored)
+      SELECT lang, CAST(stage AS INTEGER) AS stage, COUNT(*) AS n_docs,
+             MIN(score) AS min_score, MAX(score) AS max_score
+      FROM staged GROUP BY lang, stage ORDER BY lang, stage""")),
+
     // ---- tx20: DSIR-style importance weighting — data SELECTION, the
     // pipeline stage after cleaning and dedup: score each document by how
     // much its unigrams look like a target slice (here lang='en') vs the
