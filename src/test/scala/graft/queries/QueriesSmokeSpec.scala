@@ -31,6 +31,23 @@ class QueriesSmokeSpec extends AnyFunSuite {
     }
   }
 
+  // Same canary class for the vector column: every sim/dd embedding
+  // derivation quantizes FLOAT32 coordinates (floor(x*1000)); a writer
+  // drift to float64 would move values at quantization boundaries and
+  // break oracle parity subtly rather than loudly. Pin the element type.
+  test("embeddings.embedding loads as array<float> at every sf") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    for (sfn <- Seq("0.001", "0.01", "0.1")) {
+      val dir = s"/root/testdata/sf$sfn"
+      if (new java.io.File(dir).isDirectory) {
+        val dt = Tables.load(spark, dir, "embeddings").schema("embedding").dataType
+        assert(dt == ArrayType(FloatType, containsNull = true) ||
+          dt == ArrayType(FloatType, containsNull = false),
+          s"sf$sfn embedding loaded as $dt")
+      }
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
