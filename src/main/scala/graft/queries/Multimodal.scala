@@ -119,6 +119,30 @@ object MultimodalQueries {
               FROM f))
       SELECT doc_id, n_chunks, COUNT(DISTINCT fp) AS n_uniq_chunks,
              MIN(fp) AS min_fp
-      FROM chunks GROUP BY 1, 2 ORDER BY doc_id"""))
+      FROM chunks GROUP BY 1, 2 ORDER BY doc_id""")),
+
+    // ---- mm05: RESIZE through the real mapPartitions batch path — the one
+    // ops.Multimodal transform (resizeBatch: deterministic 1-in-4 byte
+    // subsample standing in for pixel resampling) the gate did not yet
+    // drive end-to-end. Unlike mm01-04 (pure Column expressions), this
+    // result is produced by the actual Dataset.mapPartitions plumbing —
+    // typed rows, per-partition batch iterator, codec-init amortization
+    // point — and the oracle reconstructs the same subsample in SQL, so
+    // the partition-local path itself is what gets hash-verified.
+    QueryDef("mm05_resize_fp", (s, d) => {
+      val rows = graft.ops.Multimodal.mediaFromDocuments(s, d)
+      graft.ops.Multimodal.resizeBatch(rows, 4).toDF()
+        .select(col("doc_id"), md5(col("payload")).as("fp"),
+          length(col("payload")).as("out_bytes"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH idx AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(octet_length(CAST(text AS BLOB)) // 4, 1))) AS i
+        FROM documents)
+      SELECT doc_id,
+             md5(string_agg(substr(text, 1 + (i-1)*4, 1), '' ORDER BY i)) AS fp,
+             CAST(COUNT(*) AS INTEGER) AS out_bytes
+      FROM idx GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
