@@ -23,9 +23,19 @@ def norm(df):
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
+# Verify writes a verify_errors.json manifest + <name>._FAILED markers for
+# thrown queries (round 11): surface those as explicit err rows instead of
+# the generic "no spark output".
+try:
+    verify_errors = json.load(open(f"{out_dir}/verify_errors.json"))
+except Exception:
+    verify_errors = {}
+
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
     try:
+        if name in verify_errors:
+            fails.append((name, f"VERIFY ERR {verify_errors[name]}")); continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             fails.append((name, "no spark output")); continue
