@@ -228,6 +228,25 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
             "token_stats(text) takes exactly 1 argument")
         graft.functions.TokenStats(args.head)
       }))
+    extensions.injectFunction((
+      FunctionIdentifier("band_keys"),
+      new ExpressionInfo(classOf[graft.functions.BandKeys].getName, "band_keys",
+        "band_keys(vec, n_planes, band_size) - LSH band keys of a float/double " +
+          "array; n_planes and band_size must be integer literals"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = e match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new graft.core.AgeInvalidInputException(
+            s"band_keys: $what must be an integer literal")
+        }
+        if (args.length != 3)
+          throw new graft.core.AgeInvalidInputException(
+            "band_keys(vec, n_planes, band_size) takes exactly 3 arguments")
+        graft.functions.BandKeys(args.head,
+          intLit(args(1), "n_planes"), intLit(args(2), "band_size"))
+      }))
     // `SELECT * FROM age_secrets()` — catalog-level table-valued function,
     // the closer `duckdb_secrets()` parity (reference FUNCTIONS.md secret
     // listing; the temp view registered by AgeFunctions remains for

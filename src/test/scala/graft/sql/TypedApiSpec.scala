@@ -69,4 +69,21 @@ class TypedApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exactly 2 arguments") ||
       e.getCause != null && e.getCause.getMessage.contains("exactly 2 arguments"))
   }
+
+  test("injected SQL function: band_keys matches the Scala DSL and rejects non-literals") {
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb_bk")
+    val viaSql = spark.sql(
+      "SELECT vec_id, band_keys(embedding, 16, 4) AS keys FROM emb_bk ORDER BY vec_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val viaDsl = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        graft.functions.BandKeys.band_keys(col("embedding"), 16, 4).as("keys"))
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(viaSql.toSeq == viaDsl.toSeq && viaSql.nonEmpty)
+    val e = intercept[Exception] {
+      spark.sql("SELECT band_keys(embedding, vec_id + 1, 4) FROM emb_bk")
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
 }
