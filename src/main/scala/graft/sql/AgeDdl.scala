@@ -247,6 +247,44 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BandKeys(args.head,
           intLit(args(1), "n_planes"), intLit(args(2), "band_size"))
       }))
+    // custom aggregates from pure SQL: the analyzer wraps a returned
+    // AggregateFunction in a Complete AggregateExpression itself
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_agg"),
+      new ExpressionInfo(classOf[graft.functions.MinHashAgg].getName, "minhash_agg",
+        "minhash_agg(hash) - K-permutation MinHash signature of a group of 28-bit hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 1)
+          throw new graft.core.AgeInvalidInputException(
+            "minhash_agg(hash) takes exactly 1 argument")
+        graft.functions.MinHashAgg(args.head)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[graft.functions.BitmapDistinct].getName, "bitmap_distinct",
+        "bitmap_distinct(c) - exact COUNT(DISTINCT) of an integral/date column via paged bitmaps"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 1)
+          throw new graft.core.AgeInvalidInputException(
+            "bitmap_distinct(c) takes exactly 1 argument")
+        graft.functions.BitmapDistinct(args.head)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[graft.functions.TopKAgg].getName, "topk_agg",
+        "topk_agg(score, id, k) - bounded-heap top-k (score desc, id asc); k must be an integer literal"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        if (args.length != 3)
+          throw new graft.core.AgeInvalidInputException(
+            "topk_agg(score, id, k) takes exactly 3 arguments")
+        val k = args(2) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new graft.core.AgeInvalidInputException(
+            "topk_agg: k must be an integer literal")
+        }
+        graft.functions.TopKAgg(args.head, args(1), k)
+      }))
     // `SELECT * FROM age_secrets()` — catalog-level table-valued function,
     // the closer `duckdb_secrets()` parity (reference FUNCTIONS.md secret
     // listing; the temp view registered by AgeFunctions remains for

@@ -86,4 +86,22 @@ class TypedApiSpec extends AnyFunSuite {
     assert(e.getMessage.contains("integer literal") ||
       e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
+
+  test("injected SQL aggregates: bitmap_distinct, topk_agg, minhash_agg from pure SQL") {
+    spark.read.parquet(s"$sf/lineitem.parquet").createOrReplaceTempView("li_agg")
+    val bd = spark.sql(
+      "SELECT bitmap_distinct(l_orderkey) AS n FROM li_agg").collect()(0).getLong(0)
+    val exact = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    assert(bd == exact && bd > 0)
+    val tk = spark.sql("""
+      SELECT topk_agg(CAST(l_quantity AS DOUBLE), l_orderkey, 3) AS top
+      FROM li_agg""").collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.size == 3 && tk.head.getDouble(1) >= tk.last.getDouble(1))
+    // minhash signature of a tiny fixed hash set: deterministic, 64 longs
+    val mh = spark.sql("""
+      SELECT minhash_agg(h) AS sig
+      FROM VALUES (1L), (2L), (3L) AS t(h)""").collect()(0).getSeq[Long](0)
+    assert(mh.length == graft.functions.MinHashAgg.K && mh.forall(_ != Long.MaxValue))
+  }
 }
