@@ -387,6 +387,68 @@ object StreamingQueries {
              COUNT(*) AS n_events
       FROM sessions GROUP BY user_id, sid ORDER BY user_id, sess_start""")),
 
+    // ---- stream11: stream-stream LEFT OUTER interval join — the
+    // semantics stream04 (inner) cannot show: a purchase with NO click in
+    // its trailing 10-minute window must still emit, null-matched — and in
+    // a stream that row can only be produced once the watermark proves no
+    // matching click can still arrive (state eviction IS the null-emission
+    // trigger). Sentinels on BOTH streams advance both watermarks past
+    // every real window, and a second sentinel batch runs the eviction
+    // sweep that flushes the null-matched rows (timeouts fire against the
+    // PREVIOUS batch's watermark — stream03's two-sentinel pattern). The
+    // per-purchase rollup counts non-null clicks, so matched and unmatched
+    // purchases land in ONE deterministic relation == the batch LEFT JOIN.
+    QueryDef("stream11_outer_interval_join", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 300 && col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+          col("event_type"))
+      def feedOf(kind: String) = ev.filter(col("event_type") === kind)
+        .select("user_id", "event_id", "tms")
+        .as[StreamingOps.SessionEvent].collect().toSeq // bounded feed plumbing
+      val maxT = ev.agg(max(col("tms"))).collect()(0).getLong(0)
+      val clicks = MemoryStream[StreamingOps.SessionEvent]
+      val purchases = MemoryStream[StreamingOps.SessionEvent]
+      val cs = clicks.toDF()
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          timestamp_millis(col("tms")).as("cts"))
+        .withWatermark("cts", "0 milliseconds")
+      val ps = purchases.toDF()
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          timestamp_millis(col("tms")).as("pts"))
+        .withWatermark("pts", "0 milliseconds")
+      val joined = ps.join(cs, expr(
+        """p_user = c_user AND cts >= pts - interval 10 minutes AND cts <= pts"""),
+        "left_outer")
+      val far1 = maxT + 3600000L; val far2 = maxT + 7200000L
+      drain(s, joined, "append") { q =>
+        clicks.addData(feedOf("click")); purchases.addData(feedOf("purchase"))
+        q.processAllAvailable()
+        clicks.addData(StreamingOps.SessionEvent(-1L, -1L, far1))
+        purchases.addData(StreamingOps.SessionEvent(-1L, -1L, far1))
+        q.processAllAvailable()
+        clicks.addData(StreamingOps.SessionEvent(-1L, -2L, far2))
+        purchases.addData(StreamingOps.SessionEvent(-1L, -2L, far2))
+      }
+        .filter(col("p_user") >= 0)
+        .groupBy(col("p_user").as("user_id"), col("purchase_id"))
+        .agg(count(col("click_id")).as("n_clicks"),
+          coalesce(min(col("click_id")), lit(-1L)).as("first_click_id"))
+        .orderBy("purchase_id")
+    }, Some("""
+      SELECT p.user_id, p.event_id AS purchase_id,
+             COUNT(c.event_id) AS n_clicks,
+             COALESCE(MIN(c.event_id), -1) AS first_click_id
+      FROM (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+            WHERE event_type = 'purchase' AND user_id <= 300) p
+      LEFT JOIN (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events
+                 WHERE event_type = 'click' AND user_id <= 300) c
+        ON p.user_id = c.user_id
+       AND c.tms >= p.tms - 600000 AND c.tms <= p.tms
+      GROUP BY 1, 2 ORDER BY purchase_id""")),
+
     // ---- stream10: streaming JSONL ingest — tx19's interchange format on
     // the arrival path a 100 TB landing zone actually has: documents land
     // as newline-delimited JSON files, readStream discovers and parses
