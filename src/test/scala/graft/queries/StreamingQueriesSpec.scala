@@ -34,6 +34,47 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() == 0)
   }
 
+  // The fault-tolerance contract every long-running 100 TB pipeline rests
+  // on, which the drain()-based gate queries never exercise: stop a
+  // stateful stream mid-corpus, restart it against the SAME checkpoint,
+  // and require (a) already-processed input is not re-emitted (source
+  // offsets + file-sink commit log) and (b) the dedup STATE is recovered,
+  // so a post-restart duplicate of a pre-restart document is suppressed.
+  test("checkpoint recovery: dedup state and offsets survive a restart") {
+    import spark.implicits._
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    val src = tmp("graft_ckpt_src_"); val out = tmp("graft_ckpt_out_")
+    val ckpt = tmp("graft_ckpt_log_")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    def feed(rows: Seq[(Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("doc_id", "text", "ts").coalesce(1)
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(src)
+      val q = graft.streaming.StreamingOps.dedupStream(stream)
+        .select(col("doc_id"), col("fp"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val t0 = 60000L
+    feed((0L until 50L).map(i => (i, s"doc-$i", ts(t0 + i))))
+    runOnce() // run 1: 50 distinct docs
+    // run 2, same checkpoint: 25 duplicates of run-1 texts (fresh doc_ids,
+    // inside the 1 h watermark) + 25 genuinely new texts
+    feed((0L until 25L).map(i => (100 + i, s"doc-$i", ts(t0 + 1000 + i))) ++
+      (25L until 50L).map(i => (100 + i, s"new-$i", ts(t0 + 1000 + i))))
+    runOnce()
+    val res = spark.read.parquet(out)
+    assert(res.count() == 75, "run-1 rows re-emitted or run-2 dups not suppressed")
+    assert(res.select("fp").distinct().count() == 75)
+    // the suppressed 25 are exactly the run-1 duplicates: no doc_id in
+    // [100, 125) may appear (their fps were claimed in run 1)
+    assert(res.filter(col("doc_id") >= 100 && col("doc_id") < 125).count() == 0)
+  }
+
   test("stream10 JSONL ingest rollup == batch documents aggregation") {
     val stream = run("stream10_jsonl_ingest")
     val batch = Tables.load(spark, sf, "documents")
