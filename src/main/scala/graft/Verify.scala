@@ -116,6 +116,9 @@ object Verify {
           try {
             fn(sess, sfDir).coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
+            // a marker from a previous run into the same outDir must not
+            // shadow this success
+            Files.deleteIfExists(Paths.get(s"$outDir/$name._FAILED"))
             System.err.println(f"[verify] $name ok ${(System.nanoTime()-tq)/1e9}%.1fs")
           } catch { case e: Throwable =>
             val msg = s"${e.getClass.getSimpleName}: ${e.getMessage}"
