@@ -103,5 +103,11 @@ class TypedApiSpec extends AnyFunSuite {
       SELECT minhash_agg(h) AS sig
       FROM VALUES (1L), (2L), (3L) AS t(h)""").collect()(0).getSeq[Long](0)
     assert(mh.length == graft.functions.MinHashAgg.K && mh.forall(_ != Long.MaxValue))
+    // k must be a literal (it sizes the bounded heap at plan time)
+    val e = intercept[Exception] {
+      spark.sql("SELECT topk_agg(CAST(x AS DOUBLE), x, CAST(x AS INT)) FROM VALUES (1L) t(x)")
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
 }
