@@ -31,6 +31,7 @@ object Verify {
   /** Queries measured ≥~2× faster WITH codegen at sf0.01 (r9 A/B): per-row
     * compute density high enough that interpreted eval beats janino cost. */
   private val hotList = Set(
+    "dd04_simhash_hamming", // md5-per-shingle ×64 bit-tests: compute-dense
     "q38_pivot", "q40_lateral_topn", "q42_range_frame", "q43_unpivot",
     "q44_mixed_distinct", "q45_recursive_cte", "q46_distinct_on",
     "q47_list_hof", "sim01_cosine_topk", "sim02_ann_lsh_buckets",
