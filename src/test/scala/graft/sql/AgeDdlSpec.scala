@@ -179,4 +179,31 @@ class AgeDdlSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.sql("SELECT 'CREATE SECRET x' AS s").collect()(0).getString(0)
       == "CREATE SECRET x")
   }
+
+  // The parameter scanner is hand-rolled index arithmetic over the body
+  // text; a malformed body must surface as the library's error (or a
+  // normal parse error), NEVER as StringIndexOutOfBounds or an infinite
+  // loop. Deterministic seed → reproducible corpus.
+  test("parser fuzz: random parameter bodies fail cleanly or parse") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab_09'(),  =\t\nPUBLIC_KEY".toCharArray
+    var parsed = 0; var rejected = 0
+    for (_ <- 1 to 500) {
+      val body = Array.fill(rnd.nextInt(40))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      try {
+        spark.sql(s"CREATE SECRET fuzz_t (TYPE age, $body)")
+        parsed += 1
+        spark.sql("DROP SECRET fuzz_t")
+      } catch {
+        case e: graft.core.AgeInvalidInputException => rejected += 1
+        case e: org.apache.spark.sql.AnalysisException => rejected += 1
+        case e: org.apache.spark.sql.catalyst.parser.ParseException => rejected += 1
+        case e: Throwable if e.getCause != null &&
+          e.getCause.isInstanceOf[graft.core.AgeInvalidInputException] => rejected += 1
+      } // anything else (StringIndexOutOfBounds, NPE, hang) fails the test
+    }
+    assert(parsed + rejected == 500)
+    assert(rejected > 0) // the corpus does contain garbage
+  }
 }
