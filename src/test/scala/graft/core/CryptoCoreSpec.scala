@@ -166,6 +166,38 @@ class CryptoCoreSpec extends AnyFunSuite {
       .getMessage.contains("END marker"))
   }
 
+  // decrypt() parses ATTACKER-CONTROLLED bytes; every malformed input —
+  // pure garbage, truncations at every prefix length, and single-byte
+  // mutations of a valid ciphertext — must fail with the library's
+  // AgeInvalidInputException, never OOB/NPE/negative-size allocation.
+  test("decrypt fuzz: garbage, truncations, and mutations all fail cleanly") {
+    val kp = AgeKeys.fromSeed(Array.tabulate[Byte](32)(_.toByte))
+    val Right(pub) = AgeKeys.parseRecipient(kp.publicKey)
+    val Right(priv) = AgeKeys.parseIdentity(kp.privateKey)
+    val valid = AgeFormat.encrypt("fuzz corpus payload".getBytes, Seq(pub))
+    val rnd = new scala.util.Random(7)
+    def mustFailCleanly(bytes: Array[Byte]): Unit =
+      try { AgeFormat.decrypt(bytes, priv); () }
+      catch {
+        case _: AgeInvalidInputException => ()
+        case e: Throwable => fail(s"non-library failure ${e.getClass.getName}: ${e.getMessage}")
+      }
+    for (_ <- 1 to 200) // garbage
+      mustFailCleanly(Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte))
+    for (len <- 0 until valid.length by 7) // truncations
+      mustFailCleanly(valid.take(len))
+    for (_ <- 1 to 300) { // single-byte mutations (may still decrypt if
+      val m = valid.clone() //  the flip lands in a bit the MAC ignores — none do)
+      val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      try { AgeFormat.decrypt(m, priv); () }
+      catch {
+        case _: AgeInvalidInputException => ()
+        case e: Throwable => fail(s"mutation at $i: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("ciphertext header structure: v1 line, X25519 stanza, mac line") {
     val kp = AgeKeys.generate()
     val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
