@@ -198,6 +198,27 @@ class CryptoCoreSpec extends AnyFunSuite {
     }
   }
 
+  test("dearmor fuzz: random ASCII around the PEM markers fails cleanly") {
+    val rnd = new scala.util.Random(11)
+    val begin = "-----BEGIN AGE ENCRYPTED FILE-----\n"
+    val end = "-----END AGE ENCRYPTED FILE-----\n"
+    val chars = "ABCDEFabcdef0123456789+/=\n- \t"
+    for (i <- 1 to 300) {
+      val mid = Array.fill(rnd.nextInt(200))(chars(rnd.nextInt(chars.length))).mkString
+      // alternate: full wrapper with garbage body / garbage with markers torn off
+      val doc = i % 3 match {
+        case 0 => begin + mid + end
+        case 1 => begin + mid
+        case _ => mid
+      }
+      try { AgeFormat.dearmor(doc.getBytes("UTF-8")); () }
+      catch {
+        case _: AgeInvalidInputException => ()
+        case e: Throwable => fail(s"non-library failure ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("ciphertext header structure: v1 line, X25519 stanza, mac line") {
     val kp = AgeKeys.generate()
     val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
