@@ -54,6 +54,22 @@ class CryptoCoreSpec extends AnyFunSuite {
     assert(toHex(X25519.sharedSecret(b, X25519.derivePublic(a))) == shared)
   }
 
+  // derivePublic is the hand-rolled Montgomery ladder; sharedSecret is the
+  // JDK XDH provider. Pin the two implementations to each other on random
+  // scalars: the ladder's a*G must equal the JDK's agreement of a with the
+  // base point (u=9) presented as a public key. A ladder bug would break
+  // interop with every other age implementation silently — this makes it
+  // loud on 100 seeded keys.
+  test("x25519 ladder vs JDK XDH: derivePublic == XDH(scalar, basepoint) on random scalars") {
+    val base = new Array[Byte](32); base(0) = 9
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 100) {
+      val scalar = Array.fill[Byte](32)(rnd.nextInt(256).toByte)
+      assert(toHex(X25519.derivePublic(scalar)) ==
+        toHex(X25519.sharedSecret(scalar, base)))
+    }
+  }
+
   // --- key encodings against the reference's well-known keys
   // (/root/repo/FIXTURES.md §1.2, originally from the real age tooling —
   // this is a cross-tool interop check on bech32 + key derivation).
