@@ -75,6 +75,34 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(res.filter(col("doc_id") >= 100 && col("doc_id") < 125).count() == 0)
   }
 
+  // The state backend that actually runs at 100 TB: HDFSBackedStateStore
+  // (the default every other test uses) holds state on the JVM heap;
+  // production stateful streaming runs RocksDB. Same dedup, same inputs,
+  // same results — on the RocksDB provider, proving none of our stateful
+  // operators depend on default-provider behavior.
+  test("stateful dedup is backend-agnostic: RocksDB state store provider") {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import sess.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_rocks_src_").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_rocks_out_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_rocks_ckpt_").toString
+    val rows = (0L until 40L).map(i =>
+      (i, s"doc-${i % 20}", new java.sql.Timestamp(60000L + i))) // every text twice
+    rows.toDF("doc_id", "text", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(src)
+    val stream = sess.readStream
+      .schema("doc_id LONG, text STRING, ts TIMESTAMP").parquet(src)
+    val q = graft.streaming.StreamingOps.dedupStream(stream)
+      .select(col("fp"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val res = sess.read.parquet(out)
+    assert(res.count() == 20 && res.distinct().count() == 20)
+  }
+
   test("stream10 JSONL ingest rollup == batch documents aggregation") {
     val stream = run("stream10_jsonl_ingest")
     val batch = Tables.load(spark, sf, "documents")
