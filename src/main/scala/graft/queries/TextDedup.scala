@@ -1262,14 +1262,20 @@ object TextDedup {
     QueryDef("tx20_dsir_weights", (s, d) => {
       val words = docs(s, d)
         .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-      val tfAll = words.groupBy("w").agg(count(lit(1)).as("tf_r"))
-      val tfTgt = words.filter(col("lang") === "en")
-        .groupBy("w").agg(count(lit(1)).as("tf_t"))
-      val vocab = tfAll.agg(count(lit(1)).as("vocab"))
-      val wt = tfAll.join(tfTgt, Seq("w"), "left")
-        .crossJoin(broadcast(vocab))
+      // BOTH frequency tables in one corpus pass (a conditional partial
+      // count rides the same exchange); Catalyst does not CSE repeated
+      // subtree uses, so a separate tf_target groupBy would re-explode
+      // the whole corpus — measured as 2 extra corpus scans in the plan
+      val tf = words.groupBy("w").agg(count(lit(1)).as("tf_r"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tf_t"))
+      // V via a global window over the VOCAB-sized tf relation: a separate
+      // .agg would make Catalyst execute tf twice (no CSE across subtree
+      // reuses — measured as a full extra corpus explode+exchange)
+      val wt = tf
+        .withColumn("vocab", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
         .select(col("w"),
-          expr("((coalesce(tf_t, 0L) + 1L) * 10000L) div (tf_r + vocab)").as("wt"))
+          expr("((tf_t + 1L) * 10000L) div (tf_r + vocab)").as("wt"))
       words.join(broadcast(wt), "w")
         .groupBy(col("doc_id"))
         .agg(sum(col("wt")).as("score"))
