@@ -1078,6 +1078,30 @@ object Relational {
              CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT)
                AS revenue_cents
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ---- q52: ORC round-trip — the second columnar format Spark ships
+    // natively (a user migrating an ORC-based warehouse keeps their
+    // layout): the Q1-shape pricing aggregate computed over an ORC copy of
+    // lineitem must equal the parquet oracle exactly, proving the ORC
+    // reader preserves decimals/doubles/strings bit-for-bit through the
+    // writer→reader path. Column pruning reaches ORC scans the same way
+    // it reaches parquet (ReadSchema on the FileScan orc node).
+    QueryDef("q52_orc_io", (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("price_cents"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

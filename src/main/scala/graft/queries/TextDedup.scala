@@ -1247,6 +1247,29 @@ object TextDedup {
              MIN(score) AS min_score, MAX(score) AS max_score
       FROM staged GROUP BY lang, stage ORDER BY lang, stage""")),
 
+    // ---- tx22: CSV round-trip — the other universal interchange format
+    // next to tx19's JSONL: documents through Spark's csv sink then a
+    // schema-EXPLICIT, header-aware csv source read (quote/escape
+    // machinery engaged even though this corpus never needs it), proven
+    // by the same per-lang aggregate the parquet oracle computes.
+    QueryDef("tx22_csv_io", (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      docs(s, d).select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").option("header", "true")
+        .option("quoteAll", "true").csv(tmp)
+      val back = s.read.schema("doc_id LONG, text STRING, lang STRING")
+        .option("header", "true").csv(tmp)
+      back.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             MIN(doc_id) AS first_doc
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
     // ---- tx20: DSIR-style importance weighting — data SELECTION, the
     // pipeline stage after cleaning and dedup: score each document by how
     // much its unigrams look like a target slice (here lang='en') vs the
