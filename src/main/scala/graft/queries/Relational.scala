@@ -1102,6 +1102,31 @@ object Relational {
       SELECT l_returnflag, COUNT(*) AS n,
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---- q53: PARTITION PRUNING over a hive-partitioned layout — the
+    // first-order 100 TB technique none of the flat-file gate queries can
+    // show: documents written partitionBy(lang), then a one-lang query
+    // whose predicate resolves at PLANNING time to a directory listing —
+    // the scan's PartitionFilters prunes 4 of 5 directories and the other
+    // 80% of the corpus is never opened (plan-locked in PlanShapeSpec).
+    // Results equal the oracle's WHERE over the unpartitioned table, and
+    // the partition column round-trips through the directory encoding.
+    QueryDef("q53_partitioned_pruning", (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("lang") === "en")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             MIN(doc_id) AS first_doc
+      FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -251,6 +251,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "q51 join inputs must ride the bucket distribution, not a shuffle")
   }
 
+  test("q53 one-lang query prunes partitions at the scan") {
+    val plan = physicalPlan("q53_partitioned_pruning")
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      "q53 lost the planning-time partition filter")
+    // the lang predicate must NOT appear as a data filter — pruned
+    // directories are never opened, so no per-row evaluation remains
+    assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
+      "lang should be a partition column, not a data column")
+  }
+
   test("dd18 histogram rides the GraphX component relation, never all pairs") {
     val plan = physicalPlan("dd18_cluster_size_histogram")
     assert(plan.contains("SerializeFromObject"), "dd18 lost the GraphX CC vertex relation")
