@@ -9,10 +9,14 @@ import org.apache.spark.sql.functions._
   * Dataset — Spark's JVM equivalent of the `mapInPandas` batch-UDF shape:
   * one iterator per partition, no per-row scheduling, no shuffle).
   *
-  * The container ships no codec libraries, so the codec boundary is STUBBED
-  * (`decodeReal`) behind a deterministic fake (`decodeFake`) with the same
-  * signature — the Spark-side schema, batching, and partitioning are real
-  * and tested; swapping in a real codec is a one-function change.
+  * The image codec is REAL: `decodeReal` decodes PNG/JPEG/GIF/BMP payloads
+  * with the JDK's own `javax.imageio.ImageIO` (no external libraries
+  * needed). `decodeBatch` routes each payload by magic number — recognized
+  * image containers go through the real codec, synthetic non-image payloads
+  * (e.g. text bytes standing in for media in the TPC-H-shaped testdata) fall
+  * back to the deterministic header-arithmetic fake so they stay
+  * oracle-checkable. Audio/video containers have no JDK codec, so only
+  * their batching shape (frame sampling, chunking) is exercised here.
   */
 object Multimodal {
   /** Typed metadata emitted by decode — the schema is the contract. */
@@ -22,9 +26,70 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
 
-  /** REAL codec boundary — not implementable in this container (no image /
-    * audio libs). Deliberately unimplemented; `decode` routes to the fake. */
-  def decodeReal(payload: Array[Byte]): MediaMeta = ???
+  /** True iff the payload starts with a magic number ImageIO can decode
+    * (PNG / JPEG / GIF / BMP — the JDK's built-in readers). */
+  def isRealImage(p: Array[Byte]): Boolean =
+    p.length >= 8 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') ||
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) ||
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||
+      (p(0) == 'B' && p(1) == 'M'))
+
+  /** REAL codec boundary: decode an image payload with the JDK's
+    * `javax.imageio.ImageIO` (PNG/JPEG/GIF/BMP readers ship in the JDK).
+    * Returns `ok = false` (zero dims) for payloads no reader accepts;
+    * channels = raster band count (1 gray, 3 RGB, 4 RGBA); format = the
+    * reader's format name lowercased ("png", "jpeg", ...). */
+  def decodeReal(docId: Long, payload: Array[Byte]): MediaMeta = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (readers == null || !readers.hasNext)
+        MediaMeta(docId, payload.length, 0, 0, 0, "unknown", ok = false)
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(in)
+          val img = r.read(0)
+          MediaMeta(docId, payload.length, img.getWidth, img.getHeight,
+            img.getRaster.getNumBands, r.getFormatName.toLowerCase, ok = true)
+        } catch {
+          case _: java.io.IOException =>
+            MediaMeta(docId, payload.length, 0, 0, 0, "corrupt", ok = false)
+        } finally r.dispose()
+      }
+    } finally in.close()
+  }
+
+  /** Deterministic tiny real image, encoded with `ImageIO.write` — fixture
+    * generator for the real-decode gate (mm06). Dimensions and pixel type
+    * derive from the doc id, so a SQL oracle can predict the decoded
+    * metadata arithmetically without being able to decode PNG itself:
+    * width = 1 + id%16, height = 1 + id%12, type cycles RGB/GRAY/ARGB. */
+  def syntheticImage(docId: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = 1 + (docId % 16).toInt
+    val h = 1 + (docId % 12).toInt
+    val imgType = (docId % 3) match {
+      case 0 => BufferedImage.TYPE_INT_RGB
+      case 1 => BufferedImage.TYPE_BYTE_GRAY
+      case _ => BufferedImage.TYPE_INT_ARGB
+    }
+    val img = new BufferedImage(w, h, imgType)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, 0xFF000000 | ((docId * 2654435761L + x * 7 + y * 131) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
   /** Deterministic fake decode: header arithmetic over the payload bytes.
     * Mirrors the mm01_decode_meta SQL so fake results stay oracle-checkable. */
@@ -44,8 +109,13 @@ object Multimodal {
   def decodeBatch(rows: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions { it =>
-      // per-partition codec init would go here (stubbed: nothing to init)
-      it.map(r => decodeFake(r.doc_id, r.payload))
+      // ImageIO reader discovery is per-call; disabling the on-disk cache
+      // once per partition keeps the decode loop allocation-only.
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (isRealImage(r.payload)) decodeReal(r.doc_id, r.payload)
+        else decodeFake(r.doc_id, r.payload)
+      }
     }
   }
 
@@ -53,8 +123,12 @@ object Multimodal {
   def resizeBatch(rows: Dataset[MediaRow], factor: Int): Dataset[MediaRow] = {
     import rows.sparkSession.implicits._
     rows.mapPartitions(_.map { r =>
-      val out = Array.tabulate[Byte](math.max(1, r.payload.length / factor))(
-        i => r.payload(i * factor))
+      // empty in → empty out; max(1, …) only once there is a byte to keep
+      // (max(1, 0/4) over an empty payload would index payload(0)).
+      val out =
+        if (r.payload.isEmpty) Array.emptyByteArray
+        else Array.tabulate[Byte](math.max(1, r.payload.length / factor))(
+          i => r.payload(i * factor))
       MediaRow(r.doc_id, out)
     })
   }

@@ -3,11 +3,11 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata derived by decode/feature ops. The container has no codec
-  * libraries, so decode is a deterministic header-arithmetic fake
-  * (graft.ops.Multimodal carries the real mapPartitions plumbing and the
-  * stubbed codec boundary); these queries prove the Spark-side schema,
-  * partitioning, and expression plumbing against the DuckDB oracle.
+  * metadata derived by decode/feature ops. mm01-mm04 certify the schema and
+  * fan-out arithmetic over synthetic (text-as-bytes) payloads; mm05 drives
+  * the real `Dataset.mapPartitions` batch path; mm06 drives the REAL image
+  * codec — `javax.imageio` decode of deterministic PNG fixtures, verified
+  * against an oracle that predicts the decoded metadata arithmetically.
   */
 object MultimodalQueries {
   val defs: Seq[QueryDef] = Seq(
@@ -130,19 +130,56 @@ object MultimodalQueries {
     // point — and the oracle reconstructs the same subsample in SQL, so
     // the partition-local path itself is what gets hash-verified.
     QueryDef("mm05_resize_fp", (s, d) => {
+      // The fingerprint hashes the HEX of the subsampled bytes, not the raw
+      // bytes: DuckDB's string_agg can only reassemble text, and substr over
+      // the hex encoding is byte-addressed, so the oracle stays correct for
+      // non-ASCII (multi-byte UTF-8) and empty documents alike — substr over
+      // `text` would count characters and silently diverge (ADVICE r11).
       val rows = graft.ops.Multimodal.mediaFromDocuments(s, d)
       graft.ops.Multimodal.resizeBatch(rows, 4).toDF()
-        .select(col("doc_id"), md5(col("payload")).as("fp"),
+        .select(col("doc_id"), md5(upper(hex(col("payload")))).as("fp"),
           length(col("payload")).as("out_bytes"))
         .orderBy("doc_id")
     }, Some("""
-      WITH idx AS (
-        SELECT doc_id, text,
-               unnest(generate_series(1, greatest(octet_length(CAST(text AS BLOB)) // 4, 1))) AS i
-        FROM documents)
+      WITH hx AS (
+        SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+               octet_length(CAST(text AS BLOB)) AS nb
+        FROM documents),
+      idx AS (
+        SELECT doc_id, h,
+               unnest(generate_series(1, greatest(nb // 4, CASE WHEN nb = 0 THEN 0 ELSE 1 END))) AS i
+        FROM hx)
+      SELECT hx.doc_id,
+             md5(upper(COALESCE(string_agg(substr(idx.h, 1 + (i-1)*8, 2), '' ORDER BY i), ''))) AS fp,
+             CAST(COUNT(i) AS INTEGER) AS out_bytes
+      FROM hx LEFT JOIN idx ON hx.doc_id = idx.doc_id
+      GROUP BY hx.doc_id ORDER BY hx.doc_id""")),
+
+    // ---- mm06: REAL image decode. Deterministic tiny PNGs (RGB / GRAY /
+    // RGBA, dims a pure function of doc_id) are encoded with ImageIO.write
+    // on the executors and decoded back through the real ImageIO path in
+    // decodeBatch (magic-number routed to decodeReal). DuckDB cannot decode
+    // PNG — and doesn't need to: the generator makes width/height/channels
+    // predictable arithmetically, so any codec disagreement (dims, band
+    // count, format name, a failed decode) breaks the hash compare.
+    QueryDef("mm06_real_decode", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map(id =>
+        graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticImage(id)))
+      graft.ops.Multimodal.decodeBatch(rows).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("channels"),
+          col("format"), col("ok"))
+        .orderBy("doc_id")
+    }, Some("""
       SELECT doc_id,
-             md5(string_agg(substr(text, 1 + (i-1)*4, 1), '' ORDER BY i)) AS fp,
-             CAST(COUNT(*) AS INTEGER) AS out_bytes
-      FROM idx GROUP BY doc_id ORDER BY doc_id"""))
+             CAST(1 + doc_id % 16 AS INTEGER) AS width,
+             CAST(1 + doc_id % 12 AS INTEGER) AS height,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END AS INTEGER) AS channels,
+             'png' AS format,
+             TRUE AS ok
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id"""))
   )
 }
