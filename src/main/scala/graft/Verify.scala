@@ -56,7 +56,7 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.warehouse.dir", // bucketed-table queries (q51)
-        Files.createTempDirectory("graft-warehouse").toString)
+        graft.queries.TempDirs.create("graft-warehouse"))
       .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.codegen.wholeStage", "false")
       .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -140,8 +140,16 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
       failed.map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}"))
     System.err.println(f"[verify] total ${(System.nanoTime()-t0)/1e9}%.1fs for ${todo.size} queries x $workers workers; ${failed.size} FAILED")
-    // exit 0 even on failures: the driver must still run the DuckDB compare
-    // over the queries that DID dump — the markers carry the bad news
+    System.err.println(s"[verify] SUMMARY: ${todo.size - failed.size}/${todo.size} dumped ok" +
+      (if (failed.isEmpty) "" else s"; FAILED: ${failed.map(_._1).mkString(",")}"))
     base.stop()
+    // Default: exit 0 even on failures — the driver must still run the
+    // DuckDB compare over the queries that DID dump; the markers + manifest
+    // carry the bad news. A caller invoking Verify ALONE (no compare step)
+    // sets SPARK_GRAFT_VERIFY_STRICT=1 to get a nonzero exit instead of a
+    // silently-green run with thrown queries (ADVICE r11).
+    if (failed.nonEmpty && sys.env.get("SPARK_GRAFT_VERIFY_STRICT")
+          .exists(v => v == "1" || v.equalsIgnoreCase("true")))
+      sys.exit(1)
   }
 }

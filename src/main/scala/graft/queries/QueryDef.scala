@@ -18,6 +18,38 @@ final case class QueryDef(
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Temp dirs for the IO round-trip queries (tx19/tx22/q52/q53/stream10) and
+  * the Verify warehouse: unique per invocation because Verify runs queries
+  * concurrently, and registered for recursive deletion at JVM exit so
+  * repeated gate/bench/smoke runs don't accumulate a corpus copy per run
+  * in /tmp (ADVICE r11). Unique names make exit-time deletion safe. */
+object TempDirs {
+  private val registered =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registered.forEach(p => deleteRecursively(p))
+    }))
+
+  def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => { try Files.deleteIfExists(f) catch { case _: Throwable => () }; () })
+      finally walk.close()
+    }
+  }
+
+  /** Create a unique temp dir whose tree is deleted when the JVM exits. */
+  def create(prefix: String): String = {
+    hookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    registered.add(p)
+    p.toString
+  }
+}
+
 object Tables {
   val names = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")

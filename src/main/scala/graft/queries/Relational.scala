@@ -1088,7 +1088,7 @@ object Relational {
     // writer→reader path. Column pruning reaches ORC scans the same way
     // it reaches parquet (ReadSchema on the FileScan orc node).
     QueryDef("q52_orc_io", (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      val tmp = graft.queries.TempDirs.create("graft_orc_")
       t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
         .write.mode("overwrite").orc(tmp)
@@ -1113,7 +1113,7 @@ object Relational {
     // Results equal the oracle's WHERE over the unpartitioned table, and
     // the partition column round-trips through the directory encoding.
     QueryDef("q53_partitioned_pruning", (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part_").toString
+      val tmp = graft.queries.TempDirs.create("graft_part_")
       t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
         .write.mode("overwrite").partitionBy("lang").parquet(tmp)
       s.read.parquet(tmp)

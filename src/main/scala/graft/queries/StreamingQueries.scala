@@ -459,8 +459,7 @@ object StreamingQueries {
     // — Verify runs queries concurrently); the operator under test is the
     // json FileStreamSource + the streaming aggregate.
     QueryDef("stream10_jsonl_ingest", (s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_jsonl_stream_").toString
+      val tmp = TempDirs.create("graft_jsonl_stream_")
       Tables.load(s, d, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
         .write.mode("overwrite").json(tmp)

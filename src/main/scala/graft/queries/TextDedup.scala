@@ -1253,12 +1253,20 @@ object TextDedup {
     // machinery engaged even though this corpus never needs it), proven
     // by the same per-lang aggregate the parquet oracle computes.
     QueryDef("tx22_csv_io", (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      val tmp = TempDirs.create("graft_csv_")
+      // quote/escape pinned explicitly on BOTH sides, and the read is
+      // multiLine: a document containing \n is written as a quoted
+      // multi-line field, which the default line-based reader would split
+      // mid-field (ADVICE r11). multiLine makes each FILE the split unit —
+      // the inherent CSV-with-embedded-newlines tradeoff at scale; the
+      // write side controls file count, so parallelism is preserved.
       docs(s, d).select(col("doc_id"), col("text"), col("lang"))
         .write.mode("overwrite").option("header", "true")
-        .option("quoteAll", "true").csv(tmp)
+        .option("quoteAll", "true")
+        .option("quote", "\"").option("escape", "\"").csv(tmp)
       val back = s.read.schema("doc_id LONG, text STRING, lang STRING")
-        .option("header", "true").csv(tmp)
+        .option("header", "true").option("multiLine", "true")
+        .option("quote", "\"").option("escape", "\"").csv(tmp)
       back.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text")).cast("long")).as("n_chars"),
@@ -1325,7 +1333,7 @@ object TextDedup {
     // the same per-lang aggregate the parquet oracle computes. Unique temp
     // dir per invocation: Verify runs queries concurrently.
     QueryDef("tx19_jsonl_io", (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+      val tmp = TempDirs.create("graft_jsonl_")
       docs(s, d).select(col("doc_id"), col("text"), col("lang"))
         .write.mode("overwrite").json(tmp)
       val back = s.read.schema("doc_id LONG, text STRING, lang STRING").json(tmp)

@@ -25,11 +25,24 @@ def norm(df):
 
 # Verify writes a verify_errors.json manifest + <name>._FAILED markers for
 # thrown queries (round 11): surface those as explicit err rows instead of
-# the generic "no spark output".
+# the generic "no spark output". The markers are merged in even when the
+# manifest is missing or corrupt — a swallowed manifest must not turn a run
+# with thrown queries into a green report (ADVICE r11).
+import os
 try:
     verify_errors = json.load(open(f"{out_dir}/verify_errors.json"))
 except Exception:
     verify_errors = {}
+    if glob.glob(f"{out_dir}/*._FAILED"):
+        print(f"WARNING: {out_dir}/verify_errors.json missing/corrupt but "
+              f"*._FAILED markers exist — merging markers", file=sys.stderr)
+for m in glob.glob(f"{out_dir}/*._FAILED"):
+    name = os.path.basename(m)[: -len("._FAILED")]
+    if name not in verify_errors:
+        try:
+            verify_errors[name] = open(m).read().strip()
+        except Exception:
+            verify_errors[name] = "(unreadable _FAILED marker)"
 
 fails, passes = [], []
 for name, sql in sorted(oracle.items()):
