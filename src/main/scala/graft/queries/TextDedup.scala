@@ -1247,6 +1247,56 @@ object TextDedup {
              MIN(score) AS min_score, MAX(score) AS max_score
       FROM staged GROUP BY lang, stage ORDER BY lang, stage""")),
 
+    // ---- tx23: curriculum stages via APPROX-QUANTILE CUTPOINTS — the
+    // 100 TB path tx21's comment promises. tx21's exact NTILE needs a
+    // per-lang sort (a window over the corpus); here the per-lang quartile
+    // cutpoints come from one approx_percentile aggregation (sketch state,
+    // no sort), and stages are assigned by broadcast-join + comparison.
+    // Certification is the q34/q37 accuracy-invariant pattern against
+    // tx21's exact NTILE: NTILE(4) group sizes are a pure function of the
+    // per-lang count (floor(n/4)+1 for the first n%4 stages), and a
+    // value-based quartile split can deviate from them only by cutpoint
+    // tie-runs (<= max per-score frequency per boundary) plus the sketch's
+    // rank error (n/accuracy) — so each stage count must sit within
+    // 2*mt + 2*(n div accuracy) + 4 of the exact NTILE size. The oracle
+    // states the invariant from exact arithmetic. No window anywhere: the
+    // only corpus-sized exchanges are two map-side-combined aggregations.
+    QueryDef("tx23_curriculum_cutpoints", (s, d) => {
+      val ws = split(col("text"), " ")
+      val score = floor(size(array_distinct(ws)).cast("double") / size(ws) * 10000)
+        .cast("long")
+      val scored = docs(s, d).select(col("lang"), score.as("score"))
+      val cuts = scored.groupBy("lang").agg(
+        expr("approx_percentile(score, array(0.25D, 0.5D, 0.75D), 1000000)").as("cs"))
+      // per-lang total + max tie-run: keyed by (lang, score) first, so the
+      // state is vocabulary-bounded (scores live on a 0..10000 grid)
+      val mtab = scored.groupBy(col("lang"), col("score")).agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(max(col("c")).as("mt"), sum(col("c")).as("n"))
+      val staged = scored.join(broadcast(cuts), "lang")
+        .select(col("lang"),
+          (lit(1) + (col("score") > element_at(col("cs"), 1)).cast("int")
+                  + (col("score") > element_at(col("cs"), 2)).cast("int")
+                  + (col("score") > element_at(col("cs"), 3)).cast("int")).as("stage"))
+      val counts = staged.groupBy(col("lang"), col("stage")).agg(count(lit(1)).as("cnt"))
+      // all 4 stages per lang, zero-filled: an empty stage must surface as
+      // a row (and still satisfy the bound), not vanish from the output
+      val frame = mtab.crossJoin(broadcast(
+        s.range(1, 5).select(col("id").cast("int").as("stage"))))
+      frame.join(counts, Seq("lang", "stage"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .select(col("lang"), col("stage"),
+          expr("n div 4 + (CASE WHEN stage <= n % 4 THEN 1 ELSE 0 END)").as("ntile_n"),
+          (abs(col("cnt") - expr("n div 4 + (CASE WHEN stage <= n % 4 THEN 1 ELSE 0 END)"))
+            <= col("mt") * 2 + expr("2 * (n div 1000000)") + 4).as("ok"))
+        .orderBy("lang", "stage")
+    }, Some("""
+      WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+      SELECT lang, CAST(st AS INTEGER) AS stage,
+             CAST(n // 4 + CASE WHEN st <= n % 4 THEN 1 ELSE 0 END AS BIGINT) AS ntile_n,
+             TRUE AS ok
+      FROM n CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS st)
+      ORDER BY lang, stage""")),
+
     // ---- tx22: CSV round-trip — the other universal interchange format
     // next to tx19's JSONL: documents through Spark's csv sink then a
     // schema-EXPLICIT, header-aware csv source read (quote/escape

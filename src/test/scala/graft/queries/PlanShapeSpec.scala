@@ -36,7 +36,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "sim11_matryoshka_recall", // sim08's exact side, 10 bounded queries
     "sim12_hybrid_search", // sim01's bounded query side over the filtered sliver
     "tx16_zipf_vocab", // 1-row corpus-total broadcast into coverage (tx12 shape)
-    "tx20_dsir_weights") // 1-row vocab-size broadcast into the weight calc (tx12 shape)
+    "tx20_dsir_weights", // 1-row vocab-size broadcast into the weight calc (tx12 shape)
+    "tx23_curriculum_cutpoints") // lang-frame x 4-row broadcast stage grid
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -259,6 +260,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // directories are never opened, so no per-row evaluation remains
     assert(!plan.contains("PushedFilters: [IsNotNull(lang)"),
       "lang should be a partition column, not a data column")
+  }
+
+  test("tx23 curriculum cutpoints: sketch aggregation, no corpus window") {
+    val plan = physicalPlan("tx23_curriculum_cutpoints")
+    // the whole point vs tx21: stage assignment must not sort the corpus
+    assert(!plan.contains("Window"), "tx23 grew a window operator")
+    assert(plan.contains("approx_percentile"), "tx23 lost the quantile sketch")
+    assert(plan.contains("BroadcastHashJoin"),
+      "tx23's cutpoints must broadcast into the stage assignment")
   }
 
   test("dd18 histogram rides the GraphX component relation, never all pairs") {
