@@ -1127,6 +1127,60 @@ object Relational {
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
              MIN(doc_id) AS first_doc
-      FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang"""))
+      FROM documents WHERE lang = 'en' GROUP BY lang ORDER BY lang""")),
+
+    // ---- q54: AQE SKEW-JOIN — the ENGINE mechanism completing q28's
+    // manual salted-join pattern. A deliberately skewed key (60% of
+    // lineitem lands on sk=0) meets a 100-key dim in a forced sort-merge
+    // join; AQE's runtime stats see the hot post-shuffle partition and
+    // split it (SortMergeJoin(skew=true) + AQEShuffleRead skewed in the
+    // final plan — locked in PlanShapeSpec). At 100 TB this is the
+    // default defense: no query rewrite, no salt column, the engine
+    // re-plans from the actual shuffle sizes. Runs in its own session
+    // (newSession: shared context, isolated conf) because the skew
+    // thresholds must come down to gate-scale partition sizes and Verify
+    // runs queries concurrently on shared sessions.
+    QueryDef("q54_aqe_skew_join", (s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k")
+      // Two things gate-scale data needs that 100 TB data has for free:
+      //  - repartition(16): skewed partitions split along MAP-output
+      //    boundaries, and a single small parquet file scans as ONE map
+      //    task — unsplittable. At real scale the scan has thousands of
+      //    map tasks; here the round-robin exchange stands in for them.
+      //  - an md5 fingerprint column: the hot partition's repeated join
+      //    key compresses so well that row skew vanishes from the byte
+      //    stats AQE reads; the incompressible fp keeps bytes ∝ rows
+      //    (and doubles as a checksum the oracle reproduces).
+      val li = s2.read.parquet(s"$d/lineitem.parquet")
+        .select(when(col("l_orderkey") % 100 < 60, 0L)
+          .otherwise(col("l_orderkey") % 100).as("sk"), col("l_quantity"),
+          md5(concat(col("l_orderkey").cast("string"), lit("-"),
+            col("l_linenumber").cast("string"))).as("fp"))
+        .repartition(16)
+      val dim = s2.range(0, 100)
+        .select(col("id").as("sk"), (col("id") * 7 % 13).as("w"))
+      li.hint("merge").join(dim.hint("merge"), "sk")
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("qty"),
+          min(col("fp")).as("min_fp"))
+        .orderBy("w")
+    }, Some("""
+      WITH li AS (
+        SELECT CASE WHEN l_orderkey % 100 < 60 THEN 0
+                    ELSE l_orderkey % 100 END AS sk, l_quantity,
+               md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                   CAST(l_linenumber AS VARCHAR)) AS fp
+        FROM lineitem),
+      dim AS (SELECT g AS sk, (g * 7) % 13 AS w FROM generate_series(0, 99) t(g))
+      SELECT w, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             MIN(fp) AS min_fp
+      FROM li JOIN dim USING (sk)
+      GROUP BY w ORDER BY w"""))
   )
 }

@@ -271,6 +271,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "tx23's cutpoints must broadcast into the stage assignment")
   }
 
+  test("q54 AQE splits the skewed partition at runtime (skew=true)") {
+    // sf0.01, not the spec-default sf0.001: the hot partition must clear
+    // the 16k skewedPartitionThresholdInBytes for the runtime stats to
+    // classify it as skewed (at sf0.001 the whole shuffle is ~threshold)
+    val df = SparkEntry.queries("q54_aqe_skew_join")(spark, "/root/testdata/sf0.01")
+    df.collect() // AQE finalizes the plan only on execution
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), "q54 must run under AQE")
+    assert(plan.contains("skew=true"),
+      "AQE did not mark the sort-merge join as skew-handled")
+    assert(plan.contains("AQEShuffleRead"), "q54 lost the adaptive shuffle read")
+  }
+
   test("dd18 histogram rides the GraphX component relation, never all pairs") {
     val plan = physicalPlan("dd18_cluster_size_histogram")
     assert(plan.contains("SerializeFromObject"), "dd18 lost the GraphX CC vertex relation")
