@@ -95,7 +95,20 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries carry -1 in the per-query map; total sums successes only
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+    println(line)
+    // Also land the JSON as a file so round tooling reads a parsed artifact
+    // instead of re-scraping the stdout tail (VERDICT r11 #8). Optional
+    // override via SPARK_GRAFT_BENCH_OUT; best-effort — the stdout line
+    // remains the contract.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -683,32 +683,34 @@ object Similarity {
     // 16 of 64 dims — 4× less bandwidth and compute per comparison), and
     // this measures what that costs: per query, |prefix-cosine top-5 ∩
     // full-cosine top-5| / 5. Same integer-quantized determinism and
-    // bounded topk_agg exchange discipline as sim08; both rankings scan
-    // once, and the prefix slice happens inside the scan projection — at
-    // 100 TB the prefix pass reads the same rows but does quarter the
-    // vector math, exactly MRL's production trade.
+    // bounded topk_agg exchange discipline as sim08. The whole pair scan
+    // runs ONCE: the fused `cosine_sim_pair` expression computes the full
+    // and prefix-16 scores in a single vector traversal (the prefix
+    // accumulators are a mid-loop snapshot — functions/CosineSimPair),
+    // and one ObjectHashAggregate keeps BOTH bounded top-5 buffers per
+    // query, so the candidate join, the scan, and the vector math all
+    // happen exactly once — at 100 TB the pair scan is the whole cost and
+    // this halves it vs scoring the two rankings in separate passes.
     QueryDef("sim11_matryoshka_recall", (s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
       val scored = q.join(v, col("qid") =!= col("vid"))
-        .withColumn("sq", floor(cosine(col("qe"), col("ve")) * 10000).cast("double"))
-        .withColumn("s16", floor(cosine(slice(col("qe"), 1, 16),
-          slice(col("ve"), 1, 16)) * 10000).cast("double"))
-      def top5(df: DataFrame, score: Column): DataFrame = df
-        .groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg.topk_agg(score, col("vid"), 5).as("top"))
-        .select(col("qid"), explode(col("top")).as("t"))
-        .select(col("qid"), col("t.id").as("vid"))
-      val exact5 = top5(scored, col("sq"))
-      val prefix5 = top5(scored, col("s16"))
-      val common = exact5.join(prefix5, Seq("qid", "vid"), "left_semi")
-        .groupBy("qid").agg(count(lit(1)).as("n_common"))
-      exact5.select("qid").distinct()
-        .join(common, Seq("qid"), "left")
-        .select(col("qid"), coalesce(col("n_common"), lit(0L)).as("n_common"),
-          (coalesce(col("n_common"), lit(0L)) * 2000).as("recall_x1e4"))
+        .select(col("qid"), col("vid"),
+          graft.functions.CosineSimPair.cosine_sim_pair(col("qe"), col("ve"), 16).as("cs"))
+        .select(col("qid"), col("vid"),
+          floor(col("cs.full") * 10000).cast("double").as("sq"),
+          floor(col("cs.prefix") * 10000).cast("double").as("s16"))
+      scored.groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_agg(col("sq"), col("vid"), 5).as("tf"),
+          graft.functions.TopKAgg.topk_agg(col("s16"), col("vid"), 5).as("tp"))
+        .select(col("qid"),
+          size(array_intersect(
+            transform(col("tf"), t => t.getField("id")),
+            transform(col("tp"), t => t.getField("id")))).cast("long").as("n_common"))
+        .select(col("qid"), col("n_common"),
+          (col("n_common") * 2000).as("recall_x1e4"))
         .orderBy("qid")
     }, Some("""
       WITH scored AS (

@@ -222,6 +222,30 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tiny.toSeq == Seq(11L, 10L))
   }
 
+  test("cosine_sim_pair: fused full+prefix is bit-identical to the two-pass form") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib"))
+    val diff = pairs
+      .select(CosineSimPair.cosine_sim_pair(col("a"), col("b"), 16).as("cs"),
+        CosineSim.cosine_sim(col("a"), col("b")).as("full2"),
+        CosineSim.cosine_sim(slice(col("a"), 1, 16), slice(col("b"), 1, 16)).as("pre2"))
+      .filter(col("cs.full") =!= col("full2") || col("cs.prefix") =!= col("pre2"))
+      .count()
+    assert(diff == 0, "fused pair must be bit-identical to cosine_sim + sliced cosine_sim")
+    // prefix longer than the vectors degenerates to the full cosine
+    val short = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+      .select(CosineSimPair.cosine_sim_pair(col("a"), col("b"), 16).as("cs"))
+      .select(col("cs.full"), col("cs.prefix")).collect()(0)
+    assert(short.getDouble(0) == short.getDouble(1))
+    // null propagation
+    val n = Seq((Array(1.0f), Array(1.0f))).toDF("a", "b")
+      .select(CosineSimPair.cosine_sim_pair(lit(null).cast("array<double>"), col("b"), 4))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("minhash_agg: merge across partitions is elementwise min") {
     val big = spark.range(0, 10000).select((col("id") % 7).as("g"),
       ((col("id") * 2654435761L) % (1L << 28)).as("h"))
