@@ -145,6 +145,54 @@ object Multimodal {
     }.toDF("doc_id", "frame_idx", "frame")
   }
 
+  /** Per-frame audio feature row: exact integer energy (sum of squared
+    * 16-bit samples), so a SQL oracle can reproduce it bit-for-bit. */
+  final case class AudioFrame(doc_id: Long, frame_idx: Int, energy: Long)
+
+  /** Deterministic synthetic 16-bit little-endian PCM payload — the audio
+    * twin of [[syntheticImage]]: sample k of doc `id` is
+    * `((id*31 + k*17) % 4096) - 2048` and the clip holds `256 + id%256`
+    * samples, so an arithmetic SQL oracle can predict every decoded sample
+    * without parsing bytes. The bytes themselves are the real contract:
+    * [[frameEnergy]] must parse them back exactly. */
+  def syntheticPcm(docId: Long): Array[Byte] = {
+    val n = 256 + (docId % 256).toInt
+    val out = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s = (((docId * 31 + k.toLong * 17) % 4096) - 2048).toInt
+      out(2 * k) = (s & 0xFF).toByte
+      out(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+      k += 1
+    }
+    out
+  }
+
+  /** Parse 16-bit little-endian PCM payloads and emit per-frame energy
+    * (exact long sum of squared samples) for fixed frames of
+    * `frameSamples` samples; a trailing partial frame is dropped. Runs as
+    * a partition-local flatMap — the audio-feature batch shape: byte
+    * parsing and the energy loop are per-row JVM work with no shuffle, so
+    * at 100 TB the stage is scan-bound and embarrassingly parallel. */
+  def frameEnergy(rows: Dataset[MediaRow], frameSamples: Int): Dataset[AudioFrame] = {
+    import rows.sparkSession.implicits._
+    rows.flatMap { r =>
+      val nFrames = (r.payload.length / 2) / frameSamples
+      (0 until nFrames).map { f =>
+        var e = 0L
+        var k = f * frameSamples
+        val end = k + frameSamples
+        while (k < end) {
+          val lo = r.payload(2 * k) & 0xFF
+          val hi = r.payload(2 * k + 1).toInt // sign carries from the high byte
+          e += ((hi << 8) | lo).toLong * ((hi << 8) | lo)
+          k += 1
+        }
+        AudioFrame(r.doc_id, f, e)
+      }
+    }
+  }
+
   /** documents.text as a fake binary media column. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

@@ -180,6 +180,49 @@ object MultimodalQueries {
              CAST(CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END AS INTEGER) AS channels,
              'png' AS format,
              TRUE AS ok
-      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id"""))
+      FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""")),
+
+    // ---- mm07: REAL audio byte parsing — deterministic 16-bit LE PCM
+    // clips (samples and length a pure function of doc_id, generated on
+    // the executors) are parsed back sample-by-sample in frameEnergy's
+    // partition-local loop: per-64-sample-frame energy (exact integer sum
+    // of squares), rolled up per doc with a silence-frame count. The
+    // oracle reproduces the SAMPLE FORMULA arithmetically (it never sees
+    // the bytes), so any bug in the little-endian/sign-bit byte round-trip
+    // breaks the hash. This is the audio twin of mm06's image gate: the
+    // Spark side must decode real bytes; the oracle predicts the result.
+    QueryDef("mm07_audio_energy", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map(id =>
+        graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticPcm(id)))
+      graft.ops.Multimodal.frameEnergy(rows, 64).toDF()
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("total_energy"),
+          sum(when(col("energy") < 89000000L, 1L).otherwise(0L)).as("n_silent"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH params AS (
+        SELECT doc_id, 256 + doc_id % 256 AS n_samples
+        FROM documents WHERE doc_id % 10 = 0),
+      frames AS (
+        SELECT doc_id, unnest(generate_series(0, n_samples // 64 - 1)) AS f
+        FROM params),
+      samples AS (
+        SELECT doc_id, f, unnest(generate_series(f*64, f*64 + 63)) AS k
+        FROM frames),
+      fe AS (
+        SELECT doc_id, f,
+               SUM(((doc_id*31 + k*17) % 4096 - 2048)
+                   * ((doc_id*31 + k*17) % 4096 - 2048)) AS energy
+        FROM samples GROUP BY 1, 2)
+      SELECT doc_id, COUNT(*) AS n_frames,
+             CAST(SUM(energy) AS BIGINT) AS total_energy,
+             CAST(SUM(CASE WHEN energy < 89000000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_silent
+      FROM fe GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -1181,6 +1181,55 @@ object Relational {
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
              MIN(fp) AS min_fp
       FROM li JOIN dim USING (sk)
-      GROUP BY w ORDER BY w"""))
+      GROUP BY w ORDER BY w""")),
+
+    // ---- q55: Z-ORDER clustered layout — multi-dimensional data skipping,
+    // the layout technique behind Delta/Iceberg OPTIMIZE ZORDER: a
+    // bit-interleaved key over two dimensions, the table range-partitioned
+    // and sorted by that key on write, so a 2-D box predicate touches only
+    // the files/row-groups whose min-max straddle the box (a 1-D sort can
+    // only skip on its leading column). The interleave is pure integer
+    // div/mod arithmetic — identical in both engines — and the read-back
+    // carries pushed-down filters on BOTH dims (PushedFilters plan-locked),
+    // which parquet serves from row-group stats over the clustered files.
+    // At 100 TB this is how a petabyte scan becomes a terabyte one.
+    QueryDef("q55_zorder_layout", (s, d) => {
+      val tmp = graft.queries.TempDirs.create("graft_zorder_")
+      val z = (0 until 8).map(k =>
+        s"((a div ${1L << k}) % 2) * ${1L << (2 * k)} + " +
+          s"((b div ${1L << k}) % 2) * ${1L << (2 * k + 1)}")
+        .mkString("CAST(", " + ", " AS BIGINT)")
+      t(s, d, "orders")
+        .select((col("o_custkey") % 256).as("a"), (col("o_orderkey") % 256).as("b"),
+          cents(col("o_totalprice")).as("cents"))
+        .withColumn("zkey", expr(z))
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions("zkey")
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("a").between(32, 63) && col("b").between(64, 127))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"),
+          min(col("zkey")).as("min_zkey"), max(col("zkey")).as("max_zkey"))
+    }, Some("""
+      WITH z AS (
+        SELECT o_custkey % 256 AS a, o_orderkey % 256 AS b,
+               CAST(FLOOR(o_totalprice*100) AS BIGINT) AS cents
+        FROM orders),
+      zz AS (
+        SELECT a, b, cents,
+               CAST(((a // 1) % 2) * 1 + ((b // 1) % 2) * 2
+                  + ((a // 2) % 2) * 4 + ((b // 2) % 2) * 8
+                  + ((a // 4) % 2) * 16 + ((b // 4) % 2) * 32
+                  + ((a // 8) % 2) * 64 + ((b // 8) % 2) * 128
+                  + ((a // 16) % 2) * 256 + ((b // 16) % 2) * 512
+                  + ((a // 32) % 2) * 1024 + ((b // 32) % 2) * 2048
+                  + ((a // 64) % 2) * 4096 + ((b // 64) % 2) * 8192
+                  + ((a // 128) % 2) * 16384 + ((b // 128) % 2) * 32768
+                 AS BIGINT) AS zkey
+        FROM z)
+      SELECT COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents,
+             CAST(MIN(zkey) AS BIGINT) AS min_zkey,
+             CAST(MAX(zkey) AS BIGINT) AS max_zkey
+      FROM zz WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127"""))
   )
 }

@@ -771,6 +771,103 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_x1e4 DESC, vid) AS rank
         FROM scored)
       SELECT qid, vid, cos_x1e4
-      FROM ranked WHERE rank <= 3 ORDER BY qid, cos_x1e4 DESC, vid"""))
+      FROM ranked WHERE rank <= 3 ORDER BY qid, cos_x1e4 DESC, vid""")),
+
+    // ---- sim13: TWO-STAGE retrieval (PQ shortlist → exact re-rank) — how
+    // a production ANN index actually serves: stage 1 scores every vector
+    // by cheap ADC lookups (sim10's 8 table lookups per vector, vectors
+    // untouched) and keeps a top-10 shortlist per query via the bounded
+    // topk_agg reducer; stage 2 re-ranks ONLY the shortlist with the exact
+    // integer L2 against the full quantized vectors and returns top-3.
+    // The scale shape is the whole point: at 100 TB stage 1 touches 8
+    // small ints per vector with a broadcast distance table, and the
+    // expensive exact math runs on 10 rows per query — the recall of
+    // exact search at near-ADC cost. All-integer scores keep it
+    // hash-exact against the oracle.
+    QueryDef("sim13_pq_rerank", (s, d) => {
+      val all = flatQuantized(emb(s, d).filter(col("vec_id") < 300))
+      val sub = expr("CAST((dim - 1) div 8 AS INT)")
+      val cb = all.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("dim"), col("xq").as("cq"))
+      // stage 0: sim09's encode (nearest codeword per subvector)
+      val dist = all.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), sub.as("sub"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("c"))
+      val codes = dist.withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("vid"), col("sub"), col("c").as("code"))
+      val qflat = all.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("dim"), col("xq").as("qx"))
+      val table = qflat.join(broadcast(cb), "dim")
+        .groupBy(col("qid"), sub.as("sub"), col("c").as("code"))
+        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("td2"))
+      // stage 1: ADC score + bounded top-10 shortlist per query
+      val adc = codes.join(broadcast(table), Seq("sub", "code"))
+        .filter(col("vid") =!= col("qid"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(sum(col("td2")).as("adc"))
+      val shortlist = adc.groupBy(col("qid"))
+        .agg(graft.functions.TopKAgg.topk_agg(
+          negate(col("adc").cast("double")), col("vid"), 10).as("top"))
+        .select(col("qid"), explode(col("top")).as("t"))
+        .select(col("qid"), col("t.id").as("vid"))
+      // stage 2: exact integer L2 over the full vectors, shortlist only
+      val vflat = all.select(col("vec_id").as("vid"), col("dim"), col("xq").as("vx"))
+      val rer = shortlist
+        .join(vflat, "vid")
+        .join(qflat, Seq("qid", "dim"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(sum((col("vx") - col("qx")) * (col("vx") - col("qx"))).as("d2"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("d2"), col("vid"))
+      rer.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"), col("d2"), col("rank"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH flat AS (
+        SELECT vec_id, dim,
+               CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 300),
+      cb AS (SELECT vec_id AS c, dim, xq AS cq FROM flat WHERE vec_id < 4),
+      dist AS (
+        SELECT f.vec_id, CAST((f.dim - 1) // 8 AS INTEGER) AS sub, cb.c,
+               CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS d2
+        FROM flat f JOIN cb ON cb.dim = f.dim
+        GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id AS vid, sub, c AS code FROM (
+          SELECT vec_id, sub, c, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+          FROM dist) WHERE rn = 1),
+      tbl AS (
+        SELECT f.vec_id AS qid, CAST((f.dim - 1) // 8 AS INTEGER) AS sub,
+               cb.c AS code, CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS td2
+        FROM flat f JOIN cb ON cb.dim = f.dim
+        WHERE f.vec_id < 10 GROUP BY 1, 2, 3),
+      scored AS (
+        SELECT t.qid, codes.vid, CAST(SUM(t.td2) AS BIGINT) AS adc
+        FROM codes JOIN tbl t ON t.sub = codes.sub AND t.code = codes.code
+        WHERE codes.vid <> t.qid
+        GROUP BY 1, 2),
+      short AS (
+        SELECT qid, vid FROM (
+          SELECT qid, vid,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rn
+          FROM scored) WHERE rn <= 10),
+      rerank AS (
+        SELECT s.qid, s.vid,
+               CAST(SUM((v.xq - q.xq) * (v.xq - q.xq)) AS BIGINT) AS d2
+        FROM short s
+        JOIN flat v ON v.vec_id = s.vid
+        JOIN flat q ON q.vec_id = s.qid AND q.dim = v.dim
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, vid, d2,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vid) AS rank
+        FROM rerank)
+      SELECT qid, vid, CAST(d2 AS BIGINT) AS d2, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }

@@ -475,6 +475,46 @@ object StreamingQueries {
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
              MIN(doc_id) AS first_doc
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- stream12: LATE-DATA DROP — the watermark semantics stream08
+    // does not prove: after the watermark has passed every real window
+    // (sentinel batch), a FULL REPLAY of the click events arrives below
+    // the watermark. Every replayed row must be dropped — its window's
+    // state was already finalized, emitted, and evicted — so the sink
+    // equals the batch aggregate that counts each event exactly ONCE; if
+    // any late row were admitted (or re-opened a window as a duplicate
+    // append row), the click counts double and the hash breaks. This is
+    // the contract that bounds state at 100 TB/day: arbitrarily old data
+    // may arrive forever, and the operator must stay O(delay × rate), not
+    // reprocess it.
+    QueryDef("stream12_late_data_drop", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 50)
+        .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+        .collect().toSeq // bounded feed plumbing (user_id <= 50 slice)
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      val maxMs = ev.map(_._1.getTime).max
+      val replay = ev.filter(_._2 == "click")
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = StreamingOps.hourlyRollup(mem.toDF().toDF("ts", "event_type", "value"))
+      drain(s, out, "append") { q =>
+        mem.addData(ev); q.processAllAvailable()
+        // sentinel: watermark passes every real window (2 h delay < 10 h)
+        mem.addData((new java.sql.Timestamp(maxMs + 36000000L), "zz", 0.0))
+        q.processAllAvailable()
+        // the late replay: every row is now below the watermark
+        mem.addData(replay); q.processAllAvailable()
+        // second sentinel runs the final eviction sweep (stream08 pattern)
+        mem.addData((new java.sql.Timestamp(maxMs + 72000000L), "zz", 0.0))
+      }
+        .filter(col("event_type") =!= "zz")
+        .orderBy("hour", "event_type")
+    }, Some("""
+      SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events WHERE user_id <= 50 GROUP BY 1, 2 ORDER BY hour, event_type"""))
   )
 }

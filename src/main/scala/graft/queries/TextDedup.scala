@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + deduplication operators for training-data pipelines,
@@ -1327,6 +1328,44 @@ object TextDedup {
              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
              MIN(doc_id) AS first_doc
       FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- tx24: DOMAIN-MIXTURE rebalancing — the dataset-mixing stage a
+    // training pipeline runs after selection: per source domain, its token
+    // share of the corpus and the repeat (upsampling) factor that would
+    // rebalance sampling to uniform domain weight, all in exact integer
+    // basis points (floats at a floor boundary are not hash-stable; a
+    // rank-preserving integer div is). Scale shape: one corpus scan with
+    // the codegen token_stats kernel feeding a map-side-combined groupBy
+    // to a DOMAIN-sized relation (a handful of rows at any corpus size);
+    // the share/target window runs over that tiny aggregate, never the
+    // corpus — so at 100 TB this costs exactly one scan + one exchange.
+    QueryDef("tx24_domain_mixture", (s, d) => {
+      val perSource = docs(s, d)
+        .select(col("source"),
+          element_at(graft.functions.TokenStats.token_stats(col("text")), 1).as("ntok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      val w = Window.partitionBy() // over the domain-sized aggregate only
+      perSource
+        .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("n_sources", count(lit(1)).over(w))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(n_tokens * 10000) div tot_tokens").as("share_x1e4"),
+          expr("10000 div n_sources").as("target_x1e4"),
+          expr("(tot_tokens * 10000) div (n_sources * n_tokens)").as("repeat_x1e4"))
+        .orderBy("source")
+    }, Some("""
+      WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+                     COUNT(*) AS n_sources FROM per)
+      SELECT source, n_docs, n_tokens,
+             CAST((n_tokens * 10000) // tot_tokens AS BIGINT) AS share_x1e4,
+             CAST(10000 // n_sources AS BIGINT) AS target_x1e4,
+             CAST((tot_tokens * 10000) // (n_sources * n_tokens) AS BIGINT) AS repeat_x1e4
+      FROM per, tot ORDER BY source""")),
 
     // ---- tx20: DSIR-style importance weighting — data SELECTION, the
     // pipeline stage after cleaning and dedup: score each document by how

@@ -87,6 +87,35 @@ class OpsSpec extends AnyFunSuite {
     assert(metas(1).width == 16 + (n % 64) * 10 && metas(1).n_bytes == n)
   }
 
+  test("multimodal: frameEnergy parses 16-bit LE PCM back to exact integer energy") {
+    import spark.implicits._
+    // kernel vs a direct reference over the generator contract
+    val ids = Seq(0L, 7L, 255L, 1000L)
+    val rows = spark.createDataset(ids.map(id =>
+      Multimodal.MediaRow(id, Multimodal.syntheticPcm(id))))
+    val got = Multimodal.frameEnergy(rows, 64).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f.energy).toMap
+    ids.foreach { id =>
+      val n = 256 + (id % 256).toInt
+      (0 until n / 64).foreach { f =>
+        val want = (f * 64 until (f + 1) * 64).map { k =>
+          val s = ((id * 31 + k.toLong * 17) % 4096) - 2048
+          s * s
+        }.sum
+        assert(got((id, f)) == want, s"energy mismatch doc=$id frame=$f")
+      }
+    }
+    // negative samples round-trip through the sign bit; odd trailing byte
+    // and partial frames are dropped
+    val neg = Array[Byte](0x00, 0x80.toByte, 0xFF.toByte, 0x7F, 1, 0) // -32768, 32767, 1
+    val one = spark.createDataset(Seq(Multimodal.MediaRow(9L, neg)))
+    val e = Multimodal.frameEnergy(one, 3).collect()
+    assert(e.length == 1 &&
+      e(0).energy == 32768L * 32768L + 32767L * 32767L + 1L)
+    val partial = spark.createDataset(Seq(Multimodal.MediaRow(9L, neg :+ 0x11.toByte)))
+    assert(Multimodal.frameEnergy(partial, 4).collect().isEmpty)
+  }
+
   test("streaming: windowed rollup with watermark over MemoryStream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

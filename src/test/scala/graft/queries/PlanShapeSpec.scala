@@ -290,4 +290,46 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), "dd18 grew an unbounded join")
   }
+
+  test("sim11 fused pair scan: ONE candidate join, ONE aggregation") {
+    val plan = physicalPlan("sim11_matryoshka_recall")
+    // the r12 fusion: both rankings come out of a single pair scan — the
+    // pre-fusion shape ran two join branches (one per ranking) and four
+    // object-hash aggregate nodes
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,
+      "sim11 must score the candidate pairs in exactly one join pass")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size == 2,
+      "sim11 must keep both top-5 buffers in one partial+final aggregation")
+    assert(plan.contains("cosinesimpair"), "sim11 lost the fused pair expression")
+  }
+
+  test("sim13 two-stage rerank: broadcast ADC table, equi-joins only") {
+    val plan = physicalPlan("sim13_pq_rerank")
+    assert(plan.contains("BroadcastHashJoin"),
+      "sim13's distance table must broadcast into the codes scoring join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "sim13 must never scan all pairs — the shortlist bounds the exact stage")
+  }
+
+  test("tx24 domain mixture: one corpus exchange, window over the domain aggregate") {
+    val plan = physicalPlan("tx24_domain_mixture")
+    // the corpus crosses the wire once (source groupBy, map-side combined);
+    // the share window runs over the domain-sized aggregate behind a
+    // single-partition exchange, never over the corpus
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      "tx24 must aggregate to the domain relation in one exchange")
+    assert(plan.contains("token_stats"), "tx24 lost the codegen token kernel")
+  }
+
+  test("q55 z-order read-back pushes both box dimensions to the scan") {
+    val plan = physicalPlan("q55_zorder_layout")
+    // PushedFilters elides its tail in the plan string, so lock the scan's
+    // DataFilters (printed in full) + the head of the pushed list
+    assert(plan.contains("PushedFilters: [IsNotNull(a), IsNotNull(b), GreaterThanOrEqual(a,32)"),
+      "q55's box predicate must reach the parquet scan as pushed filters")
+    for (p <- Seq("a#\\d+L >= 32", "a#\\d+L <= 63", "b#\\d+L >= 64", "b#\\d+L <= 127"))
+      assert(p.r.findFirstIn(plan).nonEmpty,
+        s"q55 scan lost the box data filter $p")
+  }
 }
