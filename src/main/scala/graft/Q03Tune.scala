@@ -143,10 +143,56 @@ object Q03Tune {
         .orderBy(col("n_name"))
     }
 
+    // r12 variant: REDUCE the orders side before the fact-fact shuffle —
+    // o ⨝ broadcast(customer BUILDING) first (1/5 survivors), THEN the
+    // orderkey shuffle join, THEN aggregate. The post-join groupBy rides
+    // the join's hash partitioning (no extra exchange), and the
+    // shuffle_hash hint builds on the small filtered-orders side so
+    // NEITHER side is ever sorted. Catalyst can't discover this plan from
+    // the shipped tree: join reorder across a user-specified tree needs
+    // CBO stats it doesn't have here.
+    def q03_joinfirst_sh(): DataFrame = {
+      val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o2 = t("orders")
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      val l2 = t("lineitem").select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      l2.join(o2.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }
+
+    // same join-first tree without the hint (sort-merge baseline)
+    def q03_joinfirst(): DataFrame = {
+      val c = t("customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o2 = t("orders")
+        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"))
+      val l2 = t("lineitem").select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      l2.join(o2, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("rev")).as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+        .limit(10)
+    }
+
     // equality check first
     val a = q03_current().collect().map(_.toSeq).toSeq
     val b = q03_preagg().collect().map(_.toSeq).toSeq
     println(s"q03 results equal: ${a == b}")
+    val jf = q03_joinfirst_sh().collect().map(_.toSeq).toSeq
+    val jf2 = q03_joinfirst().collect().map(_.toSeq).toSeq
+    println(s"q03 joinfirst_sh equal: ${a == jf}; joinfirst equal: ${a == jf2}")
+    time("q03_joinfirst_sh", q03_joinfirst_sh _)
+    time("q03_joinfirst", q03_joinfirst _)
     val a5 = q05_current().collect().map(_.toSeq).toSeq
     val b5 = q05_preagg().collect().map(_.toSeq).toSeq
     println(s"q05 results equal: ${a5 == b5}")

@@ -94,6 +94,32 @@ object GraphOps {
     Graph.fromEdges(edges, defaultValue = 0)
   }
 
+  /** BFS hop-depth layers from the smallest co-purchase vertex via
+    * GraphX Pregel — the message-passing tier below the packaged
+    * algorithms (CC/PageRank/TriangleCount are all Pregel instances).
+    * One superstep propagates the frontier one hop, so after `maxDepth`
+    * supersteps every vertex holds min(true BFS depth, unreachable) for
+    * depths <= maxDepth — the standard bounded-radius reachability query
+    * (friend-of-friend, blast-radius). At 100 TB the per-superstep work
+    * is one message per frontier-adjacent edge; nothing global. */
+  def bfsDepths(spark: SparkSession, dir: String, maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val g = coPurchaseGraph(spark, dir)
+    // deterministic source: the smallest vertex id in the edge relation
+    val src: VertexId = g.edges.map(e => math.min(e.srcId, e.dstId)).min()
+    val init = g.mapVertices((id, _) => if (id == src) 0 else Int.MaxValue)
+    val res = init.pregel(Int.MaxValue, maxIterations = maxDepth)(
+      (_, d, m) => math.min(d, m),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+        Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    res.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (_, d) => d }
+      .toDF("depth")
+      .groupBy("depth").agg(count(lit(1)).as("n_custs"))
+      .orderBy("depth")
+  }
+
   /** Total triangles in the co-purchase projection via GraphX
     * TriangleCount (which canonicalizes edges itself: self-edges dropped,
     * src<dst dedup). Per-vertex counts sum to 3× the triangle total. The

@@ -153,6 +153,39 @@ object GraphQueries {
                      (SELECT tp FROM prm) + (85 * SUM(r.pr // d.deg)) // 100 AS pr
               FROM edges e JOIN it2 r ON r.node = e.src JOIN deg d ON d.src = e.src
               GROUP BY e.dst)
-      SELECT node, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY node"""))
+      SELECT node, CAST(pr AS BIGINT) AS pr FROM it3 ORDER BY node""")),
+
+    // ---- graph07: bounded-radius BFS layers via raw Pregel — the
+    // message-passing tier the packaged algorithms are built on, driven
+    // directly: hop-depth layers (<= 4) from the smallest co-purchase
+    // vertex, counted per depth. The oracle recomputes min-depth
+    // reachability from first principles with a recursive CTE whose
+    // UNION dedup bounds the walk at |V| x depth rows. One Pregel
+    // superstep per hop; frontier-local messages only — the shape that
+    // holds on a billion-vertex graph.
+    QueryDef("graph07_bfs_layers", (s, d) => {
+      GraphOps.bfsDepths(s, d, maxDepth = 4)
+    }, Some("""
+      WITH RECURSIVE edges AS (
+        SELECT src, dst FROM (
+          WITH cp AS (
+            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                    WHERE c <= 40),
+          bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+          pairs AS (
+            SELECT DISTINCT a.cust AS src, b.cust AS dst
+            FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust)
+          SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs)),
+      start AS (SELECT MIN(src) AS s FROM edges),
+      walk(v, dep) AS (
+        SELECT s, 0 FROM start
+        UNION
+        SELECT e.dst, w.dep + 1
+        FROM walk w JOIN edges e ON e.src = w.v WHERE w.dep < 4),
+      dist AS (SELECT v, MIN(dep) AS depth FROM walk GROUP BY v)
+      SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_custs
+      FROM dist GROUP BY depth ORDER BY depth"""))
   )
 }

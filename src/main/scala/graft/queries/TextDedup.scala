@@ -364,6 +364,53 @@ object TextDedup {
       SELECT root, COUNT(*) AS n_docs, MAX(node) AS max_doc
       FROM comp GROUP BY 1 ORDER BY root""")),
 
+    // ---- dd19: CANONICAL-doc selection per near-dup cluster — the policy
+    // step between clustering (dd09) and dedup apply (dd11): dd11 keeps
+    // the min doc_id per cluster, but production pipelines keep the BEST
+    // document (longest / highest quality) and drop its near-duplicates.
+    // Per cluster: the (n_chars DESC, doc_id ASC) argmax via a single
+    // struct-max aggregate — no window over the corpus, and the cluster
+    // relation is the GraphX CC output (cluster-sized, tiny next to the
+    // corpus at any scale); quality joins in by doc_id equi-join.
+    QueryDef("dd19_canonical_selection", (s, d) => {
+      import s.implicits._
+      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
+      val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
+        .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
+      val cc = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+        .connectedComponents().vertices
+      val comp = cc.toDF("doc_id", "root")
+      val dq = docs(s, d).select(col("doc_id"), col("n_chars"))
+      comp.join(dq, "doc_id")
+        .groupBy("root")
+        // argmax by (n_chars DESC, doc_id ASC): struct-max with negated id
+        .agg(max(struct(col("n_chars"), negate(col("doc_id")).as("nid"))).as("best"),
+          count(lit(1)).as("n_docs"))
+        .select(col("root"), negate(col("best.nid")).as("canonical_doc"),
+          col("best.n_chars").as("canonical_chars"), col("n_docs"))
+        .orderBy("root")
+    }, Some(s"""
+      WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      ${minhashPairsSql("docs200")},
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node),
+      scored AS (
+        SELECT c.root, c.node AS doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.root
+                                  ORDER BY d.n_chars DESC, c.node) AS rn,
+               COUNT(*) OVER (PARTITION BY c.root) AS n_docs
+        FROM comp c JOIN documents d ON d.doc_id = c.node)
+      SELECT root, doc_id AS canonical_doc,
+             CAST(n_chars AS BIGINT) AS canonical_chars,
+             CAST(n_docs AS BIGINT) AS n_docs
+      FROM scored WHERE rn = 1 ORDER BY root""")),
+
     // ---- dd10: benchmark decontamination — flag training docs sharing
     // any 3-word shingle with a held-out benchmark slice (the split is
     // tx07-style deterministic hashing, so both engines carve identical
