@@ -219,6 +219,23 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CosineSim(args(0), args(1))
       }))
     extensions.injectFunction((
+      FunctionIdentifier("cosine_sim_pair"),
+      new ExpressionInfo(classOf[graft.functions.CosineSimPair].getName, "cosine_sim_pair",
+        "cosine_sim_pair(a, b, prefix_len) - struct(full, prefix) cosine from one " +
+          "vector traversal; prefix_len must be an integer literal"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        if (args.length != 3)
+          throw new graft.core.AgeInvalidInputException(
+            "cosine_sim_pair(a, b, prefix_len) takes exactly 3 arguments")
+        val p = args(2) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new graft.core.AgeInvalidInputException(
+            "cosine_sim_pair: prefix_len must be an integer literal")
+        }
+        graft.functions.CosineSimPair(args.head, args(1), p)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[graft.functions.TokenStats].getName, "token_stats",
         "token_stats(text) - [n_tokens, n_subwords] per row, split-on-space semantics"),

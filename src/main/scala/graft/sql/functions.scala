@@ -52,6 +52,11 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     graft.functions.CosineSim.cosine_sim(a, b)
 
+  /** Fused full + first-`prefixLen`-dims cosine from ONE vector traversal:
+    * `struct(full, prefix)` — the Matryoshka-retrieval kernel. */
+  def cosine_sim_pair(a: Column, b: Column, prefixLen: Int): Column =
+    graft.functions.CosineSimPair.cosine_sim_pair(a, b, prefixLen)
+
   /** One-pass K-minhash signature aggregate over a hashed-shingle column. */
   def minhash_agg(h: Column): Column = graft.functions.MinHashAgg.minhash_agg(h)
 

@@ -70,6 +70,34 @@ class TypedApiSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("exactly 2 arguments"))
   }
 
+  test("injected SQL function: cosine_sim_pair from pure SQL, literal-checked") {
+    spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb_csp")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, cosine_sim_pair(a.embedding, b.embedding, 16) AS cs
+         FROM emb_csp a JOIN emb_csp b ON b.vec_id = a.vec_id + 1
+         WHERE a.vec_id < 20 ORDER BY a.vec_id""")
+      .selectExpr("vec_id", "cs.full AS f", "cs.prefix AS p")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val viaDsl = {
+      val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      val a = e.select(col("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, "vec_id").filter(col("vec_id") < 20)
+        .select(col("vec_id"),
+          graft.functions.CosineSim.cosine_sim(col("ea"), col("eb")).as("f"),
+          graft.functions.CosineSim.cosine_sim(
+            slice(col("ea"), 1, 16), slice(col("eb"), 1, 16)).as("p"))
+        .orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    }
+    assert(viaSql.toSeq == viaDsl.toSeq)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim_pair(array(1.0D), array(1.0D), 1 + 1)")
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
+  }
+
   test("injected SQL function: band_keys matches the Scala DSL and rejects non-literals") {
     spark.read.parquet(s"$sf/embeddings.parquet").createOrReplaceTempView("emb_bk")
     val viaSql = spark.sql(

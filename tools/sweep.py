@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Full-inventory robustness sweep at a large scale factor (VERDICT r11 #7).
+
+Same compare semantics as compare_oracle.py (sort columns by name, rows by
+all columns, exact value compare), plus a per-oracle wall-clock budget so
+one pathological DuckDB-side query (the recursive-CTE graph oracles are
+O(V*E) at scale) cannot hang the whole sweep: queries whose ORACLE exceeds
+the budget are recorded as `oracle_timeout` exclusions with the elapsed
+time, mirroring the r11 sweep's documented graph04/graph05 exclusions.
+
+Usage: sweep.py <sf_dir> <verify_out_dir> <report.json> [budget_sec]
+"""
+import json, multiprocessing, sys, time
+import duckdb
+import pandas as pd
+
+sf_dir, out_dir, report_path = sys.argv[1], sys.argv[2], sys.argv[3]
+budget = float(sys.argv[4]) if len(sys.argv) > 4 else 300.0
+
+oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def run_oracle(name, sql, q):
+    con = duckdb.connect()
+    con.sql("SET threads TO 16")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    try:
+        q.put(("ok", con.sql(sql).df()))
+    except Exception as e:
+        q.put(("err", str(e)[:500]))
+
+
+report, n_pass, n_fail, n_skip = {}, 0, 0, 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        spark_df = pd.read_parquet(f"{out_dir}/{name}")
+    except Exception as e:
+        report[name] = {"status": "no_spark_output", "detail": str(e)[:200]}
+        n_fail += 1
+        continue
+    q = multiprocessing.Queue()
+    p = multiprocessing.Process(target=run_oracle, args=(name, sql, q))
+    t0 = time.time()
+    p.start()
+    p.join(budget)
+    elapsed = round(time.time() - t0, 1)
+    if p.is_alive():
+        p.terminate(); p.join()
+        report[name] = {"status": "oracle_timeout", "budget_sec": budget,
+                        "note": "DuckDB oracle exceeded the budget; Spark side dumped fine"}
+        n_skip += 1
+        print(f"SKIP {name}: oracle timeout after {elapsed}s", flush=True)
+        continue
+    kind, payload = q.get()
+    if kind == "err":
+        report[name] = {"status": "oracle_error", "detail": payload}
+        n_skip += 1
+        print(f"SKIP {name}: oracle error {payload[:120]}", flush=True)
+        continue
+    a, b = norm(spark_df), norm(payload)
+    if list(a.columns) != list(b.columns):
+        report[name] = {"status": "schema_mismatch",
+                        "spark_cols": list(a.columns), "oracle_cols": list(b.columns)}
+        n_fail += 1
+        print(f"FAIL {name}: schema", flush=True)
+    elif len(a) != len(b) or not a.astype(str).equals(b.astype(str)):
+        report[name] = {"status": "value_mismatch",
+                        "spark_rows": len(a), "oracle_rows": len(b)}
+        n_fail += 1
+        print(f"FAIL {name}: values ({len(a)} vs {len(b)} rows)", flush=True)
+    else:
+        report[name] = {"status": "pass", "rows": len(a), "oracle_sec": elapsed}
+        n_pass += 1
+        print(f"PASS {name} ({len(a)} rows, oracle {elapsed}s)", flush=True)
+
+summary = {"sf_dir": sf_dir, "budget_sec": budget, "pass": n_pass,
+           "fail": n_fail, "oracle_excluded": n_skip,
+           "total": len(oracle), "queries": report}
+json.dump(summary, open(report_path, "w"), indent=1)
+print(f"\n{n_pass} passed, {n_fail} failed, {n_skip} oracle-excluded of {len(oracle)}")
+sys.exit(1 if n_fail else 0)
