@@ -868,6 +868,64 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, vid) AS rank
         FROM rerank)
       SELECT qid, vid, CAST(d2 AS BIGINT) AS d2, CAST(rank AS INTEGER) AS rank
-      FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ---- sim14: kNN-GRAPH construction — the batch neighbor-graph build
+    // behind SemDeDup/clustering/agglomerative dedup: EVERY vector gets
+    // its top-3 neighbors (cos DESC, id ASC), not just a bounded query
+    // set (sim01) and not a threshold pair list (dd05). Candidates come
+    // from the same 4-band LSH bucket join as dd05 (symmetrized), so the
+    // n² pair space never materializes, and the per-vector top-3 rides
+    // the bounded topk_agg reducer — at 100 TB the graph build is
+    // O(candidates) with k rows per vector crossing the wire, the
+    // linear-ish kNN recipe every embedding-dedup paper assumes.
+    QueryDef("sim14_knn_graph", (s, d) => {
+      val e = emb(s, d).filter(col("vec_id") < 500)
+      val cand = lshCandidatePairs(s, e)
+      val sym = cand.select(col("ida"), col("idb"))
+        .union(cand.select(col("idb").as("ida"), col("ida").as("idb")))
+      val a = e.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      val scored = sym.join(a, "ida").join(b, "idb")
+        .select(col("ida"), col("idb"),
+          floor(cosine(col("ea"), col("eb")) * 10000).cast("double").as("cs"))
+      scored.groupBy("ida")
+        .agg(graft.functions.TopKAgg.topk_agg(col("cs"), col("idb"), 3).as("top"))
+        .select(col("ida"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("ida"), (col("pos") + 1).cast("int").as("rank"),
+          col("t.id").as("nbr"), col("t.score").cast("long").as("cos_x1e4"))
+        .orderBy("ida", "rank")
+    }, Some("""
+      WITH planes AS (
+        SELECT p, dim,
+               (('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(dim AS VARCHAR)),1,7))::BIGINT) % 2001 - 1000 AS w
+        FROM generate_series(0, 15) tp(p), generate_series(1, 64) td(dim)),
+      flat AS (
+        SELECT vec_id, dim, CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 500),
+      proj AS (
+        SELECT vec_id, p, CAST(SUM(xq*w) AS BIGINT) AS proj
+        FROM flat JOIN planes USING (dim) GROUP BY vec_id, p),
+      bands AS (
+        SELECT vec_id, CAST(FLOOR(p/4.0) AS INTEGER) AS band,
+               CAST(SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << (p % 4)) ELSE 0 END) AS BIGINT) AS key
+        FROM proj GROUP BY 1, 2),
+      cand AS (
+        SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+      sym AS (SELECT ida, idb FROM cand UNION ALL SELECT idb, ida FROM cand),
+      scored AS (
+        SELECT s.ida, s.idb,
+               CAST(FLOOR(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                 b.embedding::DOUBLE[])*10000) AS BIGINT) AS cos_x1e4
+        FROM sym s JOIN embeddings a ON a.vec_id = s.ida
+                   JOIN embeddings b ON b.vec_id = s.idb),
+      ranked AS (
+        SELECT ida, idb, cos_x1e4,
+               ROW_NUMBER() OVER (PARTITION BY ida ORDER BY cos_x1e4 DESC, idb) AS rank
+        FROM scored)
+      SELECT ida, CAST(rank AS INTEGER) AS rank, idb AS nbr, cos_x1e4
+      FROM ranked WHERE rank <= 3 ORDER BY ida, rank"""))
   )
 }
