@@ -186,6 +186,59 @@ object GraphQueries {
         FROM walk w JOIN edges e ON e.src = w.v WHERE w.dep < 4),
       dist AS (SELECT v, MIN(dep) AS depth FROM walk GROUP BY v)
       SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_custs
-      FROM dist GROUP BY depth ORDER BY depth"""))
+      FROM dist GROUP BY depth ORDER BY depth""")),
+
+    // ---- graph08: customer-similarity Jaccard over the bipartite
+    // purchase graph — the "customers like you" measure the co-purchase
+    // projection (graph02) is the numerator of, completed into a true
+    // set similarity: Jaccard of the two customers' (df-capped) purchase
+    // sets in exact integer arithmetic. The one-mode co-purchase graph
+    // itself is DENSE at every sf (min degree > 60 — a wedge join over it
+    // is the n²-adjacent shape this family exists to avoid), so the
+    // similarity is computed where the fan-out is bounded: on the
+    // bipartite (cust, part) relation with hot parts capped at 40 buyers
+    // (dd02's maxDf discipline — at most 40² pair rows per part), and the
+    // per-customer set sizes computed over the SAME capped space so the
+    // score stays a true Jaccard of the filtered sets.
+    QueryDef("graph08_neighbor_jaccard", (s, d) => {
+      val orders = Tables.load(s, d, "orders")
+      val li = Tables.load(s, d, "lineitem")
+      val cp = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val small = cp.groupBy("part").count()
+        .filter(col("count") <= 40).select("part")
+      val bounded = cp.join(small, "part")
+      val sz = bounded.groupBy(col("cust").as("node")).agg(count(lit(1)).as("n"))
+      val common = bounded.as("a").join(bounded.as("b"),
+          col("a.part") === col("b.part") && col("a.cust") < col("b.cust"))
+        .groupBy(col("a.cust").as("ca"), col("b.cust").as("cb"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sz.as("sa"), col("ca") === col("sa.node"))
+        .join(sz.as("sb"), col("cb") === col("sb.node"))
+        .select(col("ca"), col("cb"), col("c"),
+          floor(col("c").cast("double") / (col("sa.n") + col("sb.n") - col("c")) * 10000)
+            .cast("long").as("jac_x1e4"))
+        .filter(col("jac_x1e4") >= 1000)
+        .orderBy("ca", "cb")
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                WHERE c <= 40),
+      bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+      sz AS (SELECT cust AS node, COUNT(*) AS n FROM bounded GROUP BY 1),
+      common AS (
+        SELECT a.cust AS ca, b.cust AS cb, COUNT(*) AS c
+        FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT ca, cb, c,
+               CAST(FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000) AS BIGINT) AS jac_x1e4
+        FROM common JOIN sz sa ON ca = sa.node JOIN sz sb ON cb = sb.node)
+      SELECT ca, cb, c, jac_x1e4 FROM scored
+      WHERE jac_x1e4 >= 1000 ORDER BY ca, cb"""))
   )
 }

@@ -1482,6 +1482,90 @@ object TextDedup {
       SELECT lang, COUNT(*) AS n_docs,
              CAST(SUM(length(text)) AS BIGINT) AS n_chars,
              MIN(doc_id) AS first_doc
-      FROM documents GROUP BY lang ORDER BY lang"""))
+      FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // ---- dd20: URL canonicalization + dedup — the FIRST dedup stage of a
+    // web-crawl pipeline (before any content hashing): collapse tracking
+    // params, fragments, default ports, case and trailing-slash variants
+    // of the same resource, keep the earliest doc per canonical URL. The
+    // messy URL is constructed deterministically from doc fields (the
+    // testdata carries no URL column) with doc_id-dependent case/port/
+    // query/fragment noise, so canonicalization must actually handle every
+    // variant to reach the oracle's hash. All codegen string ops
+    // (concat/when/lower/regexp_replace) evaluated AT THE SCAN — the only
+    // exchange is the final canonical-key groupBy, the exact exact-dedup
+    // shape (dd01) with normalization fused into the map side.
+    QueryDef("dd20_url_dedup", (s, d) => {
+      val raw = docs(s, d).select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("https://WWW.")).otherwise(lit("HTTPS://www.")),
+        col("source"), lit(".example.com"),
+        when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/"), col("lang"), lit("/doc/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 2 === 1, lit("/?utm_source=feed&ref=mail")).otherwise(lit("/")),
+        when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit(""))).as("raw_url"))
+      val canon = raw.select(col("doc_id"),
+        regexp_replace(regexp_replace(regexp_replace(
+          lower(col("raw_url")), "#.*$", ""), "\\?.*$", ""), ":443/", "/").as("u"))
+        .select(col("doc_id"), regexp_replace(col("u"), "/$", "").as("canon_url"))
+      canon.groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+        .orderBy("canon_url")
+    }, Some("""
+      WITH raw AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'HTTPS://www.' END)
+               || source || '.example.com'
+               || (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END)
+               || '/' || lang || '/doc/' || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 1 THEN '/?utm_source=feed&ref=mail' ELSE '/' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS raw_url
+        FROM documents),
+      canon AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(raw_url), '#.*$', ''),
+                   '\?.*$', ''),
+                 ':443/', '/'),
+               '/$', '') AS canon_url
+        FROM raw)
+      SELECT canon_url, COUNT(*) AS n, MIN(doc_id) AS keeper
+      FROM canon GROUP BY 1 ORDER BY canon_url""")),
+
+    // ---- tx25: unigram-LM quality score (a KenLM-perplexity proxy the
+    // pipeline can compute without a model file): token surprisal is
+    // 40 - (floor(log2 tf)+1) bits where tf is the corpus term frequency
+    // — length(bin(tf)) makes the log EXACT integer arithmetic in both
+    // engines, so the score is hash-stable (float log2 would tie-break
+    // differently at powers of two). A doc's score is its mean token
+    // surprisal ×1e4; high = rare-token-heavy (gibberish or novelty),
+    // low = stopword soup — both tails are what the filter inspects.
+    // Shape at 100 TB: one corpus explode → map-side-combined tf
+    // aggregate (vocab-sized) → token-partitioned join back (co-partitions
+    // with the aggregate's exchange) → per-doc sum; top-20 rides
+    // TakeOrderedAndProject, no global sort materialized.
+    QueryDef("tx25_unigram_surprisal", (s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val tf = toks.groupBy("w").agg(count(lit(1)).as("tf"))
+      val bits = tf.select(col("w"), (lit(40) - length(bin(col("tf")))).cast("long").as("bits"))
+      toks.join(bits, "w")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("bits")).as("sum_bits"))
+        .select(col("doc_id"), col("n_tok"),
+          floor(col("sum_bits") * 10000 / col("n_tok")).cast("long").as("score_x1e4"))
+        .orderBy(col("score_x1e4").desc, col("doc_id")).limit(20)
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      tf AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY w),
+      bits AS (SELECT w, CAST(40 - length(bin(tf)) AS BIGINT) AS bits FROM tf),
+      per_doc AS (
+        SELECT doc_id, COUNT(*) AS n_tok, SUM(bits) AS sum_bits
+        FROM toks JOIN bits USING (w) GROUP BY doc_id)
+      SELECT doc_id, n_tok,
+             CAST(FLOOR(sum_bits * 10000 / n_tok) AS BIGINT) AS score_x1e4
+      FROM per_doc ORDER BY score_x1e4 DESC, doc_id LIMIT 20"""))
   )
 }
