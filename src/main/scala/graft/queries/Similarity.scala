@@ -926,6 +926,106 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY ida ORDER BY cos_x1e4 DESC, idb) AS rank
         FROM scored)
       SELECT ida, CAST(rank AS INTEGER) AS rank, idb AS nbr, cos_x1e4
-      FROM ranked WHERE rank <= 3 ORDER BY ida, rank"""))
+      FROM ranked WHERE rank <= 3 ORDER BY ida, rank""")),
+
+    // ---- sim15: the full IVF-PQ index (FAISS's IndexIVFPQ shape),
+    // composing sim03's coarse pruning with sim10's compressed scoring:
+    // vectors land in IVF lists by nearest full-dim centroid (exact
+    // integer L2, ties → lowest cid); queries probe their 2 nearest
+    // lists; ONLY candidates in probed lists are ADC-scored from their
+    // 8 PQ codes via the per-query lookup table. This is the serving
+    // shape of every billion-vector deployment: the coarse step prunes
+    // the scan to probed lists, the fine step touches 8 small ints per
+    // survivor — original vectors are read by NOTHING after indexing.
+    // Exchanges: codebook/centroid/table joins all broadcast (≤32 rows);
+    // the only data-sized shuffles are the per-vector aggregates and the
+    // final bounded top-3.
+    QueryDef("sim15_ivf_pq", (s, d) => {
+      val flat = flatQuantized(emb(s, d).filter(col("vec_id") < 300))
+      val sub = expr("CAST((dim - 1) div 8 AS INT)")
+      val cb = flat.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("dim"), col("xq").as("cq"))
+      // coarse quantizer: full-64-dim integer L2 against the 4 centroids
+      val dfull = flat.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))
+      val assign = dfull.withColumn("rn", row_number().over(wAssign))
+      val lists = assign.filter(col("rn") === 1)
+        .select(col("vec_id").as("vid"), col("c").as("cid"))
+      val probes = assign.filter(col("rn") <= 2 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("c").as("cid"))
+      // PQ codes: nearest codeword per 8-dim subvector (sim09's encode)
+      val dsub = flat.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), sub.as("sub"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("c"))
+      val codes = dsub.withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("vid"), col("sub"), col("c").as("code"))
+      // per-query ADC table: query subvectors vs every codeword
+      val qflat = flat.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("dim"), col("xq").as("qx"))
+      val table = qflat.join(broadcast(cb), "dim")
+        .groupBy(col("qid"), sub.as("sub"), col("c").as("code"))
+        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("td2"))
+      // candidates = vectors in the probed lists; score = 8 table lookups
+      val cands = probes.join(lists, "cid").filter(col("vid") =!= col("qid"))
+        .select("qid", "vid")
+      val scored = cands.join(codes, "vid")
+        .join(broadcast(table), Seq("qid", "sub", "code"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(sum(col("td2")).as("adc"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+      scored.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"), col("adc"), col("rank"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH flat AS (
+        SELECT vec_id, dim,
+               CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 300),
+      cb AS (SELECT vec_id AS c, dim, xq AS cq FROM flat WHERE vec_id < 4),
+      dfull AS (
+        SELECT f.vec_id, cb.c,
+               CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS d2
+        FROM flat f JOIN cb ON cb.dim = f.dim GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM dfull),
+      lists AS (SELECT vec_id AS vid, c AS cid FROM assign WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, c AS cid FROM assign
+                 WHERE rn <= 2 AND vec_id < 10),
+      dsub AS (
+        SELECT f.vec_id, CAST((f.dim - 1) // 8 AS INTEGER) AS sub, cb.c,
+               CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS d2
+        FROM flat f JOIN cb ON cb.dim = f.dim GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id AS vid, sub, c AS code FROM (
+          SELECT vec_id, sub, c, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+          FROM dsub) WHERE rn = 1),
+      tbl AS (
+        SELECT f.vec_id AS qid, CAST((f.dim - 1) // 8 AS INTEGER) AS sub,
+               cb.c AS code, CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS td2
+        FROM flat f JOIN cb ON cb.dim = f.dim
+        WHERE f.vec_id < 10 GROUP BY 1, 2, 3),
+      cands AS (SELECT p.qid, l.vid FROM probes p JOIN lists l ON p.cid = l.cid
+                WHERE l.vid <> p.qid),
+      scored AS (
+        SELECT ca.qid, ca.vid, CAST(SUM(t.td2) AS BIGINT) AS adc
+        FROM cands ca
+        JOIN codes ON codes.vid = ca.vid
+        JOIN tbl t ON t.qid = ca.qid AND t.sub = codes.sub AND t.code = codes.code
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, vid, adc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+        FROM scored)
+      SELECT qid, vid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }

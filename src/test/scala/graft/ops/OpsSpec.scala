@@ -87,6 +87,33 @@ class OpsSpec extends AnyFunSuite {
     assert(metas(1).width == 16 + (n % 64) * 10 && metas(1).n_bytes == n)
   }
 
+  test("multimodal: perceptualHashBatch matches the generator's pixel arithmetic") {
+    import spark.implicits._
+    // RGB (id%3==0) and ARGB (id%3==2) fixtures: getRGB returns the written
+    // 24-bit value verbatim, so the aHash is predictable from the formula
+    val ids = Seq(0L, 2L, 60L, 126L, 198L)
+    val rows = spark.createDataset(ids.map(id =>
+      Multimodal.MediaRow(id, Multimodal.syntheticImage(id))))
+    val got = Multimodal.perceptualHashBatch(rows).collect()
+      .map(r => r.doc_id -> r).toMap
+    ids.foreach { id =>
+      val w = 1 + (id % 16).toInt; val h = 1 + (id % 12).toInt
+      val n = w * h
+      val lums = (0 until n).map { i =>
+        val x = i % w; val y = i / w
+        val p = ((id * 2654435761L + x * 7 + y * 131) & 0xFFFFFF).toInt
+        ((p >> 16) & 0xFF) * 299L + ((p >> 8) & 0xFF) * 587L + (p & 0xFF) * 114L
+      }
+      val sum = lums.sum
+      var hash = 0L
+      (0 until math.min(n, 60)).foreach(i => if (lums(i) * n > sum) hash |= 1L << i)
+      val r = got(id)
+      assert(r.width == w && r.height == h, s"dims for $id")
+      assert(r.lum_sum == sum, s"lum_sum for $id: real decode drifted from formula")
+      assert(r.phash == hash, s"phash for $id")
+    }
+  }
+
   test("multimodal: frameEnergy parses 16-bit LE PCM back to exact integer energy") {
     import spark.implicits._
     // kernel vs a direct reference over the generator contract
