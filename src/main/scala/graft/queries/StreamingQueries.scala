@@ -515,6 +515,39 @@ object StreamingQueries {
     }, Some("""
       SELECT date_trunc('hour', ts)::TIMESTAMP AS hour, event_type, COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-      FROM events WHERE user_id <= 50 GROUP BY 1, 2 ORDER BY hour, event_type"""))
+      FROM events WHERE user_id <= 50 GROUP BY 1, 2 ORDER BY hour, event_type""")),
+
+    // ---- stream13: STREAM-STATIC enrichment join — the dimension-lookup
+    // shape every production event pipeline runs: a real file stream
+    // (stream02's source) inner-joined per micro-batch against a static
+    // customer→nation dimension, then aggregated per nation. The static
+    // side is explicitly broadcast: at 100 TB/day of events the dimension
+    // is the small side by construction and a broadcast-hash join keeps
+    // the stream side shuffle-free below the aggregation — the exact
+    // reason stream-static (unlike stream-stream) joins need no state
+    // store or watermark: the static side never changes mid-query, so
+    // each micro-batch joins it like any batch plan.
+    QueryDef("stream13_static_enrichment", (s, d) => {
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val stream0 = s.readStream.schema(raw.schema).parquet(s"$d/events.parque[t]")
+      val events = Tables.normalizeTs(stream0)
+      val cust = Tables.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val nation = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      val dim = cust.join(nation, cust("c_nationkey") === nation("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val joined = events.join(broadcast(dim),
+        events("user_id") === dim("c_custkey"))
+      val agg = joined.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      drain(s, agg, "complete") { _ => () }.orderBy("n_name")
+    }, Some("""
+      SELECT n_name, COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events JOIN customer ON user_id = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1 ORDER BY n_name"""))
   )
 }
