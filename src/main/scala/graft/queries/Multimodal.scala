@@ -269,6 +269,46 @@ object MultimodalQueries {
                            THEN (1::BIGINT << CAST(y * w + x AS INTEGER))
                            ELSE 0 END) AS BIGINT) AS phash
       FROM lums l JOIN sums USING (doc_id)
-      GROUP BY l.doc_id, l.w, l.h ORDER BY l.doc_id"""))
+      GROUP BY l.doc_id, l.w, l.h ORDER BY l.doc_id""")),
+
+    // ---- mm09: image-text PAIR validation — the LAION-style filtering
+    // step of a contrastive-training pipeline: each candidate pair is a
+    // real decoded image (mm06's fixtures through the REAL ImageIO path)
+    // joined to its caption's metadata, and a pair survives only if the
+    // image decoded ok, carries enough pixels, and the caption is long
+    // enough. The decode runs partition-local (no shuffle); the
+    // caption join is a doc_id equi-join; output is the per-lang
+    // accepted-pair ledger. The oracle never decodes: it predicts the
+    // pixel counts from the fixture contract, so a codec failure or a
+    // mis-paired row breaks the hash.
+    QueryDef("mm09_pair_filter", (s, d) => {
+      import s.implicits._
+      val cand = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 20 === 0)
+      val rows = cand.select(col("doc_id").cast("long")).as[Long]
+        .map(id => graft.ops.Multimodal.MediaRow(
+          id, graft.ops.Multimodal.syntheticImage(id)))
+      val meta = graft.ops.Multimodal.decodeBatch(rows).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("ok"))
+      val pairs = cand.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(meta, "doc_id")
+      pairs
+        .filter(col("ok") && col("width") * col("height") >= 16 &&
+          col("n_chars") >= 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("width") * col("height")).cast("long")).as("total_px"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
+    }, Some("""
+      WITH cand AS (
+        SELECT doc_id, lang, n_chars,
+               (1 + doc_id % 16) * (1 + doc_id % 12) AS px
+        FROM documents WHERE doc_id % 20 = 0)
+      SELECT lang, COUNT(*) AS n_pairs,
+             CAST(SUM(px) AS BIGINT) AS total_px,
+             MIN(doc_id) AS first_doc
+      FROM cand WHERE px >= 16 AND n_chars >= 100
+      GROUP BY 1 ORDER BY lang"""))
   )
 }

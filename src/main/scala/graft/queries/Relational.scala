@@ -1230,6 +1230,34 @@ object Relational {
       SELECT COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents,
              CAST(MIN(zkey) AS BIGINT) AS min_zkey,
              CAST(MAX(zkey) AS BIGINT) AS max_zkey
-      FROM zz WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127"""))
+      FROM zz WHERE a BETWEEN 32 AND 63 AND b BETWEEN 64 AND 127""")),
+
+    // ---- q56: 128-bit EXACT decimal aggregation — the money-math
+    // contract a BIGINT cents column cannot keep at warehouse scale: the
+    // per-row scaled value (cents × 1e8) fits a long, but the GROUP
+    // TOTAL exceeds int64's 9.2e18 even at gate scale, so the sum is
+    // correct ONLY through Spark's 128-bit Decimal aggregation (DuckDB:
+    // HUGEINT-backed DECIMAL(38)). Exact and order-independent in any
+    // partitioning — the property float sums lose and the reason every
+    // financial rollup at 100 TB runs on decimals. One map-side-combined
+    // hash aggregate; decimal codegen stays in WholeStageCodegen.
+    QueryDef("q56_decimal_exact_sum", (s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          (cents(col("l_extendedprice")) * lit(100000000L))
+            .cast("decimal(38,0)").as("scaled"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("scaled")).as("sum_dec"))
+        // emitted as exact digits: the pandas/DuckDB bridge narrows a
+        // >int64 DECIMAL to float64, which would destroy the very
+        // precision this query exists to prove
+        .select(col("l_returnflag"), col("n"),
+          col("sum_dec").cast("string").as("sum_scaled"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(FLOOR(l_extendedprice*100) AS BIGINT) * 100000000
+                           AS DECIMAL(38,0))) AS VARCHAR) AS sum_scaled
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
   )
 }

@@ -1566,6 +1566,60 @@ object TextDedup {
         FROM toks JOIN bits USING (w) GROUP BY doc_id)
       SELECT doc_id, n_tok,
              CAST(FLOOR(sum_bits * 10000 / n_tok) AS BIGINT) AS score_x1e4
-      FROM per_doc ORDER BY score_x1e4 DESC, doc_id LIMIT 20"""))
+      FROM per_doc ORDER BY score_x1e4 DESC, doc_id LIMIT 20""")),
+
+    // ---- dd21: INCREMENTAL ingest dedup — the daily-pipeline shape dd01
+    // is the within-corpus half of: a new batch (docs with id%4==3 —
+    // a deterministic slice at every sf) arrives against an existing
+    // corpus index (the other 75%), and each batch doc is kept only if
+    // its fingerprint is (a) absent from the corpus (anti-join on fp)
+    // and (b) the first of its kind WITHIN the batch (min-id per fp).
+    // Emitted as the per-lang attrition ledger (tx18's debugging shape):
+    // arrived = dup_vs_corpus + dup_within_batch + kept, every row
+    // accounted for. At 100 TB the corpus side of the anti-join is the
+    // persisted fingerprint index partitioned on fp — the batch shuffles
+    // by fp and joins co-partitioned; a bloom prefilter (dd13's runtime-
+    // filter contract) cuts the probe traffic before the exact join.
+    QueryDef("dd21_incremental_dedup", (s, d) => {
+      val all = docs(s, d).select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("fp"))
+      val corpus = all.filter(col("doc_id") % 4 =!= 3).select("fp").distinct()
+      val batch = all.filter(col("doc_id") % 4 === 3)
+      val fresh = batch.join(corpus, Seq("fp"), "left_anti")
+      val kept = fresh.groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+      val keptByLang = fresh.join(kept,
+          fresh("fp") === kept("fp") && fresh("doc_id") === kept("keeper"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+      val arrived = batch.groupBy("lang").agg(count(lit(1)).as("n_arrived"))
+      val freshByLang = fresh.groupBy("lang").agg(count(lit(1)).as("n_fresh"))
+      arrived.join(freshByLang, Seq("lang"), "left")
+        .join(keptByLang, Seq("lang"), "left")
+        .select(col("lang"), col("n_arrived"),
+          (col("n_arrived") - coalesce(col("n_fresh"), lit(0L))).as("n_dup_corpus"),
+          (coalesce(col("n_fresh"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+            .as("n_dup_batch"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
+    }, Some("""
+      WITH al AS (SELECT doc_id, lang, md5(text) AS fp FROM documents),
+      corpus AS (SELECT DISTINCT fp FROM al WHERE doc_id % 4 <> 3),
+      batch AS (SELECT * FROM al WHERE doc_id % 4 = 3),
+      fresh AS (SELECT * FROM batch WHERE fp NOT IN (SELECT fp FROM corpus)),
+      kept AS (SELECT fp, MIN(doc_id) AS keeper FROM fresh GROUP BY fp),
+      kept_lang AS (
+        SELECT f.lang, COUNT(*) AS n_kept
+        FROM fresh f JOIN kept k ON f.fp = k.fp AND f.doc_id = k.keeper
+        GROUP BY 1),
+      arrived AS (SELECT lang, COUNT(*) AS n_arrived FROM batch GROUP BY 1),
+      fresh_lang AS (SELECT lang, COUNT(*) AS n_fresh FROM fresh GROUP BY 1)
+      SELECT a.lang, a.n_arrived,
+             a.n_arrived - COALESCE(fl.n_fresh, 0) AS n_dup_corpus,
+             COALESCE(fl.n_fresh, 0) - COALESCE(kl.n_kept, 0) AS n_dup_batch,
+             COALESCE(kl.n_kept, 0) AS n_kept
+      FROM arrived a
+      LEFT JOIN fresh_lang fl ON a.lang = fl.lang
+      LEFT JOIN kept_lang kl ON a.lang = kl.lang
+      ORDER BY a.lang"""))
   )
 }

@@ -332,4 +332,44 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(p.r.findFirstIn(plan).nonEmpty,
         s"q55 scan lost the box data filter $p")
   }
+
+  test("tx25 top-20 rides bounded top-k, never a global sort") {
+    val plan = physicalPlan("tx25_unigram_surprisal")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "tx25 must TakeOrdered the top-20, not sort the corpus")
+  }
+
+  test("dd20 canonicalization fuses into the scan: groupBy + result sort only") {
+    val plan = physicalPlan("dd20_url_dedup")
+    // regexp chain is scan-side projection; the only exchanges are the
+    // canonical-key hash aggregate and the orderBy's range partitioning
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      "dd20 grew an exchange beyond the dedup groupBy + result sort")
+    assert(plan.contains("regexp_replace"),
+      "dd20's canonicalization must be a plan expression, not a UDF")
+  }
+
+  test("dd21 probes the corpus index with an anti-join") {
+    val plan = physicalPlan("dd21_incremental_dedup")
+    assert(plan.contains("LeftAnti"),
+      "dd21 lost the anti-join against the corpus fingerprint index")
+  }
+
+  test("sim15 IVF-PQ: codebook and ADC table broadcast; candidate joins stay equi") {
+    val plan = physicalPlan("sim15_ivf_pq")
+    assert(plan.contains("BroadcastHashJoin"),
+      "sim15's codebook/table joins must broadcast")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "sim15 must score only candidates in probed lists")
+  }
+
+  test("mm08 perceptual hash is shuffle-free map work") {
+    val plan = physicalPlan("mm08_image_phash")
+    // decode + hash run in a partition-local MapPartitions; the only
+    // exchange is the result orderBy
+    assert("Exchange".r.findAllIn(plan).size <= 1,
+      "mm08 grew a shuffle before the result sort")
+    assert(plan.contains("MapPartitions"), "mm08 lost the batch decode loop")
+  }
 }
