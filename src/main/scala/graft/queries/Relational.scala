@@ -1258,6 +1258,54 @@ object Relational {
       SELECT l_returnflag, COUNT(*) AS n,
              CAST(SUM(CAST(CAST(FLOOR(l_extendedprice*100) AS BIGINT) * 100000000
                            AS DECIMAL(38,0))) AS VARCHAR) AS sum_scaled
-      FROM lineitem GROUP BY 1 ORDER BY l_returnflag"""))
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
+    // ---- q57: SCD TYPE-2 dimension versioning — the warehouse pattern
+    // behind every "as the dimension looked on date D" query: each
+    // customer's order dates become validity intervals
+    // [valid_from, valid_to) via LEAD over (custkey, date, orderkey) —
+    // the open interval (valid_to NULL) is the current version — and the
+    // ledger counts, per market segment, total versions, current
+    // versions, and versions active as of a probe date. Dates travel as
+    // yyyymmdd integers (immune to the testdata writer's three timestamp
+    // shapes). One window partitioned by custkey (the natural shuffle
+    // key — millions of independent partitions at 100 TB, no global
+    // sort), one broadcast dim join, one rollup.
+    QueryDef("q57_scd2_versions", (s, d) => {
+      val probe = 19950615L
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        (year(col("o_orderdate")) * 10000 + month(col("o_orderdate")) * 100 +
+          dayofmonth(col("o_orderdate"))).cast("long").as("ymd"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("ymd"), col("o_orderkey"))
+      val versions = o.withColumn("valid_to", lead(col("ymd"), 1).over(w))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      versions.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("valid_to").isNull, 1L).otherwise(0L)).as("n_current"),
+          sum(when(col("ymd") <= probe &&
+            (col("valid_to").isNull || col("valid_to") > probe), 1L)
+            .otherwise(0L)).as("n_active_at_probe"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      WITH v AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(year(o_orderdate)*10000 + month(o_orderdate)*100
+                    + day(o_orderdate) AS BIGINT) AS ymd
+        FROM orders),
+      versions AS (
+        SELECT o_custkey, ymd,
+               LEAD(ymd) OVER (PARTITION BY o_custkey
+                               ORDER BY ymd, o_orderkey) AS valid_to
+        FROM v)
+      SELECT c_mktsegment, COUNT(*) AS n_versions,
+             CAST(SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_current,
+             CAST(SUM(CASE WHEN ymd <= 19950615
+                            AND (valid_to IS NULL OR valid_to > 19950615)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_active_at_probe
+      FROM versions JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1 ORDER BY c_mktsegment"""))
   )
 }
