@@ -1620,6 +1620,50 @@ object TextDedup {
       FROM arrived a
       LEFT JOIN fresh_lang fl ON a.lang = fl.lang
       LEFT JOIN kept_lang kl ON a.lang = kl.lang
-      ORDER BY a.lang"""))
+      ORDER BY a.lang""")),
+
+    // ---- dd22: train/valid SPLIT-LEAKAGE audit — the eval-integrity
+    // check that is the reason dedup exists at all: after a stable-hash
+    // 80/20 split (h28(doc_id) — reshuffling the corpus can never move a
+    // doc across the split), count the validation docs whose exact
+    // fingerprint also appears in train. Any nonzero row is memorized
+    // eval data. Shapes: one scan computes split + fp at the map side;
+    // the train-fp set probes the valid side with a semi-join on fp
+    // (dd21's anti-join class, inverted) — at 100 TB both sides partition
+    // by fp and the join is co-partitioned, with a bloom prefilter
+    // (dd13) cutting probe traffic.
+    QueryDef("dd22_split_leakage", (s, d) => {
+      val tagged = docs(s, d).select(col("doc_id"), col("lang"),
+        md5(col("text").cast("binary")).as("fp"),
+        (h28(col("doc_id").cast("string")) % 10 < 8).as("is_train"))
+      val trainFps = tagged.filter(col("is_train")).select("fp").distinct()
+      val valid = tagged.filter(!col("is_train"))
+      val contaminated = valid.join(trainFps, Seq("fp"), "left_semi")
+        .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+      valid.groupBy("lang").agg(count(lit(1)).as("n_valid"))
+        .join(contaminated, Seq("lang"), "left")
+        .select(col("lang"), col("n_valid"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          floor(coalesce(col("n_contaminated"), lit(0L)).cast("double")
+            / col("n_valid") * 10000).cast("long").as("leak_x1e4"))
+        .orderBy("lang")
+    }, Some("""
+      WITH tagged AS (
+        SELECT doc_id, lang, md5(text) AS fp,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 10 < 8
+                 AS is_train
+        FROM documents),
+      train_fps AS (SELECT DISTINCT fp FROM tagged WHERE is_train),
+      valid AS (SELECT * FROM tagged WHERE NOT is_train),
+      cont AS (
+        SELECT lang, COUNT(*) AS n_contaminated
+        FROM valid WHERE fp IN (SELECT fp FROM train_fps) GROUP BY 1),
+      v AS (SELECT lang, COUNT(*) AS n_valid FROM valid GROUP BY 1)
+      SELECT v.lang, v.n_valid,
+             COALESCE(c.n_contaminated, 0) AS n_contaminated,
+             CAST(FLOOR(CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE)
+                        / v.n_valid * 10000) AS BIGINT) AS leak_x1e4
+      FROM v LEFT JOIN cont c ON v.lang = c.lang
+      ORDER BY v.lang"""))
   )
 }

@@ -54,16 +54,22 @@ for name in sorted(oracle):
     p = multiprocessing.Process(target=run_oracle, args=(name, sql, q))
     t0 = time.time()
     p.start()
-    p.join(budget)
-    elapsed = round(time.time() - t0, 1)
-    if p.is_alive():
+    # Drain the queue BEFORE joining: a child putting a result larger than
+    # the pipe buffer blocks inside q.put() until the parent reads, so a
+    # join-first harness records every big-result oracle as a false
+    # timeout (dd01 at sf1: 475k rows, oracle runs in 0.6s).
+    try:
+        kind, payload = q.get(timeout=budget)
+        elapsed = round(time.time() - t0, 1)
+    except Exception:
+        elapsed = round(time.time() - t0, 1)
         p.terminate(); p.join()
         report[name] = {"status": "oracle_timeout", "budget_sec": budget,
                         "note": "DuckDB oracle exceeded the budget; Spark side dumped fine"}
         n_skip += 1
         print(f"SKIP {name}: oracle timeout after {elapsed}s", flush=True)
         continue
-    kind, payload = q.get()
+    p.join()
     if kind == "err":
         report[name] = {"status": "oracle_error", "detail": payload}
         n_skip += 1
