@@ -63,7 +63,11 @@ for name in sorted(oracle):
         elapsed = round(time.time() - t0, 1)
     except Exception:
         elapsed = round(time.time() - t0, 1)
-        p.terminate(); p.join()
+        # terminate is SIGTERM, which CPython only honors between bytecodes
+        # — a child deep in a native DuckDB call never sees it; escalate
+        p.terminate(); p.join(10)
+        if p.is_alive():
+            p.kill(); p.join()
         report[name] = {"status": "oracle_timeout", "budget_sec": budget,
                         "note": "DuckDB oracle exceeded the budget; Spark side dumped fine"}
         n_skip += 1
