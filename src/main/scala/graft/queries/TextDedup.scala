@@ -829,22 +829,31 @@ object TextDedup {
     // banded equi-join finds every qualifying pair with zero recall loss,
     // and the n² compare never materializes (VERDICT r1 item 2).
     QueryDef("dd04_simhash_hamming", (s, d) => {
+      // 56-bit signature from two independently salted 28-bit word hashes.
+      // The r11 shape (28-bit sig, 6-bit bands) had only 64 values per
+      // band, so candidates grew as n²/64 — the sf1 sweep measured 150M
+      // candidate pairs from 50k docs. A 14-bit band space (16384 values)
+      // keeps buckets person-sized through sf10; at larger corpora the
+      // band width is the knob (64-bit sigs, 16-bit bands).
       val words = docs(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-        .withColumn("h", h28(col("w")))
+        .withColumn("h1", h28(col("w")))
+        .withColumn("h2", h28(concat(lit("s_"), col("w"))))
       val bits = words
-        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(27))).as("b"))
+        .select(col("doc_id"), col("h1"), col("h2"),
+          explode(sequence(lit(0), lit(55))).as("b"))
         .groupBy("doc_id", "b")
-        .agg(sum(expr("CASE WHEN shiftright(h, b) & 1 = 1 THEN 1 ELSE -1 END")).as("score"))
+        .agg(sum(expr(
+          "CASE WHEN (CASE WHEN b < 28 THEN shiftright(h1, b) ELSE shiftright(h2, b - 28) END) & 1 = 1 THEN 1 ELSE -1 END"))
+          .as("score"))
       val sig = bits.groupBy("doc_id")
         .agg(sum(expr("CASE WHEN score >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
           .as("simhash"))
-      // bands 0-3 cover 6 bits each (mask 63), band 4 the top 4 (mask 15)
+      // 4 bands x 14 bits: hamming <= 3 implies >= 1 exactly-equal band
       val banded = sig.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 5).map { bi =>
-          val mask = if (bi == 4) 15L else 63L
+        explode(array((0 until 4).map { bi =>
           struct(lit(bi).as("band"),
-            shiftright(col("simhash"), bi * 6).bitwiseAND(lit(mask)).as("bits"))
+            shiftright(col("simhash"), bi * 14).bitwiseAND(lit(16383L)).as("bits"))
         }: _*)).as("bb"))
         .select(col("doc_id"), col("simhash"),
           col("bb.band").as("band"), col("bb.bits").as("bits"))
@@ -857,30 +866,34 @@ object TextDedup {
       cand
         .select(col("ida"), col("idb"),
           bit_count(col("sa").bitwiseXOR(col("sb"))).as("hamming"))
-        .filter(col("hamming") <= 4)
+        .filter(col("hamming") <= 3)
         .orderBy("ida", "idb")
     }, Some("""
       WITH words AS (
         SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
                                         FROM documents)),
-      hs AS (SELECT doc_id, ('0x' || substr(md5(w),1,7))::BIGINT AS h FROM words),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(w),1,7))::BIGINT AS h1,
+                    ('0x' || substr(md5('s_' || w),1,7))::BIGINT AS h2
+             FROM words),
       bits AS (
-        SELECT doc_id, b, SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS score
-        FROM hs, generate_series(0, 27) t(b) GROUP BY doc_id, b),
+        SELECT doc_id, b,
+               SUM(CASE WHEN (CASE WHEN b < 28 THEN h1 >> b ELSE h2 >> (b - 28) END) & 1 = 1
+                        THEN 1 ELSE -1 END) AS score
+        FROM hs, generate_series(0, 55) t(b) GROUP BY doc_id, b),
       sig AS (
         SELECT doc_id, CAST(SUM(CASE WHEN score >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id),
       banded AS (
         SELECT doc_id, simhash, band,
-               (simhash >> (band*6)) & (CASE WHEN band = 4 THEN 15 ELSE 63 END) AS bits
-        FROM sig, generate_series(0, 4) t(band)),
+               (simhash >> (band*14)) & 16383 AS bits
+        FROM sig, generate_series(0, 3) t(band)),
       cand AS (
         SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb,
                x.simhash AS sa, y.simhash AS sb
         FROM banded x JOIN banded y
           ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
       SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-      FROM cand WHERE bit_count(xor(sa, sb)) <= 4
+      FROM cand WHERE bit_count(xor(sa, sb)) <= 3
       ORDER BY ida, idb""")),
 
     // ---- dd14: NORMALIZED exact dedup — the "fuzzy-exact" pass every web
