@@ -835,19 +835,21 @@ object TextDedup {
       // candidate pairs from 50k docs. A 14-bit band space (16384 values)
       // keeps buckets person-sized through sf10; at larger corpora the
       // band width is the knob (64-bit sigs, 16-bit bands).
+      // both 28-bit halves come from ONE md5 (hex chars 1-7 and 8-14):
+      // the digest is 128 bits, and the second call per word was 30% of
+      // the whole pipeline's wall-clock (Dd04Tune, sf1)
       val words = docs(s, d)
         .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("w"))
-        .withColumn("h1", h28(col("w")))
-        .withColumn("h2", h28(concat(lit("s_"), col("w"))))
-      val bits = words
-        .select(col("doc_id"), col("h1"), col("h2"),
-          explode(sequence(lit(0), lit(55))).as("b"))
-        .groupBy("doc_id", "b")
-        .agg(sum(expr(
-          "CASE WHEN (CASE WHEN b < 28 THEN shiftright(h1, b) ELSE shiftright(h2, b - 28) END) & 1 = 1 THEN 1 ELSE -1 END"))
-          .as("score"))
-      val sig = bits.groupBy("doc_id")
-        .agg(sum(expr("CASE WHEN score >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .withColumn("md", md5(col("w").cast("binary")))
+        .select(col("doc_id"),
+          conv(substring(col("md"), 1, 7), 16, 10).cast("long").as("h1"),
+          conv(substring(col("md"), 8, 7), 16, 10).cast("long").as("h2"))
+      // one-pass signature via the custom SimHashAgg aggregate: one input
+      // row per (doc, word) with 56 longs of group state, instead of the
+      // 56-rows-per-word bit explode (the relational form the DuckDB
+      // oracle still uses — ~2.8B exploded rows at sf10 vs ~50M here)
+      val sig = words.groupBy("doc_id")
+        .agg(graft.functions.SimHashAgg.simhash_agg(col("h1"), col("h2"))
           .as("simhash"))
       // 4 bands x 14 bits: hamming <= 3 implies >= 1 exactly-equal band
       val banded = sig.select(col("doc_id"), col("simhash"),
@@ -873,7 +875,7 @@ object TextDedup {
         SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
                                         FROM documents)),
       hs AS (SELECT doc_id, ('0x' || substr(md5(w),1,7))::BIGINT AS h1,
-                    ('0x' || substr(md5('s_' || w),1,7))::BIGINT AS h2
+                    ('0x' || substr(md5(w),8,7))::BIGINT AS h2
              FROM words),
       bits AS (
         SELECT doc_id, b,

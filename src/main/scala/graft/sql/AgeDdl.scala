@@ -277,6 +277,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashAgg(args.head)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("simhash_agg"),
+      new ExpressionInfo(classOf[graft.functions.SimHashAgg].getName, "simhash_agg",
+        "simhash_agg(h1, h2) - 56-bit SimHash of a group of paired 28-bit word hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 2)
+          throw new graft.core.AgeInvalidInputException(
+            "simhash_agg(h1, h2) takes exactly 2 arguments")
+        graft.functions.SimHashAgg(args.head, args(1))
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("bitmap_distinct"),
       new ExpressionInfo(classOf[graft.functions.BitmapDistinct].getName, "bitmap_distinct",
         "bitmap_distinct(c) - exact COUNT(DISTINCT) of an integral/date column via paged bitmaps"),

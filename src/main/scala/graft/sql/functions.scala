@@ -60,6 +60,10 @@ object functions {
   /** One-pass K-minhash signature aggregate over a hashed-shingle column. */
   def minhash_agg(h: Column): Column = graft.functions.MinHashAgg.minhash_agg(h)
 
+  /** One-pass 56-bit SimHash aggregate over paired 28-bit word hashes. */
+  def simhash_agg(h1: Column, h2: Column): Column =
+    graft.functions.SimHashAgg.simhash_agg(h1, h2)
+
   /** Native codegen LSH band keys over a float/double-array column:
     * nPlanes hyperplane signs packed into nPlanes/bandSize bigint keys. */
   def band_keys(c: Column, nPlanes: Int, bandSize: Int): Column =

@@ -246,6 +246,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("simhash_agg: equals the bit-explode relational derivation") {
+    // reference: explode 56 bits, majority per bit, fold to a long
+    val df = Seq((1L, 0x0ABCDEFL, 0x7654321L), (1L, 0x1111111L, 0x0F0F0F0L),
+      (1L, 0xFEDCBA9L, 0x2222222L), (2L, 0x42L, 0x17L))
+      .toDF("g", "h1", "h2")
+    val viaAgg = df.groupBy("g")
+      .agg(SimHashAgg.simhash_agg(col("h1"), col("h2")).as("sig"))
+      .orderBy("g").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bits = df.select(col("g"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(55))).as("b"))
+      .groupBy("g", "b")
+      .agg(sum(expr(
+        "CASE WHEN (CASE WHEN b < 28 THEN shiftright(h1, b) ELSE shiftright(h2, b - 28) END) & 1 = 1 THEN 1 ELSE -1 END"))
+        .as("score"))
+    val ref = bits.groupBy("g")
+      .agg(sum(expr("CASE WHEN score >= 0 THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END"))
+        .as("sig"))
+      .orderBy("g").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAgg == ref)
+    // merge path: same result across a forced repartition
+    val viaAggParts = df.repartition(8).groupBy("g")
+      .agg(SimHashAgg.simhash_agg(col("h1"), col("h2")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAggParts == ref)
+  }
+
   test("minhash_agg: merge across partitions is elementwise min") {
     val big = spark.range(0, 10000).select((col("id") % 7).as("g"),
       ((col("id") * 2654435761L) % (1L << 28)).as("h"))
