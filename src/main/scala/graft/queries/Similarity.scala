@@ -1026,6 +1026,120 @@ object Similarity {
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
         FROM scored)
       SELECT qid, vid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INTEGER) AS rank
-      FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank""")),
+
+    // ---- sim16: MMR (maximal-marginal-relevance) diversity re-rank —
+    // the retrieval step between ANN top-k and a RAG prompt: from each
+    // query's top-10 relevance pool, greedily pick 3 results maximizing
+    // λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7, all in exact
+    // integers: scores ×1e4, MMR ×10 → 7·rel − 3·maxsim; ties → lowest
+    // vid). The greedy loop is data-DEPENDENT sequential — the classic
+    // "iterative algorithm on a bounded relation" shape: the corpus-sized
+    // work (relevance scan) happens ONCE through the bounded topk_agg
+    // exchange; the 3 unrolled selection steps then run on a ≤10-row/query
+    // relation where every join is trivially small. Same unroll
+    // discipline as graph06's 3 PageRank iterations, oracle-checkable
+    // step for step.
+    QueryDef("sim16_mmr_rerank", (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val v = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      val scored = q.join(v, col("qid") =!= col("vid"))
+        .select(col("qid"), col("vid"),
+          floor(cosine(col("qe"), col("ve")) * 10000).cast("double").as("rel"))
+      val pool = scored.groupBy("qid")
+        .agg(graft.functions.TopKAgg.topk_agg(col("rel"), col("vid"), 10).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+        .select(col("qid"), col("t.id").as("vid"),
+          col("t.score").cast("long").as("rel"))
+      // pairwise sims inside each pool (<= 10x9 rows per query)
+      val pe = pool.join(e, pool("vid") === e("vec_id"))
+        .select(col("qid"), col("vid"), col("embedding"))
+      val sims = pe.as("a").join(pe.as("b"),
+          col("a.qid") === col("b.qid") && col("a.vid") =!= col("b.vid"))
+        .select(col("a.qid").as("qid"), col("a.vid").as("va"), col("b.vid").as("vb"),
+          floor(cosine(col("a.embedding"), col("b.embedding")) * 10000)
+            .cast("long").as("sim"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("mmr").desc, col("vid"))
+      // step 1: pure relevance
+      val s1 = pool.withColumn("mmr", col("rel") * 7)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vid").as("v1"), col("mmr").as("m1"))
+      // step 2: penalized by similarity to s1
+      val s2 = pool.as("p").join(s1.as("t1"), col("p.qid") === col("t1.qid"))
+        .filter(col("p.vid") =!= col("t1.v1"))
+        .join(sims.as("sm"), col("p.qid") === col("sm.qid")
+          && col("p.vid") === col("sm.va") && col("t1.v1") === col("sm.vb"))
+        .select(col("p.qid").as("qid"), col("p.vid").as("vid"),
+          (col("p.rel") * 7 - col("sm.sim") * 3).as("mmr"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vid").as("v2"), col("mmr").as("m2"))
+      // step 3: penalized by the max similarity to {s1, s2}
+      val s3 = pool.as("p")
+        .join(s1.as("t1"), col("p.qid") === col("t1.qid"))
+        .join(s2.as("t2"), col("p.qid") === col("t2.qid"))
+        .filter(col("p.vid") =!= col("t1.v1") && col("p.vid") =!= col("t2.v2"))
+        .join(sims.as("x1"), col("p.qid") === col("x1.qid")
+          && col("p.vid") === col("x1.va") && col("t1.v1") === col("x1.vb"))
+        .join(sims.as("x2"), col("p.qid") === col("x2.qid")
+          && col("p.vid") === col("x2.va") && col("t2.v2") === col("x2.vb"))
+        .select(col("p.qid").as("qid"), col("p.vid").as("vid"),
+          (col("p.rel") * 7 - greatest(col("x1.sim"), col("x2.sim")) * 3).as("mmr"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("qid"), col("vid").as("v3"), col("mmr").as("m3"))
+      s1.select(col("qid"), lit(1).as("rank"), col("v1").as("vid"), col("m1").as("mmr_x1e4"))
+        .union(s2.select(col("qid"), lit(2), col("v2"), col("m2")))
+        .union(s3.select(col("qid"), lit(3), col("v3"), col("m3")))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH scored AS (
+        SELECT q.vec_id AS qid, v.vec_id AS vid,
+               CAST(FLOOR(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                 v.embedding::DOUBLE[])*10000) AS BIGINT) AS rel
+        FROM embeddings q JOIN embeddings v ON q.vec_id < 5 AND q.vec_id <> v.vec_id),
+      pool AS (
+        SELECT qid, vid, rel FROM (
+          SELECT qid, vid, rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel DESC, vid) AS rn
+          FROM scored) WHERE rn <= 10),
+      sims AS (
+        SELECT a.qid, a.vid AS va, b.vid AS vb,
+               CAST(FLOOR(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                                 eb.embedding::DOUBLE[])*10000) AS BIGINT) AS sim
+        FROM pool a JOIN pool b ON a.qid = b.qid AND a.vid <> b.vid
+        JOIN embeddings ea ON ea.vec_id = a.vid
+        JOIN embeddings eb ON eb.vec_id = b.vid),
+      s1 AS (
+        SELECT qid, vid AS v1, rel * 7 AS m1 FROM (
+          SELECT qid, vid, rel,
+                 ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rel * 7 DESC, vid) AS rn
+          FROM pool) WHERE rn = 1),
+      s2 AS (
+        SELECT qid, vid AS v2, mmr AS m2 FROM (
+          SELECT p.qid, p.vid, p.rel * 7 - s.sim * 3 AS mmr,
+                 ROW_NUMBER() OVER (PARTITION BY p.qid
+                   ORDER BY p.rel * 7 - s.sim * 3 DESC, p.vid) AS rn
+          FROM pool p JOIN s1 ON p.qid = s1.qid AND p.vid <> s1.v1
+          JOIN sims s ON s.qid = p.qid AND s.va = p.vid AND s.vb = s1.v1)
+        WHERE rn = 1),
+      s3 AS (
+        SELECT qid, vid AS v3, mmr AS m3 FROM (
+          SELECT p.qid, p.vid,
+                 p.rel * 7 - GREATEST(x1.sim, x2.sim) * 3 AS mmr,
+                 ROW_NUMBER() OVER (PARTITION BY p.qid
+                   ORDER BY p.rel * 7 - GREATEST(x1.sim, x2.sim) * 3 DESC, p.vid) AS rn
+          FROM pool p
+          JOIN s1 ON p.qid = s1.qid JOIN s2 ON p.qid = s2.qid
+          JOIN sims x1 ON x1.qid = p.qid AND x1.va = p.vid AND x1.vb = s1.v1
+          JOIN sims x2 ON x2.qid = p.qid AND x2.va = p.vid AND x2.vb = s2.v2
+          WHERE p.vid <> s1.v1 AND p.vid <> s2.v2)
+        WHERE rn = 1)
+      SELECT qid, CAST(1 AS INTEGER) AS rank, v1 AS vid, CAST(m1 AS BIGINT) AS mmr_x1e4 FROM s1
+      UNION ALL
+      SELECT qid, 2, v2, CAST(m2 AS BIGINT) FROM s2
+      UNION ALL
+      SELECT qid, 3, v3, CAST(m3 AS BIGINT) FROM s3
+      ORDER BY qid, rank"""))
   )
 }
