@@ -1679,6 +1679,51 @@ object TextDedup {
              CAST(FLOOR(CAST(COALESCE(c.n_contaminated, 0) AS DOUBLE)
                         / v.n_valid * 10000) AS BIGINT) AS leak_x1e4
       FROM v LEFT JOIN cont c ON v.lang = c.lang
-      ORDER BY v.lang"""))
+      ORDER BY v.lang""")),
+
+    // ---- tx26: Count-Min-Sketch heavy hitters — the third sketch next
+    // to HLL (q34) and KLL quantiles (q37), and unlike those, CUSTOM and
+    // fully oracle-checkable: cms_agg (functions/CmsAgg.scala, the 9th
+    // SQL-registered custom function) builds one corpus-wide 4×256
+    // counter grid whose hash rows reuse MinHashAgg's (A, B, P) integer
+    // family, so DuckDB can recompute the ENTIRE sketch — the gate
+    // checks the estimates exactly, not just the ε-bound. The top-10
+    // exact-count tokens are then probed against the sketch
+    // (min over 4 counters); CMS guarantees est >= true. One corpus
+    // scan feeds both the sketch (8 KB of mergeable state — the
+    // streaming/distributed heavy-hitter shape) and the exact tf
+    // aggregate that certifies it.
+    QueryDef("tx26_cms_heavy_hitters", (s, d) => {
+      val toks = docs(s, d).select(explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", h28(col("w")))
+      val sketch = toks.agg(graft.functions.CmsAgg.cms_agg(col("h")).as("sk"))
+      val top = toks.groupBy("w")
+        .agg(count(lit(1)).as("n"), min(col("h")).as("h"))
+        .orderBy(col("n").desc, col("w")).limit(10)
+      val est = (0 until 4).map { j =>
+        val bucket = ((col("h") * A(j) + B(j)) % P) % 256
+        element_at(col("sk"), (bucket + j * 256 + 1).cast("int"))
+      }.reduce(least(_, _))
+      top.crossJoin(broadcast(sketch))
+        .select(col("w"), col("n"), est.as("cms_est"))
+        .orderBy(col("n").desc, col("w"))
+    }, Some(s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      hs AS (SELECT w, ('0x' || substr(md5(w),1,7))::BIGINT AS h FROM toks),
+      cj AS (SELECT * FROM (VALUES ${(0 until 4).map(j =>
+        s"(${j}, ${A(j)}, ${B(j)})").mkString(", ")}) AS t(j, aj, bj)),
+      counters AS (
+        SELECT j, ((h*aj + bj) % $P) % 256 AS bucket, COUNT(*) AS c
+        FROM hs CROSS JOIN cj GROUP BY 1, 2),
+      tf AS (SELECT w, COUNT(*) AS n, MIN(h) AS h FROM hs GROUP BY w),
+      top AS (SELECT * FROM tf ORDER BY n DESC, w LIMIT 10),
+      est AS (
+        SELECT top.w, top.n, MIN(c.c) AS cms_est
+        FROM top CROSS JOIN cj
+        JOIN counters c ON c.j = cj.j
+         AND c.bucket = ((top.h*cj.aj + cj.bj) % $P) % 256
+        GROUP BY 1, 2)
+      SELECT w, n, CAST(cms_est AS BIGINT) AS cms_est
+      FROM est ORDER BY n DESC, w"""))
   )
 }

@@ -287,6 +287,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SimHashAgg(args.head, args(1))
       }))
     extensions.injectFunction((
+      FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(classOf[graft.functions.CmsAgg].getName, "cms_agg",
+        "cms_agg(hash) - 4x256 Count-Min-Sketch counter grid over 28-bit item hashes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 1)
+          throw new graft.core.AgeInvalidInputException(
+            "cms_agg(hash) takes exactly 1 argument")
+        graft.functions.CmsAgg(args.head)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("bitmap_distinct"),
       new ExpressionInfo(classOf[graft.functions.BitmapDistinct].getName, "bitmap_distinct",
         "bitmap_distinct(c) - exact COUNT(DISTINCT) of an integral/date column via paged bitmaps"),

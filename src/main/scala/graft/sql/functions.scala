@@ -64,6 +64,9 @@ object functions {
   def simhash_agg(h1: Column, h2: Column): Column =
     graft.functions.SimHashAgg.simhash_agg(h1, h2)
 
+  /** Mergeable 4×256 Count-Min-Sketch counter grid over 28-bit hashes. */
+  def cms_agg(h: Column): Column = graft.functions.CmsAgg.cms_agg(h)
+
   /** Native codegen LSH band keys over a float/double-array column:
     * nPlanes hyperplane signs packed into nPlanes/bandSize bigint keys. */
   def band_keys(c: Column, nPlanes: Int, bandSize: Int): Column =

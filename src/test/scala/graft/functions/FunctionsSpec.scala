@@ -246,6 +246,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("cms_agg: counters equal the per-bucket group counts; estimate >= truth") {
+    val df = spark.range(0, 5000)
+      .select(((col("id") * 37L) % 300L).as("item"))
+      .withColumn("h", ((col("item") * 2654435761L) % (1L << 28)))
+    val sk = df.agg(CmsAgg.cms_agg(col("h")).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    assert(sk.length == CmsAgg.D * CmsAgg.W)
+    // total per hash row conserves the input cardinality
+    (0 until CmsAgg.D).foreach { j =>
+      assert(sk.slice(j * CmsAgg.W, (j + 1) * CmsAgg.W).sum == 5000L)
+    }
+    // reference grid computed directly from the update formula
+    val rows = df.collect().map(_.getLong(1))
+    val ref = new Array[Long](CmsAgg.D * CmsAgg.W)
+    rows.foreach { h =>
+      (0 until CmsAgg.D).foreach { j =>
+        val b = (((h * MinHashAgg.A(j) + MinHashAgg.B(j)) % MinHashAgg.P) % CmsAgg.W).toInt
+        ref(j * CmsAgg.W + b) += 1L
+      }
+    }
+    assert(sk.toArray.sameElements(ref))
+    // point estimates dominate true counts (CMS guarantee)
+    val truth = rows.groupBy(identity).map { case (h, xs) => h -> xs.length.toLong }
+    truth.foreach { case (h, n) =>
+      val est = (0 until CmsAgg.D).map { j =>
+        val b = (((h * MinHashAgg.A(j) + MinHashAgg.B(j)) % MinHashAgg.P) % CmsAgg.W).toInt
+        ref(j * CmsAgg.W + b)
+      }.min
+      assert(est >= n, s"estimate $est < truth $n")
+    }
+  }
+
   test("simhash_agg: equals the bit-explode relational derivation") {
     // reference: explode 56 bits, majority per bit, fold to a long
     val df = Seq((1L, 0x0ABCDEFL, 0x7654321L), (1L, 0x1111111L, 0x0F0F0F0L),

@@ -38,7 +38,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "tx16_zipf_vocab", // 1-row corpus-total broadcast into coverage (tx12 shape)
     "tx20_dsir_weights", // 1-row vocab-size broadcast into the weight calc (tx12 shape)
     "tx23_curriculum_cutpoints", // lang-frame x 4-row broadcast stage grid
-    "sim16_mmr_rerank") // sim01's bounded 5-query scoring side + <=10-row pool selection joins
+    "sim16_mmr_rerank", // sim01's bounded 5-query scoring side + <=10-row pool selection joins
+    "tx26_cms_heavy_hitters") // 1-row sketch broadcast into the probe (tx12's class)
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
