@@ -548,6 +548,66 @@ object StreamingQueries {
              CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events JOIN customer ON user_id = c_custkey
                   JOIN nation ON c_nationkey = n_nationkey
-      GROUP BY 1 ORDER BY n_name"""))
+      GROUP BY 1 ORDER BY n_name""")),
+
+    // ---- stream14: STREAMING Count-Min heavy hitters — tx26's sketch
+    // built inside Structured Streaming state: the custom cms_agg
+    // TypedImperativeAggregate runs as the stateful aggregation of a
+    // complete-mode stream (documents arrive as micro-batches, the word
+    // explode is stateless in-batch, the 8 KB counter grid IS the
+    // operator state and merges associatively across batches — the exact
+    // property that makes CMS the streaming heavy-hitter primitive).
+    // The drained sketch is then probed with the batch-exact top-10,
+    // and the whole result must hash-equal tx26's batch oracle: a
+    // cross-engine AND batch/stream consistency gate in one.
+    QueryDef("stream14_cms_heavy_hitters", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val feed = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded feed plumbing, not the operator
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val words = mem.toDF().toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .select(TextDedup.h28(col("w")).as("h"))
+      val agg = words.groupBy().agg(graft.functions.CmsAgg.cms_agg(col("h")).as("sk"))
+      val sketch = drain(s, agg, "complete") { _ =>
+        // three micro-batches so the state actually merges across batches
+        feed.grouped(math.max(1, feed.size / 3 + 1)).foreach(mem.addData(_))
+      }
+      val toks = Tables.load(s, d, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", TextDedup.h28(col("w")))
+      val top = toks.groupBy("w")
+        .agg(count(lit(1)).as("n"), min(col("h")).as("h"))
+        .orderBy(col("n").desc, col("w")).limit(10)
+      import graft.functions.MinHashAgg
+      val est = (0 until graft.functions.CmsAgg.D).map { j =>
+        val bucket = ((col("h") * MinHashAgg.A(j) + MinHashAgg.B(j)) % MinHashAgg.P) % 256
+        element_at(col("sk"), (bucket + j * 256 + 1).cast("int"))
+      }.reduce(least(_, _))
+      top.crossJoin(broadcast(sketch))
+        .select(col("w"), col("n"), est.as("cms_est"))
+        .orderBy(col("n").desc, col("w"))
+    }, Some(s"""
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      hs AS (SELECT w, ('0x' || substr(md5(w),1,7))::BIGINT AS h FROM toks),
+      cj AS (SELECT * FROM (VALUES ${(0 until 4).map(j =>
+        s"(${j}, ${graft.functions.MinHashAgg.A(j)}, ${graft.functions.MinHashAgg.B(j)})")
+        .mkString(", ")}) AS t(j, aj, bj)),
+      counters AS (
+        SELECT j, ((h*aj + bj) % ${graft.functions.MinHashAgg.P}) % 256 AS bucket, COUNT(*) AS c
+        FROM hs CROSS JOIN cj GROUP BY 1, 2),
+      tf AS (SELECT w, COUNT(*) AS n, MIN(h) AS h FROM hs GROUP BY w),
+      top AS (SELECT * FROM tf ORDER BY n DESC, w LIMIT 10),
+      est AS (
+        SELECT top.w, top.n, MIN(c.c) AS cms_est
+        FROM top CROSS JOIN cj
+        JOIN counters c ON c.j = cj.j
+         AND c.bucket = ((top.h*cj.aj + cj.bj) % ${graft.functions.MinHashAgg.P}) % 256
+        GROUP BY 1, 2)
+      SELECT w, n, CAST(cms_est AS BIGINT) AS cms_est
+      FROM est ORDER BY n DESC, w"""))
   )
 }

@@ -39,7 +39,8 @@ class PlanShapeSpec extends AnyFunSuite {
     "tx20_dsir_weights", // 1-row vocab-size broadcast into the weight calc (tx12 shape)
     "tx23_curriculum_cutpoints", // lang-frame x 4-row broadcast stage grid
     "sim16_mmr_rerank", // sim01's bounded 5-query scoring side + <=10-row pool selection joins
-    "tx26_cms_heavy_hitters") // 1-row sketch broadcast into the probe (tx12's class)
+    "tx26_cms_heavy_hitters", // 1-row sketch broadcast into the probe (tx12's class)
+    "stream14_cms_heavy_hitters") // same 1-row sketch broadcast, drained from the stream
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
