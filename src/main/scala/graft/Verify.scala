@@ -32,6 +32,7 @@ object Verify {
     * compute density high enough that interpreted eval beats janino cost. */
   private val hotList = Set(
     "dd04_simhash_hamming", // md5-per-shingle ×64 bit-tests: compute-dense
+    "tx27_bpe_encode", // md5-per-char encode fold: dd04's compute-dense class
     "q38_pivot", "q40_lateral_topn", "q42_range_frame", "q43_unpivot",
     "q44_mixed_distinct", "q45_recursive_cte", "q46_distinct_on",
     "q47_list_hof", "sim01_cosine_topk", "sim02_ann_lsh_buckets",

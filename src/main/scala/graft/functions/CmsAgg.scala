@@ -68,6 +68,16 @@ case class CmsAgg(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
+  // update() casts the evaluated input straight to Long — without this
+  // check a SQL caller passing an INT/DOUBLE column would get a runtime
+  // ClassCastException mid-job instead of an analysis error (ADVICE r12)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cms_agg expects a BIGINT item-hash column, got ${t.catalogString}")
+    }
+
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =

@@ -80,6 +80,19 @@ case class SimHashAgg(
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
+  // update() casts both evaluated inputs straight to Long — reject other
+  // types at analysis time rather than ClassCastException mid-job
+  // (ADVICE r12, same contract as cms_agg/band_keys)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_agg expects two BIGINT hash columns, got " +
+            s"${l.catalogString}, ${r.catalogString}")
+    }
+
   override def withNewMutableAggBufferOffset(newOffset: Int): SimHashAgg =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): SimHashAgg =

@@ -67,10 +67,22 @@ object GraphOps {
     */
   /** The co-purchase edge list (src < dst, weight = #shared parts) — the
     * relational projection the graph is built from, exposed separately so
-    * it can be oracle-checked against the equivalent SQL (graph02). */
+    * it can be oracle-checked against the equivalent SQL (graph02).
+    *
+    * `custMod > 1` restricts to the deterministic vertex subsample
+    * `o_custkey % custMod == 0` BEFORE pairing — the induced subgraph both
+    * engines can enumerate exactly. The filter rides the orders scan
+    * (pushed to parquet), so the sampled projection costs ~1/custMod² of
+    * the full pair join. Used by the triangle/PageRank oracles whose SQL
+    * recomputation is super-linear in |E| (sweep_sf1_r12: the full-graph
+    * DuckDB oracles blow the 600 s budget at sf1; the sampled subgraph
+    * keeps the check exact at every scale while the algorithms themselves
+    * are unchanged). */
   def coPurchasePairs(spark: SparkSession, dir: String,
-                      maxBuyersPerPart: Int = 40): DataFrame = {
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
+                      maxBuyersPerPart: Int = 40, custMod: Int = 1): DataFrame = {
+    val orders0 = spark.read.parquet(s"$dir/orders.parquet")
+    val orders = if (custMod > 1) orders0.filter(col("o_custkey") % custMod === 0)
+                 else orders0
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val cp = orders.join(li, orders("o_orderkey") === li("l_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
@@ -85,8 +97,8 @@ object GraphOps {
   }
 
   def coPurchaseGraph(spark: SparkSession, dir: String,
-                      maxBuyersPerPart: Int = 40): Graph[Int, Int] = {
-    val pairs = coPurchasePairs(spark, dir, maxBuyersPerPart)
+                      maxBuyersPerPart: Int = 40, custMod: Int = 1): Graph[Int, Int] = {
+    val pairs = coPurchasePairs(spark, dir, maxBuyersPerPart, custMod)
     val edges = pairs.rdd.flatMap { r =>
       val (s, d, w) = (r.getLong(0), r.getLong(1), r.getInt(2))
       Seq(Edge(s, d, w), Edge(d, s, w)) // undirected → both directions
@@ -125,8 +137,9 @@ object GraphOps {
     * src<dst dedup). Per-vertex counts sum to 3× the triangle total. The
     * quadratic hot-part fan-out is already capped upstream in
     * coPurchasePairs, so the neighborhood-intersection stage is bounded. */
-  def coPurchaseTriangles(spark: SparkSession, dir: String): Long = {
-    val pairs = coPurchasePairs(spark, dir)
+  def coPurchaseTriangles(spark: SparkSession, dir: String,
+                          custMod: Int = 1): Long = {
+    val pairs = coPurchasePairs(spark, dir, custMod = custMod)
     val edges = pairs.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     Graph.fromEdges(edges, 0)
       .partitionBy(org.apache.spark.graphx.PartitionStrategy.RandomVertexCut)

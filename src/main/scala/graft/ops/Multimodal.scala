@@ -193,6 +193,87 @@ object Multimodal {
     }
   }
 
+  /** Decoded WAV header row: container metadata + whole-clip energy.
+    * `ok = false` (zeroed fields) for payloads that are not valid RIFF/WAVE. */
+  final case class WavMeta(doc_id: Long, sample_rate: Int, channels: Int,
+                           bits: Int, n_samples: Long, total_energy: Long,
+                           ok: Boolean)
+
+  /** Deterministic REAL WAV container around [[syntheticPcm]]: canonical
+    * RIFF → "WAVE" → `fmt ` (PCM, mono, 16-bit, rate = 8000 + (id%3)·4000)
+    * → `data`. Every 4th doc also carries a junk `LIST` chunk between
+    * `fmt ` and `data`, so a parser that hard-codes the 44-byte layout
+    * instead of WALKING chunks fails the oracle on those docs. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    val pcm = syntheticPcm(docId)
+    val rate = 8000 + (docId % 3).toInt * 4000
+    val junk = if (docId % 4 == 0) 12 else 0 // LIST chunk: 8 hdr + 4 body
+    val total = 4 + 24 + junk + 8 + pcm.length
+    val bb = java.nio.ByteBuffer.allocate(8 + total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(total)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // byte rate = rate * block align
+      .putShort(2).putShort(16) // block align, bits
+    if (junk > 0)
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+    bb.array()
+  }
+
+  /** REAL RIFF/WAVE container parsing (r12 ask #8 — the container tier
+    * above mm07's raw PCM): validate the RIFF/WAVE magics, WALK the chunk
+    * list (skipping unknown chunks, honoring the RIFF odd-size pad rule)
+    * to find `fmt ` and `data`, read rate/channels/bits from the real
+    * header bytes, then run the 16-bit LE sample loop over the data chunk
+    * for the whole-clip energy. Partition-local batch map, no shuffle —
+    * like every decode stage, scan-bound at 100 TB. Undecodable or
+    * truncated payloads get the zeroed `ok = false` sentinel row. */
+  def parseWavBatch(rows: Dataset[MediaRow]): Dataset[WavMeta] = {
+    import rows.sparkSession.implicits._
+    rows.map { r =>
+      val p = r.payload
+      def u32(i: Int): Long =
+        (p(i) & 0xFFL) | ((p(i + 1) & 0xFFL) << 8) |
+          ((p(i + 2) & 0xFFL) << 16) | ((p(i + 3) & 0xFFL) << 24)
+      def u16(i: Int): Int = (p(i) & 0xFF) | ((p(i + 1) & 0xFF) << 8)
+      def tag(i: Int): String =
+        new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val bad = WavMeta(r.doc_id, 0, 0, 0, 0L, 0L, ok = false)
+      if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") bad
+      else {
+        var i = 12
+        var rate = 0; var ch = 0; var bits = 0; var fmtSeen = false
+        var dataOff = -1; var dataLen = 0
+        while (i + 8 <= p.length && dataOff < 0) {
+          val id = tag(i); val sz = u32(i + 4).toInt
+          if (id == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
+            ch = u16(i + 10); rate = u32(i + 12).toInt; bits = u16(i + 22)
+            fmtSeen = true
+          } else if (id == "data") { dataOff = i + 8; dataLen = sz }
+          i += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks
+        }
+        if (!fmtSeen || dataOff < 0 || bits != 16 ||
+            dataOff + dataLen > p.length) bad
+        else {
+          val n = dataLen / 2
+          var e = 0L; var k = 0
+          while (k < n) {
+            val lo = p(dataOff + 2 * k) & 0xFF
+            val hi = p(dataOff + 2 * k + 1).toInt
+            val s = (hi << 8) | lo
+            e += s.toLong * s
+            k += 1
+          }
+          WavMeta(r.doc_id, rate, ch, bits, n.toLong, e, ok = true)
+        }
+      }
+    }
+  }
+
   /** Per-image perceptual-hash row: average-hash over the REAL decoded
     * pixel raster (exact integer luminance), so a SQL oracle that knows
     * the generator's pixel formula can predict the hash without decoding. */
@@ -214,8 +295,13 @@ object Multimodal {
     rows.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        val img = javax.imageio.ImageIO.read(
+        // ImageIO.read returns null (or throws) on undecodable payloads;
+        // emit the same all-zero sentinel row decodeReal's `corrupt` path
+        // uses instead of NPE-failing the whole job (ADVICE r12)
+        val img = try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: Exception => null }
+        if (img == null) ImageHash(r.doc_id, 0, 0, 0L, 0L) else {
         val w = img.getWidth; val h = img.getHeight
         val n = w * h
         val lums = new Array[Long](n)
@@ -236,6 +322,7 @@ object Multimodal {
         var i = 0
         while (i < nbits) { if (lums(i) * n > sum) hash |= 1L << i; i += 1 }
         ImageHash(r.doc_id, w, h, sum, hash)
+        }
       }
     }
   }

@@ -39,47 +39,82 @@ object GraphQueries {
       Seq(GraphOps.componentCount(s, d)).toDF("n_components")
     }, Some("SELECT CAST(COUNT(*) AS BIGINT) AS n_components FROM customer")),
 
-    // a REAL connected-components oracle: GraphX CC over the (non-trivial)
-    // co-purchase projection vs DuckDB's recursive-CTE min-label
-    // reachability — iterative graph algorithm checked against a
-    // first-principles SQL derivation
+    // Connected components over the FULL co-purchase projection, verified
+    // by a FIXPOINT CERTIFICATE instead of SQL recursion (r12 ask #1): the
+    // recursive min-label oracle carries every label to every reachable
+    // node — O(k²) rows per size-k component, >60 GB spill at sf1 — so at
+    // scale we verify the labeling rather than recompute it. GraphX CC
+    // labels each vertex with the min reachable vertex id; the certificate
+    // counts violations of the properties that labeling must satisfy:
+    //   n_cross_edges  — edges whose endpoints got different labels
+    //                    (labeling finer than connectivity), must be 0;
+    //   n_anchor_bad   — vertices with lbl > node, a label that is not
+    //                    itself a vertex, or L(L(v)) != L(v) (labels not
+    //                    anchored at component-min roots), must be 0.
+    // DuckDB predicts the zeros plus the DuckDB-computable sizes
+    // (n_vertices, n_edges) from the base tables — one join, no
+    // recursion, ~10 s at sf1. Over-merging (one label spanning two true
+    // components) cannot arise from edge-local propagation, and the edge
+    // relation itself is verified cell-for-cell by graph02.
     QueryDef("graph04_copurchase_cc", (s, d) => {
-      import s.implicits._
-      val g = GraphOps.coPurchaseGraph(s, d)
-      val n = g.connectedComponents().vertices.map(_._2).distinct().count()
-      Seq(n).toDF("n_components")
-    }, Some("""
-      WITH RECURSIVE edges AS (
-        SELECT src, dst FROM (
-          WITH cp AS (
-            SELECT DISTINCT o_custkey AS cust, l_partkey AS part
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
-                    WHERE c <= 40),
-          bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
-          pairs AS (
-            SELECT DISTINCT a.cust AS src, b.cust AS dst
-            FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust)
-          SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs)),
-      verts AS (SELECT DISTINCT src AS node FROM edges),
-      reach(node, lbl) AS (
-        SELECT node, node FROM verts
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
-      SELECT CAST(COUNT(DISTINCT m) AS BIGINT) AS n_components
-      FROM (SELECT node, MIN(lbl) AS m FROM reach GROUP BY node)""")),
-
-    // triangle counting — the classic neighborhood-intersection graph
-    // kernel (cluster-coefficient building block) over the co-purchase
-    // projection, vs the first-principles SQL triple-join: a triangle
-    // a<b<c is the edge triple (a,b),(a,c),(b,c) in the src<dst pair set.
-    QueryDef("graph05_triangles", (s, d) => {
-      import s.implicits._
-      Seq(GraphOps.coPurchaseTriangles(s, d)).toDF("n_triangles")
+      val lab = {
+        import s.implicits._
+        GraphOps.coPurchaseGraph(s, d).connectedComponents()
+          .vertices.toDF("node", "lbl")
+      }
+      val pairs = GraphOps.coPurchasePairs(s, d).select("src", "dst")
+      val anchor = lab.as("v")
+        .join(lab.as("r"), col("v.lbl") === col("r.node"), "left")
+        .agg(
+          count(lit(1)).as("n_vertices"),
+          coalesce(sum(when(col("v.lbl") > col("v.node")
+            || col("r.node").isNull
+            || col("r.lbl") =!= col("v.lbl"), 1L).otherwise(0L)), lit(0L))
+            .as("n_anchor_bad"))
+      val cross = pairs
+        .join(lab.as("ls"), col("src") === col("ls.node"), "left")
+        .join(lab.as("ld"), col("dst") === col("ld.node"), "left")
+        .agg(
+          count(lit(1)).as("n_edges"),
+          coalesce(sum(when(col("ls.lbl").isNull || col("ld.lbl").isNull
+            || col("ls.lbl") =!= col("ld.lbl"), 1L).otherwise(0L)), lit(0L))
+            .as("n_cross_edges"))
+      anchor.crossJoin(cross) // 1×1 certificate row
+        .select("n_vertices", "n_edges", "n_cross_edges", "n_anchor_bad")
     }, Some("""
       WITH cp AS (
         SELECT DISTINCT o_custkey AS cust, l_partkey AS part
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                WHERE c <= 40),
+      bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+      pairs AS (
+        SELECT DISTINCT a.cust AS src, b.cust AS dst
+        FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust)
+      SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS n_vertices,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges,
+             CAST(0 AS BIGINT) AS n_cross_edges,
+             CAST(0 AS BIGINT) AS n_anchor_bad
+      FROM (SELECT src AS v FROM pairs UNION SELECT dst AS v FROM pairs)""")),
+
+    // triangle counting — the classic neighborhood-intersection graph
+    // kernel (cluster-coefficient building block), vs the first-principles
+    // SQL triple-join: a triangle a<b<c is the edge triple
+    // (a,b),(a,c),(b,c) in the src<dst pair set. Runs on the deterministic
+    // cust%10 induced subgraph (r12 ask #1): the full co-purchase graph is
+    // DENSE (avg degree ~1100 at sf1), so the oracle's wedge join is
+    // Σdeg² ≈ 2e11 rows — infeasible in any engine; the 10% vertex sample
+    // keeps ~1% of the pairs (1.3M triangles, oracle 2.4 s at sf1) and
+    // scales WITH sf rather than being a constant-work cap, while GraphX
+    // runs the identical neighborhood-intersection kernel.
+    QueryDef("graph05_triangles", (s, d) => {
+      import s.implicits._
+      Seq(GraphOps.coPurchaseTriangles(s, d, custMod = 10)).toDF("n_triangles")
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey % 10 = 0),
       small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
                 WHERE c <= 40),
       bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
@@ -102,9 +137,17 @@ object GraphQueries {
     // co-purchase projection isn't re-derived per iteration. At 100 TB the
     // per-iteration shuffle partitions by dst; the symmetric edge set
     // guarantees every vertex receives inflow, so no dangling-mass term.
+    // Runs on the deterministic cust%4 induced subgraph (r12 ask #1):
+    // DuckDB 1.0 inlines every CTE reference, so the 3-iteration chain
+    // re-derives the 84M-pair full projection a multiplicative number of
+    // times (>60 GB spill at sf1); the 25% vertex sample keeps ~6% of the
+    // pairs and the whole inlined oracle at ~35 s at sf1, scaling with sf.
+    // The Spark iteration shape is unchanged — and on the Spark side the
+    // projection is localCheckpoint'd once, which is exactly the reuse the
+    // SQL engine can't express (plan-locked in PlanShapeSpec).
     QueryDef("graph06_pagerank", (s, d) => {
       val base = 1000000000000L
-      val pairs = GraphOps.coPurchasePairs(s, d).select("src", "dst")
+      val pairs = GraphOps.coPurchasePairs(s, d, custMod = 4).select("src", "dst")
       val edges = pairs.union(
         pairs.select(col("dst").as("src"), col("src").as("dst")))
         .localCheckpoint() // cache the projection across the 3 iterations
@@ -127,7 +170,8 @@ object GraphQueries {
     }, Some("""
       WITH cp AS (
         SELECT DISTINCT o_custkey AS cust, l_partkey AS part
-        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey % 4 = 0),
       small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
                 WHERE c <= 40),
       bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),

@@ -309,6 +309,48 @@ object MultimodalQueries {
              CAST(SUM(px) AS BIGINT) AS total_px,
              MIN(doc_id) AS first_doc
       FROM cand WHERE px >= 16 AND n_chars >= 100
-      GROUP BY 1 ORDER BY lang"""))
+      GROUP BY 1 ORDER BY lang""")),
+
+    // ---- mm10: REAL WAV/RIFF container parsing (r12 ask #8) — the
+    // container tier above mm07's raw PCM: each doc's clip is wrapped in
+    // a real RIFF → WAVE → fmt → data container (every 4th doc with a
+    // junk LIST chunk in between), and parseWavBatch must validate the
+    // magics, WALK the chunk list (unknown chunks skipped, odd-size pad
+    // rule honored), read rate/channels/bits from the real header bytes,
+    // and sum sample squares over the located data chunk. The oracle
+    // predicts every field arithmetically from the generator contract
+    // (rate = 8000 + (id%3)·4000, n = 256 + id%256, the mm07 sample
+    // formula) — a header-offset or chunk-walk bug breaks the hash on
+    // exactly the LIST-carrying docs. Partition-local map, no shuffle.
+    QueryDef("mm10_wav_parse", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map(id =>
+        graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticWav(id)))
+      graft.ops.Multimodal.parseWavBatch(rows).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("total_energy"), col("ok"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH params AS (
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+               256 + doc_id % 256 AS n
+        FROM documents WHERE doc_id % 10 = 0),
+      samples AS (
+        SELECT doc_id, unnest(generate_series(0, n - 1)) AS k
+        FROM params),
+      energy AS (
+        SELECT doc_id,
+               SUM(((doc_id*31 + k*17) % 4096 - 2048)
+                   * ((doc_id*31 + k*17) % 4096 - 2048)) AS e
+        FROM samples GROUP BY 1)
+      SELECT p.doc_id, p.sample_rate, CAST(1 AS INTEGER) AS channels,
+             CAST(p.n AS BIGINT) AS n_samples,
+             CAST(e.e AS BIGINT) AS total_energy, TRUE AS ok
+      FROM params p JOIN energy e USING (doc_id)
+      ORDER BY p.doc_id"""))
   )
 }

@@ -1260,6 +1260,29 @@ object Relational {
                            AS DECIMAL(38,0))) AS VARCHAR) AS sum_scaled
       FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
 
+    // ---- q58: q56's money-math contract through the custom 128-bit
+    // adder — the in-repo fix for q56's measured 3.7× (its Decimal(38)
+    // aggregation boxes a JavaBigDecimal per row; DuckDB sums int128
+    // natively). sum128_agg keeps group state as two longs with a
+    // bitwise carry-out, so the per-row cost is one 64-bit add — and it
+    // stays scale-SAFE where the tempting `SUM(cents) * 10^8` factored
+    // rewrite is not (Σcents alone overflows int64 at 10^12 rows).
+    // Certified two ways: against DuckDB's HUGEINT oracle here, and
+    // against q56's own Decimal result in Sum128Spec.
+    QueryDef("q58_int128_exact_sum", (s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          (cents(col("l_extendedprice")) * lit(100000000L)).as("scaled"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          graft.functions.Sum128Agg.sum128_agg(col("scaled")).as("sum_scaled"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(CAST(CAST(FLOOR(l_extendedprice*100) AS BIGINT) * 100000000
+                           AS DECIMAL(38,0))) AS VARCHAR) AS sum_scaled
+      FROM lineitem GROUP BY 1 ORDER BY l_returnflag""")),
+
     // ---- q57: SCD TYPE-2 dimension versioning — the warehouse pattern
     // behind every "as the dimension looked on date D" query: each
     // customer's order dates become validity intervals

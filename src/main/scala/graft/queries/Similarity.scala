@@ -1140,6 +1140,123 @@ object Similarity {
       SELECT qid, 2, v2, CAST(m2 AS BIGINT) FROM s2
       UNION ALL
       SELECT qid, 3, v3, CAST(m3 AS BIGINT) FROM s3
-      ORDER BY qid, rank"""))
+      ORDER BY qid, rank""")),
+
+    // ---- sim17: PERSISTED index serving — the build/serve split sim15
+    // runs fused (r12 ask #4). A real deployment indexes once and
+    // answers queries from storage for months, so the IVF-PQ index is
+    // materialized as three parquet relations — codebook (4×64 centroid
+    // components), lists (vid → coarse cell), codes (vid × 8 PQ codes)
+    // — and the serve half runs in a FRESH SparkSession (s.newSession():
+    // no shared plans, views, or cached relations) that reads the index
+    // tables plus the incoming query vectors and NOTHING else: the
+    // original corpus vectors are not touched at serve time (plan-locked
+    // — the only embeddings scan is the vec_id < 10 query batch).
+    // Serve-side math is sim15's exactly (coarse-probe 2 lists via the
+    // persisted codebook, ADC over persisted codes), so the oracle is
+    // sim15's verbatim — persistence must be value-faithful end to end
+    // (schema, encoding, and the long-quantized integer arithmetic all
+    // survive the parquet round trip).
+    QueryDef("sim17_ann_index_serve", (s, d) => {
+      val idxDir = TempDirs.create("graft-ann-index")
+      val sub = expr("CAST((dim - 1) div 8 AS INT)")
+      // BUILD session: derive the index exactly as sim15 and persist it
+      val flat = flatQuantized(emb(s, d).filter(col("vec_id") < 300))
+      val cb = flat.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("dim"), col("xq").as("cq"))
+      val dfull = flat.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))
+      val lists = dfull.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("vid"), col("c").as("cid"))
+      val dsub = flat.join(broadcast(cb), "dim")
+        .groupBy(col("vec_id"), sub.as("sub"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+        .orderBy(col("d2"), col("c"))
+      val codes = dsub.withColumn("rn", row_number().over(wEnc))
+        .filter(col("rn") === 1)
+        .select(col("vec_id").as("vid"), col("sub"), col("c").as("code"))
+      cb.write.mode("overwrite").parquet(s"$idxDir/codebook")
+      lists.write.mode("overwrite").parquet(s"$idxDir/lists")
+      codes.write.mode("overwrite").parquet(s"$idxDir/codes")
+      // SERVE session: fresh state; only index tables + the query batch
+      val s2 = s.newSession()
+      val cbP = broadcast(s2.read.parquet(s"$idxDir/codebook"))
+      val listsP = s2.read.parquet(s"$idxDir/lists")
+      val codesP = s2.read.parquet(s"$idxDir/codes")
+      val qflat = flatQuantized(
+        Tables.load(s2, d, "embeddings").filter(col("vec_id") < 10))
+      val qd2 = qflat.join(cbP, "dim")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+      val probes = qd2
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("c").as("cid"))
+      val table = qflat
+        .select(col("vec_id").as("qid"), col("dim"), col("xq").as("qx"))
+        .join(cbP, "dim")
+        .groupBy(col("qid"), sub.as("sub"), col("c").as("code"))
+        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("td2"))
+      val cands = probes.join(listsP, "cid").filter(col("vid") =!= col("qid"))
+        .select("qid", "vid")
+      val scored = cands.join(codesP, "vid")
+        .join(broadcast(table), Seq("qid", "sub", "code"))
+        .groupBy(col("qid"), col("vid"))
+        .agg(sum(col("td2")).as("adc"))
+      val wq = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+      scored.withColumn("rank", row_number().over(wq))
+        .filter(col("rank") <= 3)
+        .select(col("qid"), col("vid"), col("adc"), col("rank"))
+        .orderBy("qid", "rank")
+    }, Some("""
+      WITH flat AS (
+        SELECT vec_id, dim,
+               CAST(FLOOR(CAST(embedding[dim] AS DOUBLE)*1000) AS BIGINT) AS xq
+        FROM embeddings, generate_series(1, 64) t(dim) WHERE vec_id < 300),
+      cb AS (SELECT vec_id AS c, dim, xq AS cq FROM flat WHERE vec_id < 4),
+      dfull AS (
+        SELECT f.vec_id, cb.c,
+               CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS d2
+        FROM flat f JOIN cb ON cb.dim = f.dim GROUP BY 1, 2),
+      assign AS (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        FROM dfull),
+      lists AS (SELECT vec_id AS vid, c AS cid FROM assign WHERE rn = 1),
+      probes AS (SELECT vec_id AS qid, c AS cid FROM assign
+                 WHERE rn <= 2 AND vec_id < 10),
+      dsub AS (
+        SELECT f.vec_id, CAST((f.dim - 1) // 8 AS INTEGER) AS sub, cb.c,
+               CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS d2
+        FROM flat f JOIN cb ON cb.dim = f.dim GROUP BY 1, 2, 3),
+      codes AS (
+        SELECT vec_id AS vid, sub, c AS code FROM (
+          SELECT vec_id, sub, c, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, c) AS rn
+          FROM dsub) WHERE rn = 1),
+      tbl AS (
+        SELECT f.vec_id AS qid, CAST((f.dim - 1) // 8 AS INTEGER) AS sub,
+               cb.c AS code, CAST(SUM((f.xq - cb.cq) * (f.xq - cb.cq)) AS BIGINT) AS td2
+        FROM flat f JOIN cb ON cb.dim = f.dim
+        WHERE f.vec_id < 10 GROUP BY 1, 2, 3),
+      cands AS (SELECT p.qid, l.vid FROM probes p JOIN lists l ON p.cid = l.cid
+                WHERE l.vid <> p.qid),
+      scored AS (
+        SELECT ca.qid, ca.vid, CAST(SUM(t.td2) AS BIGINT) AS adc
+        FROM cands ca
+        JOIN codes ON codes.vid = ca.vid
+        JOIN tbl t ON t.qid = ca.qid AND t.sub = codes.sub AND t.code = codes.code
+        GROUP BY 1, 2),
+      ranked AS (
+        SELECT qid, vid, adc,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, vid) AS rank
+        FROM scored)
+      SELECT qid, vid, CAST(adc AS BIGINT) AS adc, CAST(rank AS INTEGER) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY qid, rank"""))
   )
 }

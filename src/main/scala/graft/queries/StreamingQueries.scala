@@ -572,9 +572,15 @@ object StreamingQueries {
         .select(explode(split(col("text"), " ")).as("w"))
         .select(TextDedup.h28(col("w")).as("h"))
       val agg = words.groupBy().agg(graft.functions.CmsAgg.cms_agg(col("h")).as("sk"))
-      val sketch = drain(s, agg, "complete") { _ =>
-        // three micro-batches so the state actually merges across batches
-        feed.grouped(math.max(1, feed.size / 3 + 1)).foreach(mem.addData(_))
+      val sketch = drain(s, agg, "complete") { q =>
+        // three micro-batches so the state actually merges across batches;
+        // processAllAvailable between the groups forces a batch boundary —
+        // without it the already-running query races the addData calls and
+        // may fold everything into one batch, leaving the cross-batch
+        // merge property untested on some runs (ADVICE r12)
+        feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { g =>
+          mem.addData(g); q.processAllAvailable()
+        }
       }
       val toks = Tables.load(s, d, "documents")
         .select(explode(split(col("text"), " ")).as("w"))

@@ -1724,6 +1724,120 @@ object TextDedup {
          AND c.bucket = ((top.h*cj.aj + cj.bj) % $P) % 256
         GROUP BY 1, 2)
       SELECT w, n, CAST(cms_est AS BIGINT) AS cms_est
-      FROM est ORDER BY n DESC, w"""))
+      FROM est ORDER BY n DESC, w""")),
+
+    // ---- tx27: BPE ENCODE — the missing half of the tokenizer story
+    // (r12 ask #2): tx17 MINES merge pairs; this APPLIES them. Vocab =
+    // the top-50 corpus-frequency-weighted character pairs (tx17's
+    // mining, widened), then every word is greedily tokenized left-to-
+    // right longest-match-first: at position i, emit the 2-char merge if
+    // substr(word,i,2) is in the vocab, else the single char. Output per
+    // doc: word/token/merge counts plus tok_cksum = Σ h28(token) over the
+    // emitted token sequence — the checksum pins the EXACT segmentation
+    // (which tokens, not just how many), so a greedy-order bug cannot
+    // hash-match.
+    //
+    // 100 TB shape: the corpus scan collapses to DISTINCT words at the
+    // first exchange and ALL character-level work (the encode fold) runs
+    // once per distinct word — a 1000× bigger corpus with the same
+    // vocabulary does no more encode work, exactly like real tokenizer
+    // pipelines that cache word→ids. The fold itself is a codegen
+    // `aggregate` HOF over the char positions (pos/ntok/nmerge/cksum
+    // carried as a struct; positions consumed by a merge are skipped via
+    // `i < acc.pos`), the 50-pair vocab rides along as one broadcast
+    // array — no UDF, no corpus-sized window, no recursion.
+    //
+    // The oracle is a DIFFERENT algorithm for the same function: greedy
+    // merge positions have a closed relational form — merge-eligible
+    // positions group into runs of consecutive indices, and greedy
+    // selects every other position from each run head (single-char steps
+    // visit every position between runs, so runs are independent; checked
+    // by a 20k-case randomized equivalence test at design time). That
+    // makes the DuckDB side pure gaps-and-islands SQL over the distinct-
+    // word relation — no recursive CTE, so it stays cheap at every sf.
+    QueryDef("tx27_bpe_encode", (s, d) => {
+      val dw = docs(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      val wc = dw.groupBy("word").agg(count(lit(1)).as("n"))
+      val vocab = wc.filter(length(col("word")) >= 2)
+        .select(col("n"), explode(
+          expr("transform(sequence(1, char_length(word)-1), i -> substr(word, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("pair")).limit(50)
+        .agg(collect_list(col("pair")).as("vocab")) // one vocab-array row
+      val enc = wc.select(col("word")).crossJoin(broadcast(vocab))
+        .withColumn("st", expr(
+          """aggregate(
+               sequence(1, char_length(word)),
+               named_struct('pos', 1, 'ntok', 0L, 'nmerge', 0L, 'cksum', 0L),
+               (acc, i) -> CASE
+                 WHEN i < acc.pos THEN acc
+                 WHEN i < char_length(word) AND array_contains(vocab, substr(word, i, 2))
+                   THEN named_struct('pos', i + 2, 'ntok', acc.ntok + 1L,
+                     'nmerge', acc.nmerge + 1L,
+                     'cksum', acc.cksum + CAST(conv(substr(md5(CAST(substr(word, i, 2) AS BINARY)), 1, 7), 16, 10) AS BIGINT))
+                 ELSE named_struct('pos', i + 1, 'ntok', acc.ntok + 1L,
+                     'nmerge', acc.nmerge,
+                     'cksum', acc.cksum + CAST(conv(substr(md5(CAST(substr(word, i, 1) AS BINARY)), 1, 7), 16, 10) AS BIGINT))
+               END)"""))
+        .select(col("word"), col("st.ntok").as("ntok"),
+          col("st.nmerge").as("nmerge"), col("st.cksum").as("cksum"))
+      // word→encoding join: distinct-word-sized build side; AQE broadcasts
+      // it when small and falls back to a shuffle hash join when the
+      // vocabulary is huge — don't pin the strategy here
+      dw.join(enc, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_tokens"),
+          sum(col("nmerge")).as("n_merges"), sum(col("cksum")).as("tok_cksum"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH dw AS (
+        SELECT doc_id, w AS word FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 1),
+      wc AS (SELECT word, COUNT(*) AS n FROM dw GROUP BY 1),
+      vocab AS (
+        SELECT substr(word, i, 2) AS pair, SUM(n) AS total
+        FROM (SELECT word, n, unnest(generate_series(1, len(word)-1)) AS i
+              FROM wc WHERE len(word) >= 2)
+        GROUP BY 1 ORDER BY total DESC, pair LIMIT 50),
+      hits AS (
+        SELECT word, i FROM (
+          SELECT word, unnest(generate_series(1, len(word)-1)) AS i
+          FROM wc WHERE len(word) >= 2)
+        WHERE substr(word, i, 2) IN (SELECT pair FROM vocab)),
+      isl AS (SELECT word, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS grp
+              FROM hits),
+      sel AS (SELECT word, i FROM (
+                SELECT word, i, MIN(i) OVER (PARTITION BY word, grp) AS run0
+                FROM isl)
+              WHERE (i - run0) % 2 = 0),
+      cov AS (SELECT word, i FROM sel UNION ALL SELECT word, i + 1 FROM sel),
+      chars AS (SELECT word, unnest(generate_series(1, len(word))) AS i FROM wc),
+      single AS (
+        SELECT c.word, c.i FROM chars c
+        LEFT JOIN cov ON cov.word = c.word AND cov.i = c.i
+        WHERE cov.word IS NULL),
+      enc AS (
+        SELECT w.word,
+               COALESCE(s.n1, 0) + COALESCE(m.nm, 0) AS ntok,
+               COALESCE(m.nm, 0) AS nmerge,
+               COALESCE(s.ck1, 0) + COALESCE(m.ckm, 0) AS cksum
+        FROM wc w
+        LEFT JOIN (SELECT word, COUNT(*) AS nm,
+                          SUM(('0x' || substr(md5(substr(word, i, 2)), 1, 7))::BIGINT) AS ckm
+                   FROM sel GROUP BY 1) m ON m.word = w.word
+        LEFT JOIN (SELECT word, COUNT(*) AS n1,
+                          SUM(('0x' || substr(md5(substr(word, i, 1)), 1, 7))::BIGINT) AS ck1
+                   FROM single GROUP BY 1) s ON s.word = w.word)
+      SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(e.ntok) AS BIGINT) AS n_tokens,
+             CAST(SUM(e.nmerge) AS BIGINT) AS n_merges,
+             CAST(SUM(e.cksum) AS BIGINT) AS tok_cksum
+      FROM dw JOIN enc e ON dw.word = e.word
+      GROUP BY 1 ORDER BY doc_id"""))
   )
 }

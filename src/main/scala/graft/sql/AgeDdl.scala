@@ -297,6 +297,16 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.CmsAgg(args.head)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("sum128_agg"),
+      new ExpressionInfo(classOf[graft.functions.Sum128Agg].getName, "sum128_agg",
+        "sum128_agg(x) - exact 128-bit integer SUM of a BIGINT column, emitted as decimal digits"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 1)
+          throw new graft.core.AgeInvalidInputException(
+            "sum128_agg(x) takes exactly 1 argument")
+        graft.functions.Sum128Agg(args.head)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("bitmap_distinct"),
       new ExpressionInfo(classOf[graft.functions.BitmapDistinct].getName, "bitmap_distinct",
         "bitmap_distinct(c) - exact COUNT(DISTINCT) of an integral/date column via paged bitmaps"),

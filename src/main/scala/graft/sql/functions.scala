@@ -67,6 +67,10 @@ object functions {
   /** Mergeable 4×256 Count-Min-Sketch counter grid over 28-bit hashes. */
   def cms_agg(h: Column): Column = graft.functions.CmsAgg.cms_agg(h)
 
+  /** Exact 128-bit integer SUM of a BIGINT column (two-long carry adder);
+    * emitted as exact decimal digits. */
+  def sum128_agg(x: Column): Column = graft.functions.Sum128Agg.sum128_agg(x)
+
   /** Native codegen LSH band keys over a float/double-array column:
     * nPlanes hyperplane signs packed into nPlanes/bandSize bigint keys. */
   def band_keys(c: Column, nPlanes: Int, bandSize: Int): Column =

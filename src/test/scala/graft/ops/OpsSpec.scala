@@ -114,6 +114,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: perceptualHashBatch emits a sentinel row for undecodable payloads") {
+    import spark.implicits._
+    // garbage bytes + a truncated PNG: neither may NPE the job (ADVICE r12)
+    val png = Multimodal.syntheticImage(3L)
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(500L, "not an image at all".getBytes("UTF-8")),
+      Multimodal.MediaRow(501L, png.take(12)),
+      Multimodal.MediaRow(502L, png)))
+    val got = Multimodal.perceptualHashBatch(rows).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(got(500L).width == 0 && got(500L).phash == 0L)
+    assert(got(501L).width == 0 && got(501L).lum_sum == 0L)
+    assert(got(502L).width == 1 + (3 % 16) && got(502L).height == 1 + (3 % 12))
+  }
+
+  test("multimodal: parseWavBatch walks real RIFF chunks and rejects garbage") {
+    import spark.implicits._
+    // id 4: carries the junk LIST chunk (a 44-byte-offset parser fails);
+    // id 7: plain layout; 600/601: garbage + truncated container
+    val wav = Multimodal.syntheticWav(4L)
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(4L, wav),
+      Multimodal.MediaRow(7L, Multimodal.syntheticWav(7L)),
+      Multimodal.MediaRow(600L, "RIFFnotawave".getBytes("US-ASCII")),
+      Multimodal.MediaRow(601L, wav.take(30))))
+    val got = Multimodal.parseWavBatch(rows).collect().map(r => r.doc_id -> r).toMap
+    Seq(4L, 7L).foreach { id =>
+      val r = got(id)
+      assert(r.ok && r.channels == 1 && r.bits == 16, s"doc $id header")
+      assert(r.sample_rate == 8000 + (id % 3) * 4000, s"doc $id rate")
+      assert(r.n_samples == 256 + id % 256, s"doc $id sample count")
+      // energy must equal the generator formula, summed directly
+      val expect = (0L until r.n_samples).map { k =>
+        val s = (id * 31 + k * 17) % 4096 - 2048; s * s
+      }.sum
+      assert(r.total_energy == expect, s"doc $id energy")
+    }
+    assert(!got(600L).ok && got(600L).n_samples == 0L)
+    assert(!got(601L).ok)
+  }
+
   test("multimodal: frameEnergy parses 16-bit LE PCM back to exact integer energy") {
     import spark.implicits._
     // kernel vs a direct reference over the generator contract

@@ -40,7 +40,9 @@ class PlanShapeSpec extends AnyFunSuite {
     "tx23_curriculum_cutpoints", // lang-frame x 4-row broadcast stage grid
     "sim16_mmr_rerank", // sim01's bounded 5-query scoring side + <=10-row pool selection joins
     "tx26_cms_heavy_hitters", // 1-row sketch broadcast into the probe (tx12's class)
-    "stream14_cms_heavy_hitters") // same 1-row sketch broadcast, drained from the stream
+    "stream14_cms_heavy_hitters", // same 1-row sketch broadcast, drained from the stream
+    "tx27_bpe_encode", // 1-row 50-pair vocab array broadcast into the encode fold
+    "graph04_copurchase_cc") // 1-row × 1-row certificate-counter cross join
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -194,6 +196,30 @@ class PlanShapeSpec extends AnyFunSuite {
       "aggregation must stay single-pass")
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
       "q49 should shuffle exactly once on the group key")
+  }
+
+  test("tx27 encode fold runs on distinct words, no corpus window, no recursion") {
+    val plan = physicalPlan("tx27_bpe_encode")
+    assert(plan.contains("aggregate("),
+      "tx27 lost the one-pass encode fold (aggregate HOF)")
+    assert(!plan.contains("Window"),
+      "tx27 grew a window — the encode must stay a per-distinct-word fold")
+    assert(!plan.contains("CartesianProduct"),
+      "tx27's only unbounded join may be the 1-row vocab broadcast")
+  }
+
+  test("sim17 serve plan reads the persisted index, never the corpus vectors") {
+    val plan = physicalPlan("sim17_ann_index_serve")
+    assert(plan.contains("graft-ann-index"),
+      "sim17 serve must scan the persisted index relations")
+    // the query batch is read twice (coarse probes + ADC table) — both
+    // scans must carry the vec_id < 10 pushdown; a corpus-sized vector
+    // scan would show as an embeddings scan WITHOUT it
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
+    val pushed = "LessThan\\(vec_id,10\\)".r.findAllIn(plan).size
+    assert(embScans == pushed,
+      s"sim17 serve read embeddings beyond the query batch " +
+        s"($embScans scans, $pushed with the vec_id<10 pushdown)")
   }
 
   test("graph06 iterates over the checkpointed edge projection (no rebuild per iteration)") {

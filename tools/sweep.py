@@ -11,6 +11,7 @@ time, mirroring the r11 sweep's documented graph04/graph05 exclusions.
 Usage: sweep.py <sf_dir> <verify_out_dir> <report.json> [budget_sec]
 """
 import json, multiprocessing, sys, time
+from queue import Empty
 import duckdb
 import pandas as pd
 
@@ -57,12 +58,37 @@ for name in sorted(oracle):
     # Drain the queue BEFORE joining: a child putting a result larger than
     # the pipe buffer blocks inside q.put() until the parent reads, so a
     # join-first harness records every big-result oracle as a false
-    # timeout (dd01 at sf1: 475k rows, oracle runs in 0.6s).
-    try:
-        kind, payload = q.get(timeout=budget)
-        elapsed = round(time.time() - t0, 1)
-    except Exception:
-        elapsed = round(time.time() - t0, 1)
+    # timeout (dd01 at sf1: 475k rows, oracle runs in 0.6s). Poll in short
+    # slices rather than one long q.get: a child that dies WITHOUT putting
+    # a result (OOM-killed — the graph06 failure mode) must be reported as
+    # oracle_error with its exit code, not misfiled as a 600 s timeout
+    # (ADVICE r12).
+    kind = None
+    while True:
+        try:
+            kind, payload = q.get(timeout=2.0)
+            break
+        except Empty:
+            pass
+        if not p.is_alive():
+            # the feeder thread can still be flushing the pipe at exit:
+            # one generous final get before declaring dead-without-result
+            try:
+                kind, payload = q.get(timeout=5.0)
+            except Empty:
+                pass
+            break
+        if time.time() - t0 > budget:
+            break
+    elapsed = round(time.time() - t0, 1)
+    if kind is None:
+        if not p.is_alive():
+            report[name] = {"status": "oracle_error", "elapsed_sec": elapsed,
+                            "detail": f"oracle child died without a result "
+                                      f"(exitcode {p.exitcode}, likely OOM-killed)"}
+            n_skip += 1
+            print(f"SKIP {name}: oracle child died (exit {p.exitcode})", flush=True)
+            continue
         # terminate is SIGTERM, which CPython only honors between bytecodes
         # — a child deep in a native DuckDB call never sees it; escalate
         p.terminate(); p.join(10)
