@@ -91,19 +91,31 @@ object R13Tune {
       finish(common)
     }
 
-    val variants = Seq(
+    val all = Map(
       "shipped" -> (() => shipped),
       "listexplode" -> (() => listexplode),
       "packedkey" -> (() => packedkey))
-    def run(df: DataFrame): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = df.count()
-      ((System.nanoTime() - t0) / 1e9, n)
-    }
-    variants.foreach { case (name, mk) =>
-      run(mk()) // warm
-      val rs = (1 to 3).map(_ => run(mk()))
-      println(f"$name%-14s best ${rs.map(_._1).min}%.1fs  rows ${rs.head._2}")
+    // args: variant names (one JVM per variant keeps runs independent —
+    // the 3-variant single-JVM form OOM'd from accumulated churn at 48g);
+    // "rows" instead runs all three once and asserts identical results.
+    val mode = if (args.isEmpty) Seq("shipped") else args.toSeq
+    if (mode == Seq("rows")) {
+      val counts = all.map { case (n, mk) => n -> mk().count() }
+      println(s"row counts: $counts")
+      require(counts.values.toSet.size == 1, "variants disagree!")
+    } else {
+      // noop write, R12Probe's convention — comparable with the 256 s
+      // r12 graph08 measurement
+      def run(df: DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      mode.foreach { name =>
+        run(all(name)()) // warm
+        val rs = (1 to 2).map(_ => run(all(name)()))
+        println(f"$name%-14s best ${rs.min}%.1fs")
+      }
     }
     spark.stop()
   }
