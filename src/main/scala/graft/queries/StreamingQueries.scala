@@ -614,6 +614,63 @@ object StreamingQueries {
          AND c.bucket = ((top.h*cj.aj + cj.bj) % ${graft.functions.MinHashAgg.P}) % 256
         GROUP BY 1, 2)
       SELECT w, n, CAST(cms_est AS BIGINT) AS cms_est
-      FROM est ORDER BY n DESC, w"""))
+      FROM est ORDER BY n DESC, w""")),
+
+    // ---- stream15: INCREMENTAL INDEX MAINTENANCE — the sink-side twin
+    // of dd21/dd23's daily pipeline: documents arrive in micro-batches
+    // and `foreachBatch` MERGES each batch into a persisted
+    // (fp → keeper, copies) parquet index by read-merge-rewrite — the
+    // compaction loop every streaming-ingest materialized view runs
+    // (Delta/Iceberg MERGE INTO, here spelled out on plain parquet).
+    // A fingerprint seen in batch 1 and again in batch 3 must keep the
+    // batch-1 keeper and sum its copies, so the final index equals the
+    // batch derivation EXACTLY — the oracle computes it from documents in
+    // one pass and compares count/copies/keeper-sum. foreachBatch runs on
+    // the driver but every merge step is a distributed plan (read +
+    // union + groupBy); state lives in storage, not memory, so the index
+    // scales with the corpus, not the stream. processAllAvailable between
+    // feed groups forces real cross-batch merges (stream14 discipline).
+    QueryDef("stream15_incremental_index", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val idxRoot = TempDirs.create("graft-fp-index")
+      val feed = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded feed plumbing, not the operator
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      val mem = MemoryStream[(Long, String)]
+      @volatile var cur: Option[String] = None
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val delta = batch
+            .withColumn("fp", md5(col("text").cast("binary")))
+            .groupBy("fp")
+            .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+          val merged = cur match {
+            case None => delta
+            case Some(p) => s.read.parquet(p).union(delta).groupBy("fp")
+              .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
+          }
+          val next = s"$idxRoot/v$batchId"
+          merged.write.mode("overwrite").parquet(next)
+          cur = Some(next)
+        }.start()
+      try {
+        feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { g =>
+          mem.addData(g); q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.read.parquet(cur.get)
+        .agg(count(lit(1)).as("n_fps"), sum(col("copies")).as("n_docs"),
+          sum(col("keeper")).as("keeper_sum"))
+    }, Some("""
+      WITH idx AS (
+        SELECT md5(text) AS fp, MIN(doc_id) AS keeper, COUNT(*) AS copies
+        FROM documents GROUP BY 1)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
+             CAST(SUM(copies) AS BIGINT) AS n_docs,
+             CAST(SUM(keeper) AS BIGINT) AS keeper_sum
+      FROM idx"""))
   )
 }

@@ -138,12 +138,17 @@ object TextDedup {
     * aggregation: both consumers hang off the same plan, so the shingle
     * shuffle feeding the aggregate is planned once and reused, instead of
     * the signature stage executing twice per run (ADVICE r8). */
-  private[queries] def bandPairsFromSignatures(minhashes: DataFrame): DataFrame = {
-    val bands = minhashes.select(col("doc_id"),
+  /** (doc_id, band, key) LSH band keys from a signature frame — shared by
+    * the pair join (dd03/dd08) and the index-probe consumers (dd23). */
+  private[queries] def bandKeysOf(minhashes: DataFrame): DataFrame =
+    minhashes.select(col("doc_id"),
       explode(array((0 until 4).map(bi =>
         struct(lit(bi).as("band"),
           concat_ws("_", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private[queries] def bandPairsFromSignatures(minhashes: DataFrame): DataFrame = {
+    val bands = bandKeysOf(minhashes)
     val x = bands.as("x"); val y = bands.as("y")
     x.join(y, col("x.band") === col("y.band") && col("x.key") === col("y.key")
         && col("x.doc_id") < col("y.doc_id"))
@@ -1681,6 +1686,62 @@ object TextDedup {
       FROM v LEFT JOIN cont c ON v.lang = c.lang
       ORDER BY v.lang""")),
 
+    // ---- dd23: incremental NEAR-dup probe — dd21's daily-pipeline shape
+    // lifted from exact fingerprints to MinHash-LSH: the arriving batch
+    // (dd21's doc_id%4==3 split) probes the CORPUS BAND-KEY INDEX (the
+    // distinct (band, key) relation of the other 75%) and a new doc is a
+    // near-dup hit if any of its 4 band keys already exists in the index.
+    // This is the production shape: the index is corpus-sized but tiny per
+    // doc (4 keys), probes are equi-joins on (band, key) — never doc×doc —
+    // and the same signature machinery (minhash_agg + shared band
+    // derivation) serves batch dedup (dd03/dd08), clustering (dd09), and
+    // this incremental path, so index and probe cannot drift. Docs with
+    // <3 words have no shingles, hence no keys, hence count as clean in
+    // both engines. Per-lang arrival ledger, every doc accounted for.
+    QueryDef("dd23_incremental_neardup", (s, d) => {
+      val doc = docs(s, d)
+      val corpusBands = bandKeysOf(minhashSignatures(shinglesRawOf(
+          doc.filter(col("doc_id") % 4 =!= 3))))
+        .select("band", "key").distinct()
+      val batchBands = bandKeysOf(minhashSignatures(shinglesRawOf(
+        doc.filter(col("doc_id") % 4 === 3))))
+      val hits = batchBands.join(corpusBands, Seq("band", "key"))
+        .select("doc_id").distinct().withColumn("hit", lit(1L))
+      doc.filter(col("doc_id") % 4 === 3).select(col("doc_id"), col("lang"))
+        .join(hits, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_arrived"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_near_dup"))
+        .select(col("lang"), col("n_arrived"), col("n_near_dup"),
+          (col("n_arrived") - col("n_near_dup")).as("n_clean"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                    WHERE len(string_split(text, ' ')) >= 3))),
+      hs AS (SELECT doc_id, ('0x' || substr(md5(sh),1,7))::BIGINT AS h FROM sh),
+      mh AS (SELECT doc_id,
+        ${A.zip(B).zipWithIndex.map { case ((a, b), j) =>
+          s"MIN((h*$a + $b) % $P) AS m$j" }.mkString(", ")}
+        FROM hs GROUP BY doc_id),
+      bands AS (
+        ${(0 until 4).map(bi =>
+          s"SELECT doc_id, $bi AS band, CAST(m${2 * bi} AS VARCHAR) || '_' || CAST(m${2 * bi + 1} AS VARCHAR) AS key FROM mh")
+          .mkString(" UNION ALL ")}),
+      cb AS (SELECT DISTINCT band, key FROM bands WHERE doc_id % 4 <> 3),
+      hits AS (SELECT DISTINCT b.doc_id FROM bands b JOIN cb USING (band, key)
+               WHERE b.doc_id % 4 = 3)
+      SELECT d.lang, COUNT(*) AS n_arrived,
+             CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_dup,
+             CAST(COUNT(*) - SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clean
+      FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 4 = 3
+      GROUP BY 1 ORDER BY d.lang""")),
+
     // ---- tx26: Count-Min-Sketch heavy hitters — the third sketch next
     // to HLL (q34) and KLL quantiles (q37), and unlike those, CUSTOM and
     // fully oracle-checkable: cms_agg (functions/CmsAgg.scala, the 9th
@@ -1838,6 +1899,73 @@ object TextDedup {
              CAST(SUM(e.nmerge) AS BIGINT) AS n_merges,
              CAST(SUM(e.cksum) AS BIGINT) AS tok_cksum
       FROM dw JOIN enc e ON dw.word = e.word
-      GROUP BY 1 ORDER BY doc_id"""))
+      GROUP BY 1 ORDER BY doc_id""")),
+
+    // ---- tx28: REPETITION filter — the Gopher rule family tx18 does NOT
+    // cover (tx18 checks length/stopword/uniqueness; this checks
+    // self-repetition): per doc, the fraction of n-grams taken by the
+    // single most frequent word 2-gram / 3-gram, in exact basis points
+    // (mx·10^4 div total — no floats), dropped above the published
+    // thresholds (2-gram > 20%, 3-gram > 18%). Only the top COUNT is
+    // needed, not the gram itself, so there is no tie-break to keep
+    // engines aligned. Plan: one corpus scan per n, explode → two
+    // map-side-combined aggregates keyed by doc (doc-local partitions —
+    // millions of independent keys at 100 TB, no global structure), left
+    // joins back (docs under n words have no n-grams → frac 0, kept).
+    // Per-source attrition ledger + summed fractions pin every doc's
+    // exact basis points, not just the drop decisions.
+    QueryDef("tx28_repetition_filter", (s, d) => {
+      val doc = docs(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      def topFrac(n: Int, name: String) = doc
+        .filter(size(col("w")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))"))
+          .as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+        .select(col("doc_id"), expr("mx * 10000 div tot").as(name))
+      doc.select("doc_id", "source")
+        .join(topFrac(2, "f2"), Seq("doc_id"), "left")
+        .join(topFrac(3, "f3"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("f2"), lit(0L)).as("f2"),
+          coalesce(col("f3"), lit(0L)).as("f3"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("f2") > 2000 || col("f3") > 1800, 1L).otherwise(0L))
+            .as("n_drop"),
+          sum(col("f2")).as("sum_f2_bp"), sum(col("f3")).as("sum_f3_bp"))
+        .orderBy("source")
+    }, Some("""
+      WITH doc AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      g2 AS (
+        SELECT doc_id, mx * 10000 // tot AS f2 FROM (
+          SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i
+                    FROM doc WHERE len(w) >= 2))
+            GROUP BY 1, 2) GROUP BY 1)),
+      g3 AS (
+        SELECT doc_id, mx * 10000 // tot AS f3 FROM (
+          SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM (
+            SELECT doc_id, g, COUNT(*) AS c FROM (
+              SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+              FROM (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+                    FROM doc WHERE len(w) >= 3))
+            GROUP BY 1, 2) GROUP BY 1)),
+      scored AS (
+        SELECT doc.doc_id, doc.source,
+               COALESCE(g2.f2, 0) AS f2, COALESCE(g3.f3, 0) AS f3
+        FROM doc LEFT JOIN g2 ON doc.doc_id = g2.doc_id
+                 LEFT JOIN g3 ON doc.doc_id = g3.doc_id)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN f2 > 2000 OR f3 > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_drop,
+             CAST(SUM(f2) AS BIGINT) AS sum_f2_bp,
+             CAST(SUM(f3) AS BIGINT) AS sum_f3_bp
+      FROM scored GROUP BY 1 ORDER BY source"""))
   )
 }
