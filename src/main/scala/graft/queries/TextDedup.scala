@@ -1742,6 +1742,83 @@ object TextDedup {
       WHERE d.doc_id % 4 = 3
       GROUP BY 1 ORDER BY d.lang""")),
 
+    // ---- dd24: CONTENT-DEFINED CHUNK dedup — the sub-document tier
+    // below dd01 (whole-doc) and dd03 (near-dup): real corpora share
+    // boilerplate passages inside otherwise-distinct documents, and
+    // training pipelines dedup at chunk granularity to reclaim them.
+    // Chunking is content-defined on the WORD stream (a boundary after
+    // any word with h28(word) % 8 == 0) so chunk identity is
+    // shift-invariant — inserting a paragraph early in a doc cannot
+    // re-chunk the rest, the CDC property that makes rsync/LBFS-style
+    // dedup work. Chunk text is rebuilt deterministically (sort by word
+    // position), fingerprinted with md5, and an instance is a duplicate
+    // iff it is not its fingerprint's keeper (min (doc_id, chunk_id) —
+    // exact struct-min, no ties). Per-lang ledger counts instances,
+    // duplicates, and the chars sub-doc dedup would reclaim. Plan: one
+    // corpus scan → doc-local window (prefix-sum of boundary flags —
+    // millions of independent doc partitions at 100 TB, no global sort)
+    // → chunk-keyed aggregates; the fp groupBy is the only corpus-wide
+    // exchange, exactly like dd01.
+    QueryDef("dd24_cdc_chunk_dedup", (s, d) => {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, 0)
+      val words = docs(s, d)
+        .select(col("doc_id"), col("lang"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+        .filter(length(col("word")) >= 1)
+        .withColumn("b", when(h28(col("word")) % 8 === 0, 1L).otherwise(0L))
+        .withColumn("chunk", sum(col("b")).over(w) - col("b")) // boundary word ENDS its chunk
+      val chunks = words.groupBy(col("doc_id"), col("lang"), col("chunk"))
+        .agg(concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, word))), s -> s.word)")).as("ctext"))
+        .select(col("doc_id"), col("lang"), col("chunk"),
+          md5(col("ctext").cast("binary")).as("fp"), length(col("ctext")).as("n_chars"))
+      // keeper = min (doc_id, chunk), packed into one long (chunk counts
+      // are word-bounded, far below 1e8) — identical arithmetic in SQL
+      val packed = col("doc_id") * lit(100000000L) + col("chunk")
+      val keeper = chunks.groupBy("fp").agg(min(packed).as("k"))
+      chunks.join(keeper, "fp")
+        .withColumn("dup", when(packed =!= col("k"), 1L).otherwise(0L))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("dup")).as("n_dup_chunks"),
+          sum(when(col("dup") === 1L, col("n_chars").cast("long")).otherwise(0L))
+            .as("dup_chars"))
+        .orderBy("lang")
+    }, Some("""
+      WITH idx AS (
+        SELECT doc_id, lang, ws, unnest(generate_series(1, len(ws))) AS i
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents)),
+      words AS (
+        SELECT doc_id, lang, i - 1 AS pos, ws[i] AS word
+        FROM idx WHERE len(ws[i]) >= 1),
+      flagged AS (
+        SELECT doc_id, lang, pos, word,
+               CASE WHEN ('0x' || substr(md5(word),1,7))::BIGINT % 8 = 0
+                    THEN 1 ELSE 0 END AS b
+        FROM words),
+      chunked AS (
+        SELECT doc_id, lang, pos, word,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) - b AS chunk
+        FROM flagged),
+      chunks AS (
+        SELECT doc_id, lang, chunk,
+               md5(string_agg(word, ' ' ORDER BY pos)) AS fp,
+               length(string_agg(word, ' ' ORDER BY pos)) AS n_chars
+        FROM chunked GROUP BY 1, 2, 3),
+      keeper AS (
+        SELECT fp, MIN(doc_id * 100000000 + chunk) AS k FROM chunks GROUP BY 1),
+      scored AS (
+        SELECT c.lang, c.n_chars,
+               CASE WHEN c.doc_id * 100000000 + c.chunk <> k.k
+                    THEN 1 ELSE 0 END AS dup
+        FROM chunks c JOIN keeper k ON c.fp = k.fp)
+      SELECT lang, COUNT(*) AS n_chunks,
+             CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
+             CAST(SUM(CASE WHEN dup = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS dup_chars
+      FROM scored GROUP BY 1 ORDER BY lang""")),
+
     // ---- tx26: Count-Min-Sketch heavy hitters — the third sketch next
     // to HLL (q34) and KLL quantiles (q37), and unlike those, CUSTOM and
     // fully oracle-checkable: cms_agg (functions/CmsAgg.scala, the 9th
