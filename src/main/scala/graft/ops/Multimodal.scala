@@ -248,16 +248,24 @@ object Multimodal {
         var i = 12
         var rate = 0; var ch = 0; var bits = 0; var fmtSeen = false
         var dataOff = -1; var dataLen = 0
-        while (i + 8 <= p.length && dataOff < 0) {
-          val id = tag(i); val sz = u32(i + 4).toInt
-          if (id == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
-            ch = u16(i + 10); rate = u32(i + 12).toInt; bits = u16(i + 22)
-            fmtSeen = true
-          } else if (id == "data") { dataOff = i + 8; dataLen = sz }
-          i += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks
+        var corrupt = false
+        while (i + 8 <= p.length && dataOff < 0 && !corrupt) {
+          val id = tag(i); val szL = u32(i + 4)
+          // a declared size that cannot fit the remaining payload is
+          // corruption: advancing by it would wrap Int (negative step =
+          // infinite loop or negative index), so bail to the sentinel
+          if (szL > p.length - i - 8) corrupt = true
+          else {
+            val sz = szL.toInt
+            if (id == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
+              ch = u16(i + 10); rate = u32(i + 12).toInt; bits = u16(i + 22)
+              fmtSeen = true
+            } else if (id == "data") { dataOff = i + 8; dataLen = sz }
+            i += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks
+          }
         }
-        if (!fmtSeen || dataOff < 0 || bits != 16 ||
-            dataOff + dataLen > p.length) bad
+        if (corrupt || !fmtSeen || dataOff < 0 || bits != 16 ||
+            dataLen < 0 || dataOff + dataLen > p.length) bad
         else {
           val n = dataLen / 2
           var e = 0L; var k = 0

@@ -57,12 +57,21 @@ object GraphQueries {
     // components) cannot arise from edge-local propagation, and the edge
     // relation itself is verified cell-for-cell by graph02.
     QueryDef("graph04_copurchase_cc", (s, d) => {
-      val lab = {
-        import s.implicits._
-        GraphOps.coPurchaseGraph(s, d).connectedComponents()
-          .vertices.toDF("node", "lbl")
-      }
+      import s.implicits._
+      // derive the expensive projection ONCE and checkpoint it: both the
+      // GraphX build and the certificate's edge check read the cached
+      // relation (graph06's reuse pattern; code-review r13)
       val pairs = GraphOps.coPurchasePairs(s, d).select("src", "dst")
+        .localCheckpoint()
+      val lab = {
+        val edges = pairs.rdd.flatMap { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          Seq(org.apache.spark.graphx.Edge(a, b, 1),
+            org.apache.spark.graphx.Edge(b, a, 1))
+        }
+        org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+          .connectedComponents().vertices.toDF("node", "lbl")
+      }
       val anchor = lab.as("v")
         .join(lab.as("r"), col("v.lbl") === col("r.node"), "left")
         .agg(

@@ -155,6 +155,28 @@ class OpsSpec extends AnyFunSuite {
     assert(!got(601L).ok)
   }
 
+  test("multimodal: parseWavBatch rejects chunk sizes that overflow or overrun") {
+    import spark.implicits._
+    // a LIST chunk declaring size 0xF8FFFFFF: the 32-bit size wraps Int
+    // negative — a naive `i += 8 + sz` spins forever (code-review r13)
+    def wavWithChunk(sz: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(32)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(24)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("LIST".getBytes("US-ASCII")).putInt((sz & 0xFFFFFFFFL).toInt)
+      bb.put("INFO".getBytes("US-ASCII"))
+      bb.array()
+    }
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(700L, wavWithChunk(0xF8FFFFFFL)), // wraps negative
+      Multimodal.MediaRow(701L, wavWithChunk(0x7FFFFFF0L)), // 8+sz overflows
+      Multimodal.MediaRow(702L, wavWithChunk(1000L))))      // overruns payload
+    val got = Multimodal.parseWavBatch(rows).collect()
+    assert(got.length == 3 && got.forall(r => !r.ok && r.n_samples == 0L),
+      "oversized/overflowing chunk sizes must yield the ok=false sentinel")
+  }
+
   test("multimodal: frameEnergy parses 16-bit LE PCM back to exact integer energy") {
     import spark.implicits._
     // kernel vs a direct reference over the generator contract
