@@ -39,8 +39,10 @@ case class Sum128Agg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
 
-  // buffer(0) = hi, buffer(1) = lo (two's-complement 128-bit value)
-  override def createAggregationBuffer(): Array[Long] = new Array[Long](2)
+  // buffer(0) = hi, buffer(1) = lo (two's-complement 128-bit value),
+  // buffer(2) = nonzero iff at least one non-NULL input was accumulated
+  // (SQL SUM semantics: empty / all-NULL group sums to NULL, not 0).
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](3)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -51,6 +53,7 @@ case class Sum128Agg(
       val carry = ((lo & x) | ((lo | x) & ~nlo)) >>> 63
       buffer(1) = nlo
       buffer(0) = buffer(0) + (x >> 63) + carry
+      buffer(2) = 1L
     }
     buffer
   }
@@ -61,25 +64,27 @@ case class Sum128Agg(
     val carry = ((lo & x) | ((lo | x) & ~nlo)) >>> 63
     b1(1) = nlo
     b1(0) = b1(0) + b2(0) + carry
+    b1(2) = b1(2) | b2(2)
     b1
   }
 
   override def eval(buffer: Array[Long]): Any =
-    UTF8String.fromString(Sum128Agg.toBigInteger(buffer(0), buffer(1)).toString)
+    if (buffer(2) == 0L) null
+    else UTF8String.fromString(Sum128Agg.toBigInteger(buffer(0), buffer(1)).toString)
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = java.nio.ByteBuffer.allocate(16)
-    bb.putLong(buffer(0)); bb.putLong(buffer(1))
+    val bb = java.nio.ByteBuffer.allocate(24)
+    bb.putLong(buffer(0)); bb.putLong(buffer(1)); bb.putLong(buffer(2))
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    Array(bb.getLong, bb.getLong)
+    Array(bb.getLong, bb.getLong, bb.getLong)
   }
 
   override def dataType: DataType = StringType
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

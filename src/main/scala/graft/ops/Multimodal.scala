@@ -246,6 +246,7 @@ object Multimodal {
       if (p.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") bad
       else {
         var i = 12
+        var fmtCode = 0
         var rate = 0; var ch = 0; var bits = 0; var fmtSeen = false
         var dataOff = -1; var dataLen = 0
         var corrupt = false
@@ -258,13 +259,19 @@ object Multimodal {
           else {
             val sz = szL.toInt
             if (id == "fmt " && sz >= 16 && i + 8 + 16 <= p.length) {
+              fmtCode = u16(i + 8) // wFormatTag: 1 = integer PCM
               ch = u16(i + 10); rate = u32(i + 12).toInt; bits = u16(i + 22)
               fmtSeen = true
             } else if (id == "data") { dataOff = i + 8; dataLen = sz }
             i += 8 + sz + (sz & 1) // RIFF pads odd-sized chunks
           }
         }
+        // the 16-bit sample loop below is only valid for integer-PCM mono:
+        // an IEEE-float/ADPCM wFormatTag or multi-channel stream would be
+        // mis-summed as 16-bit mono and n_samples would count samples, not
+        // frames — sentinel those out instead of decoding garbage
         if (corrupt || !fmtSeen || dataOff < 0 || bits != 16 ||
+            fmtCode != 1 || ch != 1 ||
             dataLen < 0 || dataOff + dataLen > p.length) bad
         else {
           val n = dataLen / 2

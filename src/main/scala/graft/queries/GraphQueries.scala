@@ -55,7 +55,10 @@ object GraphQueries {
     // (n_vertices, n_edges) from the base tables — one join, no
     // recursion, ~10 s at sf1. Over-merging (one label spanning two true
     // components) cannot arise from edge-local propagation, and the edge
-    // relation itself is verified cell-for-cell by graph02.
+    // relation itself is verified cell-for-cell by graph02; the over-merge
+    // direction is additionally anchored empirically by GraphCcSpec, which
+    // recomputes the full partition with an independent union-find at
+    // sf0.001 and requires label-for-label equality.
     QueryDef("graph04_copurchase_cc", (s, d) => {
       import s.implicits._
       // derive the expensive projection ONCE and checkpoint it: both the

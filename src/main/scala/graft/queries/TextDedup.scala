@@ -1772,12 +1772,15 @@ object TextDedup {
         .agg(concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, word))), s -> s.word)")).as("ctext"))
         .select(col("doc_id"), col("lang"), col("chunk"),
           md5(col("ctext").cast("binary")).as("fp"), length(col("ctext")).as("n_chars"))
-      // keeper = min (doc_id, chunk), packed into one long (chunk counts
-      // are word-bounded, far below 1e8) — identical arithmetic in SQL
-      val packed = col("doc_id") * lit(100000000L) + col("chunk")
-      val keeper = chunks.groupBy("fp").agg(min(packed).as("k"))
+      // keeper = lexicographic min (doc_id, chunk) as an exact struct-min
+      // (no packed-long arithmetic: a packed key silently wraps Long past
+      // chunk >= 1e8 / doc_id ~ 9.2e10 where DuckDB would raise — the
+      // struct comparison has no overflow regime at any scale); the
+      // groupBy keeps map-side partial min, same exchange shape as dd01
+      val ident = struct(col("doc_id"), col("chunk"))
+      val keeper = chunks.groupBy("fp").agg(min(ident).as("k"))
       chunks.join(keeper, "fp")
-        .withColumn("dup", when(packed =!= col("k"), 1L).otherwise(0L))
+        .withColumn("dup", when(ident =!= col("k"), 1L).otherwise(0L))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("dup")).as("n_dup_chunks"),
@@ -1806,13 +1809,12 @@ object TextDedup {
                md5(string_agg(word, ' ' ORDER BY pos)) AS fp,
                length(string_agg(word, ' ' ORDER BY pos)) AS n_chars
         FROM chunked GROUP BY 1, 2, 3),
-      keeper AS (
-        SELECT fp, MIN(doc_id * 100000000 + chunk) AS k FROM chunks GROUP BY 1),
       scored AS (
-        SELECT c.lang, c.n_chars,
-               CASE WHEN c.doc_id * 100000000 + c.chunk <> k.k
+        SELECT lang, n_chars,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp
+                                            ORDER BY doc_id, chunk) > 1
                     THEN 1 ELSE 0 END AS dup
-        FROM chunks c JOIN keeper k ON c.fp = k.fp)
+        FROM chunks)
       SELECT lang, COUNT(*) AS n_chunks,
              CAST(SUM(dup) AS BIGINT) AS n_dup_chunks,
              CAST(SUM(CASE WHEN dup = 1 THEN n_chars ELSE 0 END) AS BIGINT)

@@ -76,4 +76,20 @@ class Sum128Spec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("BIGINT"))
   }
+
+  test("SQL SUM semantics: empty / all-NULL group yields NULL, not 0 (ADVICE r13)") {
+    val allNull = spark.sql(
+      "SELECT sum128_agg(x) FROM VALUES (CAST(NULL AS BIGINT)), (CAST(NULL AS BIGINT)) AS t(x)")
+      .collect()(0)
+    assert(allNull.isNullAt(0), "all-NULL group must sum to NULL")
+    val empty = spark.sql(
+      "SELECT sum128_agg(x) FROM (SELECT CAST(1 AS BIGINT) AS x WHERE false)")
+      .collect()(0)
+    assert(empty.isNullAt(0), "empty input must sum to NULL")
+    // and NULLs interleaved with values are simply skipped
+    val mixed = spark.sql(
+      "SELECT sum128_agg(x) FROM VALUES (1L), (CAST(NULL AS BIGINT)), (2L) AS t(x)")
+      .collect()(0).getString(0)
+    assert(mixed == "3")
+  }
 }

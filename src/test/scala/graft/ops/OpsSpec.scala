@@ -177,6 +177,37 @@ class OpsSpec extends AnyFunSuite {
       "oversized/overflowing chunk sizes must yield the ok=false sentinel")
   }
 
+  test("multimodal: parseWavBatch sentinels non-PCM and multi-channel formats") {
+    import spark.implicits._
+    // a valid container whose fmt declares IEEE-float (tag 3) or stereo:
+    // the 16-bit mono PCM sample loop would mis-sum both (ADVICE r13), so
+    // they must get the ok=false sentinel, not a garbage energy
+    def wavWithFmt(fmtTag: Short, channels: Short): Array[Byte] = {
+      val pcm = new Array[Byte](8)
+      val total = 4 + 24 + 8 + pcm.length
+      val bb = java.nio.ByteBuffer.allocate(8 + total)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(total)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(fmtTag).putShort(channels)
+        .putInt(8000).putInt(8000 * 2 * channels)
+        .putShort((2 * channels).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(pcm.length).put(pcm)
+      bb.array()
+    }
+    val rows = spark.createDataset(Seq(
+      Multimodal.MediaRow(800L, wavWithFmt(3, 1)),  // IEEE float
+      Multimodal.MediaRow(801L, wavWithFmt(2, 1)),  // ADPCM
+      Multimodal.MediaRow(802L, wavWithFmt(1, 2)),  // stereo PCM
+      Multimodal.MediaRow(803L, wavWithFmt(1, 1)))) // control: mono PCM
+    val got = Multimodal.parseWavBatch(rows).collect().map(r => r.doc_id -> r).toMap
+    Seq(800L, 801L, 802L).foreach { id =>
+      assert(!got(id).ok && got(id).n_samples == 0L, s"doc $id must sentinel")
+    }
+    assert(got(803L).ok && got(803L).n_samples == 4L, "mono PCM control row")
+  }
+
   test("multimodal: frameEnergy parses 16-bit LE PCM back to exact integer energy") {
     import spark.implicits._
     // kernel vs a direct reference over the generator contract
