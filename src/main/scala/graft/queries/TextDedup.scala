@@ -1987,33 +1987,23 @@ object TextDedup {
     // (mx·10^4 div total — no floats), dropped above the published
     // thresholds (2-gram > 20%, 3-gram > 18%). Only the top COUNT is
     // needed, not the gram itself, so there is no tie-break to keep
-    // engines aligned. Plan: one corpus scan per n, explode → two
-    // map-side-combined aggregates keyed by doc (doc-local partitions —
-    // millions of independent keys at 100 TB, no global structure), left
-    // joins back (docs under n words have no n-grams → frac 0, kept).
+    // engines aligned. Plan (r14 rework, VERDICT r13 #4): the per-doc
+    // gram statistics are computed by the native `repetition_stats`
+    // expression (functions/RepetitionStats.scala — token_stats' sibling,
+    // one interned-id pass per row inside WholeStageCodegen), so the gram
+    // stream never leaves the scan task: no Generate, no doc-keyed
+    // exchange — the only shuffle is the final SOURCE-sized aggregate.
+    // The r13 explode-based plan shuffled the corpus-sized gram stream
+    // twice and ran 2.8× DuckDB at sf10; plan-locked by PlanShapeSpec.
     // Per-source attrition ledger + summed fractions pin every doc's
     // exact basis points, not just the drop decisions.
     QueryDef("tx28_repetition_filter", (s, d) => {
-      val doc = docs(s, d)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
-      // grams via direct 0-based element access — measured 19% faster at
-      // sf10 than the slice+array_join form (no per-position sub-array)
-      def gramExpr(n: Int) = {
-        val parts = (1 until n).map(k => s", ' ', w[i + $k]").mkString
-        s"transform(sequence(0, size(w) - $n), i -> concat(w[i]$parts))"
-      }
-      def topFrac(n: Int, name: String) = doc
-        .filter(size(col("w")) >= n)
-        .select(col("doc_id"), explode(expr(gramExpr(n))).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
-        .select(col("doc_id"), expr("mx * 10000 div tot").as(name))
-      doc.select("doc_id", "source")
-        .join(topFrac(2, "f2"), Seq("doc_id"), "left")
-        .join(topFrac(3, "f3"), Seq("doc_id"), "left")
+      val rs = graft.functions.RepetitionStats.repetition_stats(col("text"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"), rs.as("r"))
         .select(col("doc_id"), col("source"),
-          coalesce(col("f2"), lit(0L)).as("f2"),
-          coalesce(col("f3"), lit(0L)).as("f3"))
+          expr("CASE WHEN r[1] > 0 THEN r[0] * 10000 div r[1] ELSE 0L END").as("f2"),
+          expr("CASE WHEN r[3] > 0 THEN r[2] * 10000 div r[3] ELSE 0L END").as("f3"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("f2") > 2000 || col("f3") > 1800, 1L).otherwise(0L))

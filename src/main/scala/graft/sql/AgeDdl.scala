@@ -246,6 +246,17 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TokenStats(args.head)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("repetition_stats"),
+      new ExpressionInfo(classOf[graft.functions.RepetitionStats].getName, "repetition_stats",
+        "repetition_stats(text) - [top2gram_count, n_2grams, top3gram_count, " +
+          "n_3grams] per row, split-on-space word-gram semantics"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 1)
+          throw new graft.core.AgeInvalidInputException(
+            "repetition_stats(text) takes exactly 1 argument")
+        graft.functions.RepetitionStats(args.head)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("band_keys"),
       new ExpressionInfo(classOf[graft.functions.BandKeys].getName, "band_keys",
         "band_keys(vec, n_planes, band_size) - LSH band keys of a float/double " +

@@ -87,6 +87,13 @@ object functions {
   def token_stats(c: Column): Column =
     graft.functions.TokenStats.token_stats(c)
 
+  /** Native codegen per-row n-gram repetition stats:
+    * `array(top2gram_count, n_2grams, top3gram_count, n_3grams)` with
+    * `split(text, ' ')` word semantics — the Gopher repetition rules as
+    * a pure scan-side map (no gram explode, no doc-keyed exchange). */
+  def repetition_stats(c: Column): Column =
+    graft.functions.RepetitionStats.repetition_stats(c)
+
   /** Bounded top-k aggregate by (score DESC, id ASC): map-side partial
     * aggregation carries at most k pairs per group through the shuffle —
     * the distributed brute-force ANN reducer. */

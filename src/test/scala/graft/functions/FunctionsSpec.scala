@@ -200,6 +200,70 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
   }
 
+  test("repetition_stats: equals the explode-based gram derivation, incl. edge cases") {
+    // edge cases: empty (1 empty word, no grams), single word, repeated
+    // grams, consecutive/leading/trailing spaces (empty-word grams are
+    // legal gram members, same as split semantics), multi-byte text
+    val cases = Seq("a b a b a b", "", "one", "a a a a", "x  y  x  y",
+      " lead lead", "trail trail ", "héllo wörld héllo wörld",
+      "日本 語 日本 語 日本", "a b c d e f g")
+    val df = cases.toDF("text")
+    val got = df.select(col("text"),
+        RepetitionStats.repetition_stats(col("text")).as("r"))
+      .select(col("text"), col("r")(0).as("top2"), col("r")(1).as("n2"),
+        col("r")(2).as("top3"), col("r")(3).as("n3")).collect()
+    def brute(text: String): (Long, Long, Long, Long) = {
+      val w = text.split(" ", -1)
+      def top(n: Int): (Long, Long) = {
+        if (w.length < n) (0L, 0L)
+        else {
+          val grams = (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+          (grams.groupBy(identity).values.map(_.size).max.toLong, grams.size.toLong)
+        }
+      }
+      val (t2, n2) = top(2); val (t3, n3) = top(3)
+      (t2, n2, t3, n3)
+    }
+    got.foreach { g =>
+      val (t2, n2, t3, n3) = brute(g.getString(0))
+      assert((g.getLong(1), g.getLong(2), g.getLong(3), g.getLong(4)) == ((t2, n2, t3, n3)),
+        s"repetition_stats mismatch for '${g.getString(0)}'")
+    }
+    // null in -> null out; SQL-registered surface reachable
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(RepetitionStats.repetition_stats(col("text"))).collect()(0)
+    assert(n.isNullAt(0))
+    val viaSql = spark.sql(
+      "SELECT repetition_stats('a b a b a b')").collect()(0).getSeq[Long](0)
+    assert(viaSql == Seq(3L, 5L, 2L, 4L))
+    // real corpus: identical to the old explode+agg derivation on every doc
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = docs.select(col("doc_id"),
+        RepetitionStats.repetition_stats(col("text")).as("r"))
+      .select(col("doc_id"), col("r")(0).as("top2"), col("r")(1).as("n2"),
+        col("r")(2).as("top3"), col("r")(3).as("n3"))
+    val slow = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("nw"))
+      .join(slowGram(docs, 2).withColumnRenamed("mx", "top2"), Seq("doc_id"), "left")
+      .join(slowGram(docs, 3).withColumnRenamed("mx", "top3"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top2"), lit(0L)).as("top2"),
+        greatest(col("nw") - 1, lit(0L)).as("n2"),
+        coalesce(col("top3"), lit(0L)).as("top3"),
+        greatest(col("nw") - 2, lit(0L)).as("n3"))
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
+  private def slowGram(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+    val parts = (1 until n).map(k => s", ' ', w[i + $k]").mkString
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"transform(sequence(0, size(w) - $n), i -> concat(w[i]$parts))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+  }
+
   test("topk_agg: equals the window row_number formulation, incl. ties and merges") {
     import org.apache.spark.sql.expressions.Window
     // 10k rows over 7 groups, scores engineered to collide (ties broken by id),

@@ -128,6 +128,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), "tx01 re-grew the two-phase aggregate")
   }
 
+  test("tx28 repetition grams are a pure scan-side map (no Generate, one source-keyed aggregate)") {
+    val plan = physicalPlan("tx28_repetition_filter")
+    assert(plan.contains("repetition_stats"), "tx28 lost the native repetition_stats expression")
+    assert(!plan.contains("Generate"), "tx28 re-grew the corpus-sized gram explode")
+    // only the final per-source attrition aggregate (partial+final pair over
+    // ~10 source keys) and the ORDER BY's range exchange remain; the
+    // doc-keyed gram aggregates must not return
+    assert("Exchange".r.findAllIn(plan).size <= 2,
+      "tx28 re-grew a doc-keyed exchange — grams must not leave the scan task")
+  }
+
   test("selective filters reach the parquet scan (PushedFilters)") {
     val plan = physicalPlan("q06_selective_sum")
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual"),
