@@ -619,9 +619,14 @@ object StreamingQueries {
     // ---- stream15: INCREMENTAL INDEX MAINTENANCE — the sink-side twin
     // of dd21/dd23's daily pipeline: documents arrive in micro-batches
     // and `foreachBatch` MERGES each batch into a persisted
-    // (fp → keeper, copies) parquet index by read-merge-rewrite — the
-    // compaction loop every streaming-ingest materialized view runs
-    // (Delta/Iceberg MERGE INTO, here spelled out on plain parquet).
+    // (fp → keeper, copies) parquet index — the compaction loop every
+    // streaming-ingest materialized view runs (Delta/Iceberg MERGE INTO,
+    // here spelled out on plain parquet). The index is HASH-BUCKETED
+    // (streaming/FpIndex.scala, r14 rework of the r13 whole-index
+    // read-merge-rewrite that cost O(index) I/O per batch): each merge
+    // reads and rewrites ONLY the buckets the batch touches, so per-batch
+    // I/O scales with the batch, not the corpus — untouched bucket files
+    // are bitwise untouched (asserted by StreamingQueriesSpec).
     // A fingerprint seen in batch 1 and again in batch 3 must keep the
     // batch-1 keeper and sum its copies, so the final index equals the
     // batch derivation EXACTLY — the oracle computes it from documents in
@@ -639,7 +644,7 @@ object StreamingQueries {
         .collect() // bounded feed plumbing, not the operator
         .map(r => (r.getLong(0), r.getString(1))).toSeq
       val mem = MemoryStream[(Long, String)]
-      @volatile var cur: Option[String] = None
+      val manifest = new graft.streaming.FpIndex.Manifest
       val q = mem.toDF().toDF("doc_id", "text")
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -647,21 +652,14 @@ object StreamingQueries {
             .withColumn("fp", md5(col("text").cast("binary")))
             .groupBy("fp")
             .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
-          val merged = cur match {
-            case None => delta
-            case Some(p) => s.read.parquet(p).union(delta).groupBy("fp")
-              .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
-          }
-          val next = s"$idxRoot/v$batchId"
-          merged.write.mode("overwrite").parquet(next)
-          cur = Some(next)
+          graft.streaming.FpIndex.mergeBatch(s, idxRoot.toString, manifest, delta, batchId)
         }.start()
       try {
         feed.grouped(math.max(1, feed.size / 3 + 1)).foreach { g =>
           mem.addData(g); q.processAllAvailable()
         }
       } finally q.stop()
-      s.read.parquet(cur.get)
+      graft.streaming.FpIndex.read(s, manifest)
         .agg(count(lit(1)).as("n_fps"), sum(col("copies")).as("n_docs"),
           sum(col("keeper")).as("keeper_sum"))
     }, Some("""

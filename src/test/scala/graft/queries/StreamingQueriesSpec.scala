@@ -114,4 +114,59 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(stream.exceptAll(batch).count() == 0)
     assert(batch.exceptAll(stream).count() == 0)
   }
+
+  test("FpIndex bucketed merge: correct cross-batch state, untouched buckets bitwise untouched") {
+    import graft.streaming.FpIndex
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
+    val manifest = new FpIndex.Manifest
+    def delta(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+    // batch 0: a spread of texts filling many buckets
+    val b0 = (0L until 64L).map(i => (i, s"text-${i % 32}"))
+    FpIndex.mergeBatch(spark, root, manifest, delta(b0), 0L)
+    val bucketsAfter0 = manifest.current.toMap
+    assert(bucketsAfter0.nonEmpty, "batch 0 must populate buckets")
+    // snapshot every bucket's file list + mtime + size before batch 1
+    def snapshot(): Map[Int, Seq[(String, Long, Long)]] =
+      manifest.current.toMap.map { case (b, p) =>
+        val dir = new java.io.File(p)
+        b -> dir.listFiles().toSeq.sortBy(_.getName)
+          .map(f => (f.getName, f.lastModified(), f.length()))
+      }
+    val snap0 = snapshot()
+    // batch 1: ONE repeated text — touches exactly one bucket
+    val oneText = "text-7" // dup of batch 0: forces a real read-merge of its bucket
+    val b1 = Seq((100L, oneText), (101L, oneText))
+    FpIndex.mergeBatch(spark, root, manifest, delta(b1), 1L)
+    val oneBucket = spark.range(1)
+      .select(FpIndex.bucketOf(md5(lit(oneText).cast("binary")))).collect()(0).getInt(0)
+    // exactly the touched bucket's manifest entry flipped to v1 …
+    assert(manifest.current(oneBucket).contains("/v1/"),
+      "touched bucket must point at the new version")
+    manifest.current.toMap.foreach { case (b, p) =>
+      if (b != oneBucket)
+        assert(p == bucketsAfter0(b), s"untouched bucket $b path changed")
+    }
+    // … and every untouched bucket's FILES are bitwise untouched (name,
+    // mtime, size all identical — no rewrite, no append, not even opened
+    // for write)
+    snapshot().foreach { case (b, files) =>
+      if (b != oneBucket)
+        assert(files == snap0(b), s"untouched bucket $b files changed on disk")
+    }
+    // cross-batch semantics: keeper kept from batch 0, copies summed
+    val merged = FpIndex.read(spark, manifest)
+      .filter(col("fp") === md5(lit(oneText).cast("binary")))
+      .collect()(0)
+    assert(merged.getLong(1) == 7L, "keeper must stay the batch-0 min doc_id")
+    assert(merged.getLong(2) == 4L, "copies must sum across batches (2 in b0 + 2 in b1)")
+    // and the whole index equals the one-pass batch derivation
+    val all = delta(b0 ++ b1)
+    val idx = FpIndex.read(spark, manifest)
+    assert(idx.exceptAll(all).count() == 0 && all.exceptAll(idx).count() == 0)
+  }
 }
