@@ -139,6 +139,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "tx28 re-grew a doc-keyed exchange — grams must not leave the scan task")
   }
 
+  test("q59 bucketed q03: the whole fact pipeline runs with ZERO shuffle exchanges") {
+    val plan = physicalPlan("q59_bucketed_topn")
+    assert(plan.contains("Bucketed: true"), "q59 lost the bucketed scans")
+    // the only Exchange allowed is the broadcast of the customer dim;
+    // the per-order aggregate and the fact-fact join both ride the
+    // bucket distribution
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      "q59 re-grew a shuffle — the bucketed layout must carry agg AND join")
+    assert(plan.contains("TakeOrderedAndProject"), "q59 lost the bounded top-10")
+  }
+
+  test("q60 bucketed q05: no exchange on the orderkey fact-fact join") {
+    val plan = physicalPlan("q60_bucketed_join5")
+    assert(plan.contains("Bucketed: true"), "q60 lost the bucketed scans")
+    // custkey join + n_name agg + result sort legitimately shuffle; the
+    // lineitem⋈orders exchange specifically must stay gone
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+      !plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "q60 re-grew the fact-fact orderkey exchange the bucketing exists to kill")
+  }
+
   test("selective filters reach the parquet scan (PushedFilters)") {
     val plan = physicalPlan("q06_selective_sum")
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual"),
