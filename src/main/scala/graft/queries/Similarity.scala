@@ -64,6 +64,72 @@ object Similarity {
       .distinct()
   }
 
+  /** Persist the sim15/sim17 IVF-PQ index as three parquet relations under
+    * `idxDir`: codebook (4×64 centroid components), lists (vid → coarse
+    * cell), codes (vid × 8 PQ codes). Build-side half of the build/serve
+    * split; shared by sim17 (batch serve) and sim18 (streaming serve). */
+  private[queries] def buildIvfPqIndex(s: SparkSession, d: String, idxDir: String): Unit = {
+    val sub = expr("CAST((dim - 1) div 8 AS INT)")
+    val flat = flatQuantized(emb(s, d).filter(col("vec_id") < 300))
+    val cb = flat.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c"), col("dim"), col("xq").as("cq"))
+    val dfull = flat.join(broadcast(cb), "dim")
+      .groupBy(col("vec_id"), col("c"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))
+    val lists = dfull.withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("c").as("cid"))
+    val dsub = flat.join(broadcast(cb), "dim")
+      .groupBy(col("vec_id"), sub.as("sub"), col("c"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("d2"), col("c"))
+    val codes = dsub.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id").as("vid"), col("sub"), col("c").as("code"))
+    cb.write.mode("overwrite").parquet(s"$idxDir/codebook")
+    lists.write.mode("overwrite").parquet(s"$idxDir/lists")
+    codes.write.mode("overwrite").parquet(s"$idxDir/codes")
+  }
+
+  /** Serve a batch of query vectors (`qEmb`: vec_id, embedding) against
+    * the persisted index: coarse-probe 2 lists via the broadcast
+    * codebook, ADC over the persisted codes, top-3 per query — sim15's
+    * serve math exactly, reading the index tables and NOTHING else. Each
+    * query row is independent, so serving a stream micro-batch-wise
+    * (sim18) equals serving the whole batch at once (sim17). */
+  private[queries] def serveIvfPq(s: SparkSession, qEmb: DataFrame, idxDir: String): DataFrame = {
+    val sub = expr("CAST((dim - 1) div 8 AS INT)")
+    val cbP = broadcast(s.read.parquet(s"$idxDir/codebook"))
+    val listsP = s.read.parquet(s"$idxDir/lists")
+    val codesP = s.read.parquet(s"$idxDir/codes")
+    val qflat = flatQuantized(qEmb)
+    val qd2 = qflat.join(cbP, "dim")
+      .groupBy(col("vec_id"), col("c"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
+    val probes = qd2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("c").as("cid"))
+    val table = qflat
+      .select(col("vec_id").as("qid"), col("dim"), col("xq").as("qx"))
+      .join(cbP, "dim")
+      .groupBy(col("qid"), sub.as("sub"), col("c").as("code"))
+      .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("td2"))
+    val cands = probes.join(listsP, "cid").filter(col("vid") =!= col("qid"))
+      .select("qid", "vid")
+    val scored = cands.join(codesP, "vid")
+      .join(broadcast(table), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(sum(col("td2")).as("adc"))
+    val wq = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
+    scored.withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("vid"), col("adc"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- sim01: brute-force cosine top-k (k=5, 10 query vectors) via the
@@ -1159,59 +1225,13 @@ object Similarity {
     // survive the parquet round trip).
     QueryDef("sim17_ann_index_serve", (s, d) => {
       val idxDir = TempDirs.create("graft-ann-index")
-      val sub = expr("CAST((dim - 1) div 8 AS INT)")
       // BUILD session: derive the index exactly as sim15 and persist it
-      val flat = flatQuantized(emb(s, d).filter(col("vec_id") < 300))
-      val cb = flat.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("c"), col("dim"), col("xq").as("cq"))
-      val dfull = flat.join(broadcast(cb), "dim")
-        .groupBy(col("vec_id"), col("c"))
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))
-      val lists = dfull.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("vid"), col("c").as("cid"))
-      val dsub = flat.join(broadcast(cb), "dim")
-        .groupBy(col("vec_id"), sub.as("sub"), col("c"))
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-      val wEnc = Window.partitionBy(col("vec_id"), col("sub"))
-        .orderBy(col("d2"), col("c"))
-      val codes = dsub.withColumn("rn", row_number().over(wEnc))
-        .filter(col("rn") === 1)
-        .select(col("vec_id").as("vid"), col("sub"), col("c").as("code"))
-      cb.write.mode("overwrite").parquet(s"$idxDir/codebook")
-      lists.write.mode("overwrite").parquet(s"$idxDir/lists")
-      codes.write.mode("overwrite").parquet(s"$idxDir/codes")
+      buildIvfPqIndex(s, d, idxDir.toString)
       // SERVE session: fresh state; only index tables + the query batch
       val s2 = s.newSession()
-      val cbP = broadcast(s2.read.parquet(s"$idxDir/codebook"))
-      val listsP = s2.read.parquet(s"$idxDir/lists")
-      val codesP = s2.read.parquet(s"$idxDir/codes")
-      val qflat = flatQuantized(
-        Tables.load(s2, d, "embeddings").filter(col("vec_id") < 10))
-      val qd2 = qflat.join(cbP, "dim")
-        .groupBy(col("vec_id"), col("c"))
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d2"))
-      val probes = qd2
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("c"))))
-        .filter(col("rn") <= 2)
-        .select(col("vec_id").as("qid"), col("c").as("cid"))
-      val table = qflat
-        .select(col("vec_id").as("qid"), col("dim"), col("xq").as("qx"))
-        .join(cbP, "dim")
-        .groupBy(col("qid"), sub.as("sub"), col("c").as("code"))
-        .agg(sum((col("qx") - col("cq")) * (col("qx") - col("cq"))).as("td2"))
-      val cands = probes.join(listsP, "cid").filter(col("vid") =!= col("qid"))
-        .select("qid", "vid")
-      val scored = cands.join(codesP, "vid")
-        .join(broadcast(table), Seq("qid", "sub", "code"))
-        .groupBy(col("qid"), col("vid"))
-        .agg(sum(col("td2")).as("adc"))
-      val wq = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vid"))
-      scored.withColumn("rank", row_number().over(wq))
-        .filter(col("rank") <= 3)
-        .select(col("qid"), col("vid"), col("adc"), col("rank"))
+      serveIvfPq(s2,
+        Tables.load(s2, d, "embeddings").filter(col("vec_id") < 10),
+        idxDir.toString)
         .orderBy("qid", "rank")
     }, Some("""
       WITH flat AS (

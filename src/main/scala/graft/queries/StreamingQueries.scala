@@ -669,6 +669,47 @@ object StreamingQueries {
       SELECT CAST(COUNT(*) AS BIGINT) AS n_fps,
              CAST(SUM(copies) AS BIGINT) AS n_docs,
              CAST(SUM(keeper) AS BIGINT) AS keeper_sum
-      FROM idx"""))
+      FROM idx""")),
+
+    // ---- sim18: STREAMING ANN SERVE — the production shape the ANN
+    // family still lacked (VERDICT r13 #6): queries arrive as a STREAM
+    // and are answered per micro-batch against sim17's persisted IVF-PQ
+    // index (stream13's broadcast-static pattern over codebook/lists/
+    // codes — the static side never changes mid-query, so no state store
+    // or watermark is needed; the serve plan is a plain batch plan inside
+    // foreachBatch). Each query row is independent, so micro-batch-wise
+    // serving equals batch serving exactly — the oracle IS sim17's,
+    // shared programmatically, which gates batch/stream serve
+    // equivalence AND cross-engine parity in one. At 100 TB the index
+    // relations are the big side and arrive partitioned; each query
+    // micro-batch probes 2 coarse lists per query (candidates stay
+    // list-sized, never corpus-sized) and broadcast-joins the per-query
+    // ADC table — per-batch work scales with the batch × list size.
+    QueryDef("sim18_ann_serve_stream", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val idxDir = TempDirs.create("graft-ann-sidx")
+      Similarity.buildIvfPqIndex(s, d, idxDir.toString)
+      val outDir = TempDirs.create("graft-ann-sout")
+      val feed = Tables.load(s, d, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .collect() // bounded feed plumbing (10 query vectors), not the operator
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val mem = MemoryStream[(Long, Array[Float])]
+      val q = mem.toDF().toDF("vec_id", "embedding")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          Similarity.serveIvfPq(s, batch, idxDir.toString)
+            .write.mode("append").parquet(outDir.toString)
+        }.start()
+      try {
+        // three micro-batch groups with a forced boundary between them,
+        // so the serve really runs per-batch (stream14 discipline)
+        feed.grouped(4).foreach { g => mem.addData(g); q.processAllAvailable() }
+      } finally q.stop()
+      s.read.parquet(outDir.toString).orderBy("qid", "rank")
+    }, // the oracle IS sim17's, shared verbatim: stream serve must equal
+       // batch serve must equal the DuckDB recompute
+      Similarity.defs.find(_.name == "sim17_ann_index_serve").get.oracle)
   )
 }
