@@ -621,12 +621,15 @@ object StreamingQueries {
     // and `foreachBatch` MERGES each batch into a persisted
     // (fp → keeper, copies) parquet index — the compaction loop every
     // streaming-ingest materialized view runs (Delta/Iceberg MERGE INTO,
-    // here spelled out on plain parquet). The index is HASH-BUCKETED
-    // (streaming/FpIndex.scala, r14 rework of the r13 whole-index
-    // read-merge-rewrite that cost O(index) I/O per batch): each merge
-    // reads and rewrites ONLY the buckets the batch touches, so per-batch
-    // I/O scales with the batch, not the corpus — untouched bucket files
-    // are bitwise untouched (asserted by StreamingQueriesSpec).
+    // here spelled out on plain parquet). The index is a HASH-BUCKETED
+    // LSM (streaming/FpIndex.scala, r14 rework of the r13 whole-index
+    // read-merge-rewrite that cost O(index) I/O per batch): ingest
+    // APPENDS a batch-sized delta per bucket (the index is never read on
+    // the hot path), a bucket compacts base ∪ deltas only when its pile
+    // is 4 deep, and reads merge on the fly (min/sum are associative) —
+    // per-batch I/O scales with the batch, compaction amortizes to
+    // O(index/threshold), and nothing is ever rewritten in place
+    // (asserted bitwise by StreamingQueriesSpec).
     // A fingerprint seen in batch 1 and again in batch 3 must keep the
     // batch-1 keeper and sum its copies, so the final index equals the
     // batch derivation EXACTLY — the oracle computes it from documents in
@@ -648,10 +651,13 @@ object StreamingQueries {
       val q = mem.toDF().toDF("doc_id", "text")
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // raw (fp, keeper, copies) rows — NO per-batch aggregation:
+          // FpIndex's merge-on-read folds duplicate fps (min/sum are
+          // associative), so the whole ingest plan is one narrow bucket
+          // shuffle + append, the cheapest possible hot path
           val delta = batch
-            .withColumn("fp", md5(col("text").cast("binary")))
-            .groupBy("fp")
-            .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("copies"))
+            .select(md5(col("text").cast("binary")).as("fp"),
+              col("doc_id").as("keeper"), lit(1L).as("copies"))
           graft.streaming.FpIndex.mergeBatch(s, idxRoot.toString, manifest, delta, batchId)
         }.start()
       try {
