@@ -80,6 +80,32 @@ class CryptoCoreSpec extends AnyFunSuite {
     val Right(pub) = AgeKeys.parseRecipient(pubA)
     assert(X25519.derivePublic(scalar).sameElements(pub))
   }
+  // The reference's SECOND committed pair (test/sql/age_secret.test:18-19)
+  // is NOT a usable keypair at all — discovered by this check (r14):
+  // pubB is the age spec's well-known example recipient (valid Bech32),
+  // but privB FAILS the Bech32 checksum (it is a doctored placeholder,
+  // not a real identity). The reference never notices because its DDL
+  // validation only checks the 'AGE-SECRET-KEY-1' prefix
+  // (src/age_extension.cpp:118) and age_secret.test never encrypts or
+  // decrypts with the secret. We reproduce the reference's prefix-only
+  // DDL acceptance (AgeDdlSpec uses this same pair) AND pin the decode
+  // facts here, so a future fixture refresh that silently swaps in a
+  // real pair is caught and full interop asserts can be enabled on it.
+  val pubB = "age1ql3z7hjy54pw3hyww5ayyfg7zqgvc7w3j2elw8zmrj2kg5sfn9aqmcac8p"
+  val privB = "AGE-SECRET-KEY-1QTAYQ69LA4P3QQN0VQPSJMG2WHVSQPQ3SG2F55M0XWDE9VQN0SZQCGUGJ8"
+  test("reference pair B: pubB is valid; privB fails Bech32 (doc'd reference quirk)") {
+    assert(AgeKeys.parseRecipient(pubB).isRight, "spec example recipient must parse")
+    AgeKeys.parseIdentity(privB) match {
+      case Left(err) => assert(err.contains("checksum"),
+        s"privB should fail on checksum specifically, got: $err")
+      case Right(scalar) =>
+        val Right(pub) = AgeKeys.parseRecipient(pubB)
+        fail("age_secret.test's privB unexpectedly decodes now" +
+          (if (X25519.derivePublic(scalar).sameElements(pub))
+            " — and matches pubB: re-check FIXTURES.md §1.2 and enable full interop asserts"
+          else " (still mismatched with pubB)"))
+    }
+  }
   test("key encode/parse roundtrip + prefixes") {
     val kp = AgeKeys.generate()
     assert(kp.publicKey.startsWith("age1"))
