@@ -15,7 +15,11 @@ object Bench {
     "q01_agg_pricing", "q03_join_topn", "q05_join5_agg", "q06_selective_sum",
     "q08_window_running", "q23_count_distinct", "q25_events_hourly",
     "dd01_exact_dup_groups", "dd03_minhash_lsh_pairs", "dd08_minhash_all",
-    "sim01_cosine_topk", "tx01_tokens", "age03_roundtrip", "age10_kernel_64mb")
+    "sim01_cosine_topk", "tx01_tokens", "age03_roundtrip", "age10_kernel_64mb",
+    // r14: the two custom-expression pipeline operators where the
+    // scan-side-map design beats the explode-and-aggregate shape outright
+    // (tx28 0.31×, dd24 0.61× vs DuckDB at sf10 — BENCH_SCALING)
+    "tx28_repetition_filter", "dd24_cdc_chunk_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -12,7 +12,8 @@ oracle_file = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out/oracle_sql.
 heads = ["q01_agg_pricing","q03_join_topn","q05_join5_agg","q06_selective_sum",
          "q08_window_running","q23_count_distinct","q25_events_hourly",
          "dd01_exact_dup_groups","dd03_minhash_lsh_pairs","dd08_minhash_all",
-         "sim01_cosine_topk","tx01_tokens"]
+         "sim01_cosine_topk","tx01_tokens",
+         "tx28_repetition_filter","dd24_cdc_chunk_dedup"]
 oracle = json.load(open(oracle_file))
 con = duckdb.connect()
 con.sql("SET threads TO 32")
