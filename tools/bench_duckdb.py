@@ -17,6 +17,10 @@ heads = ["q01_agg_pricing","q03_join_topn","q05_join5_agg","q06_selective_sum",
 oracle = json.load(open(oracle_file))
 con = duckdb.connect()
 con.sql("SET threads TO 32")
+# dd24's per-chunk ordered string_agg OOMs DuckDB's default config at sf10
+# (BENCH_SCALING r13) — give it the same envelope the Spark side gets
+con.sql("SET memory_limit='90GB'")
+con.sql("SET temp_directory='/tmp/duckdb_bench_spill'")
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
