@@ -1350,29 +1350,8 @@ object Relational {
     // to q03's, so correctness parity of the layout is oracle-checked.
     QueryDef("q59_bucketed_topn", (s, d) => {
       val lt = "graft_b59_lineitem"; val ot = "graft_b59_orders"
-      val nb = 8
-      t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .repartition(nb, col("l_orderkey"))
-        .write.bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(lt)
-      t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .repartition(nb, col("o_orderkey"))
-        .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ot)
-      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = s.table(ot)
-        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
-      val lrev = s.table(lt)
-        .groupBy(col("l_orderkey"))
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_cents"))
-      lrev.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
-        .select(col("l_orderkey"), col("revenue_cents"))
-        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
-        .limit(10)
+      buildOrderkeyBucketedTables(s, d, lt, ot, nb = 8, withSuppkey = false)
+      q59QueryPhase(s, d, lt, ot)
     }, Some("""
       SELECT l_orderkey,
              CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -1392,35 +1371,8 @@ object Relational {
     // to q05's. Plan-locked: no Exchange below the orderkey join.
     QueryDef("q60_bucketed_join5", (s, d) => {
       val lt = "graft_b60_lineitem"; val ot = "graft_b60_orders"
-      val nb = 8
-      t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"),
-          col("l_extendedprice"), col("l_discount"))
-        .repartition(nb, col("l_orderkey"))
-        .write.bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(lt)
-      t(s, d, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-        .repartition(nb, col("o_orderkey"))
-        .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ot)
-      val r = t(s, d, "region"); val n = t(s, d, "nation")
-      val c = t(s, d, "customer"); val su = t(s, d, "supplier")
-      val o = s.table(ot)
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      s.table(lt)
-        .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
-        .join(su, col("l_suppkey") === su("s_suppkey"))
-        .join(c.hint("shuffle_hash"),
-          col("o_custkey") === c("c_custkey") &&
-            su("s_nationkey") === c("c_nationkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_cents"))
-        .orderBy(col("n_name"))
+      buildOrderkeyBucketedTables(s, d, lt, ot, nb = 8, withSuppkey = true)
+      q60QueryPhase(s, d, lt, ot)
     }, Some("""
       SELECT n_name,
              CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -1433,4 +1385,68 @@ object Relational {
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name ORDER BY n_name"""))
   )
+
+  /** One-time orderkey-bucketed layout build shared by q59/q60 and the
+    * R14Tune measurement harness — `nb` is the only knob the harness
+    * varies (8 for the gate queries, 64 at sf10), so the benchmarked
+    * query phase and the plan-locked gate phase are the SAME code. */
+  def buildOrderkeyBucketedTables(s: SparkSession, d: String,
+                                  lineitemTbl: String, ordersTbl: String,
+                                  nb: Int, withSuppkey: Boolean): Unit = {
+    val lcols =
+      if (withSuppkey) Seq(col("l_orderkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      else Seq(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    t(s, d, "lineitem")
+      .select(lcols: _*)
+      .repartition(nb, col("l_orderkey"))
+      .write.bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable(lineitemTbl)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .repartition(nb, col("o_orderkey"))
+      .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(ordersTbl)
+  }
+
+  /** q59's query phase over pre-built bucketed tables: per-order revenue
+    * aggregate + fact-fact join with ZERO exchanges (PlanShapeSpec). */
+  def q59QueryPhase(s: SparkSession, d: String,
+                    lineitemTbl: String, ordersTbl: String): DataFrame = {
+    val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = s.table(ordersTbl)
+      .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val lrev = s.table(lineitemTbl)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+    lrev.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === c("c_custkey"))
+      .select(col("l_orderkey"), col("revenue_cents"))
+      .orderBy(col("revenue_cents").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** q60's query phase: the 6-way star with the orderkey exchange gone;
+    * the custkey shuffle-hash join stays (second key, documented residual). */
+  def q60QueryPhase(s: SparkSession, d: String,
+                    lineitemTbl: String, ordersTbl: String): DataFrame = {
+    val r = t(s, d, "region"); val n = t(s, d, "nation")
+    val c = t(s, d, "customer"); val su = t(s, d, "supplier")
+    val o = s.table(ordersTbl)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    s.table(lineitemTbl)
+      .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(su, col("l_suppkey") === su("s_suppkey"))
+      .join(c.hint("shuffle_hash"),
+        col("o_custkey") === c("c_custkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("n_name"))
+  }
 }

@@ -93,14 +93,31 @@ object FpIndex {
         manifest.base(b) = s"$cout/bucket=$b"
         manifest.deltas(b) = Vector.empty
       }
+      // GC after the manifest flip: the superseded per-bucket dirs (old
+      // base + consumed deltas) are unreachable from the manifest now, so
+      // delete them — storage stays O(live index), not O(ever ingested).
+      // Only the bucket=<b> subdirs go; sibling buckets sharing a d<id>/
+      // c<id> parent may still be live.
+      paths.foreach(p => hfs.delete(new org.apache.hadoop.fs.Path(p), true))
     }
   }
 
   /** The full current index relation: base ∪ deltas merged on read —
-    * exact, because keeper-min and copies-sum are associative. */
-  def read(spark: SparkSession, manifest: Manifest): DataFrame =
-    spark.read.parquet(manifest.allPaths.toIndexedSeq: _*)
-      .select("fp", "keeper", "copies")
-      .groupBy("fp")
-      .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
+    * exact, because keeper-min and copies-sum are associative. An index
+    * that has never ingested a row (empty manifest) reads as the empty
+    * relation with the index schema, not an AnalysisException. */
+  def read(spark: SparkSession, manifest: Manifest): DataFrame = {
+    val paths = manifest.allPaths.toIndexedSeq
+    if (paths.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("fp", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("keeper", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("copies", org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.parquet(paths: _*)
+        .select("fp", "keeper", "copies")
+        .groupBy("fp")
+        .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
+  }
 }

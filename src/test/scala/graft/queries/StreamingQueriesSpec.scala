@@ -166,11 +166,18 @@ class StreamingQueriesSpec extends AnyFunSuite {
     }
     // batch 3 pushes every pile to the threshold (4): compaction fires,
     // folds base ∪ deltas into a fresh base, clears the piles
+    val preCompactPaths = manifest.allPaths
     FpIndex.mergeBatch(spark, root, manifest, delta(batches(0)), 3L)
     fed ++= batches(0)
     assert(manifest.base.nonEmpty, "threshold reached but nothing compacted")
     assert(manifest.deltas.values.forall(_.isEmpty), "compaction must clear piles")
     assert(manifest.base.values.forall(_.contains("/c3/")))
+    // compaction GCs what it superseded: every pre-compaction live path is
+    // now both unreferenced and deleted — storage is O(live), not O(history)
+    preCompactPaths.foreach { p =>
+      assert(!manifest.allPaths.contains(p), s"superseded path still referenced: $p")
+      assert(!new java.io.File(p).exists(), s"superseded path not GC'd: $p")
+    }
     // cross-batch semantics survive compaction: keeper is the global min
     // doc_id, copies the global count (text-7 appears once per batch ×
     // i=7 and i=39 per batch half… verify via the one-pass derivation)
@@ -190,5 +197,12 @@ class StreamingQueriesSpec extends AnyFunSuite {
     val finalWant = wantOf(fed)
     assert(finalGot.exceptAll(finalWant).count() == 0 &&
       finalWant.exceptAll(finalGot).count() == 0)
+  }
+
+  test("FpIndex: an empty (never-ingested) index reads as the empty relation") {
+    import graft.streaming.FpIndex
+    val got = FpIndex.read(spark, new FpIndex.Manifest)
+    assert(got.columns.toSeq == Seq("fp", "keeper", "copies"))
+    assert(got.count() == 0)
   }
 }

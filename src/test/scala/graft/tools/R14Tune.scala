@@ -34,8 +34,6 @@ object R14Tune {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def cents(c: org.apache.spark.sql.Column) =
-      floor(c * 100).cast("long")
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def best3(name: String)(mk: => DataFrame): Unit = {
@@ -57,58 +55,20 @@ object R14Tune {
     best3("q03_join_topn") { qs("q03_join_topn")(spark, sfDir) }
     best3("q05_join5_agg") { qs("q05_join5_agg")(spark, sfDir) }
 
-    // one-time bucketed build (the amortized cost), then query-only phases
+    // one-time bucketed build (the amortized cost), then query-only
+    // phases — the SAME query bodies the gate's q59/q60 run and
+    // PlanShapeSpec locks (graft.queries.Relational), only the bucket
+    // count differs (64 at sf10 vs the gate queries' 8)
     val tb0 = System.nanoTime()
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey"), col("l_suppkey"),
-        col("l_extendedprice"), col("l_discount"))
-      .repartition(64, col("l_orderkey"))
-      .write.bucketBy(64, "l_orderkey").sortBy("l_orderkey")
-      .mode("overwrite").saveAsTable("b_lineitem")
-    spark.read.parquet(s"$sfDir/orders.parquet")
-      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-      .repartition(64, col("o_orderkey"))
-      .write.bucketBy(64, "o_orderkey").sortBy("o_orderkey")
-      .mode("overwrite").saveAsTable("b_orders")
+    graft.queries.Relational.buildOrderkeyBucketedTables(
+      spark, sfDir, "b_lineitem", "b_orders", nb = 64, withSuppkey = true)
     println(f"""{"q":"bucketed_build","best":${(System.nanoTime() - tb0) / 1e9}%.3f,"runs":1}""")
 
-    // q59 query phase (tables pre-built)
     best3("q59_query_only") {
-      val c = spark.read.parquet(s"$sfDir/customer.parquet")
-        .filter(col("c_mktsegment") === "BUILDING")
-      val o = spark.table("b_orders")
-        .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
-      val lrev = spark.table("b_lineitem")
-        .groupBy(col("l_orderkey"))
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_cents"))
-      lrev.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === c("c_custkey"))
-        .select(col("l_orderkey"), col("revenue_cents"))
-        .orderBy(col("revenue_cents").desc, col("l_orderkey"))
-        .limit(10)
+      graft.queries.Relational.q59QueryPhase(spark, sfDir, "b_lineitem", "b_orders")
     }
-    // q60 query phase
     best3("q60_query_only") {
-      val r = spark.read.parquet(s"$sfDir/region.parquet")
-      val n = spark.read.parquet(s"$sfDir/nation.parquet")
-      val c = spark.read.parquet(s"$sfDir/customer.parquet")
-      val su = spark.read.parquet(s"$sfDir/supplier.parquet")
-      val o = spark.table("b_orders")
-        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
-          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      spark.table("b_lineitem")
-        .join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
-        .join(su, col("l_suppkey") === su("s_suppkey"))
-        .join(c.hint("shuffle_hash"),
-          col("o_custkey") === c("c_custkey") &&
-            su("s_nationkey") === c("c_nationkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .groupBy(col("n_name"))
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("revenue_cents"))
-        .orderBy(col("n_name"))
+      graft.queries.Relational.q60QueryPhase(spark, sfDir, "b_lineitem", "b_orders")
     }
 
     best3("tx01_tokens") { qs("tx01_tokens")(spark, sfDir) }

@@ -14,6 +14,7 @@ oracle = json.load(open(oracle_file))
 con = duckdb.connect()
 con.sql("SET threads TO 32")
 con.sql("SET memory_limit='90GB'")
+con.sql("SET temp_directory='/tmp/duckdb_bench_spill'")  # same envelope as bench_duckdb.py
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
