@@ -191,10 +191,10 @@ object TextDedup {
     QueryDef("tx01_tokens", (s, d) => {
       docs(s, d)
         .select(col("doc_id"),
-          graft.functions.TokenStats.token_stats(col("text")).as("ts"),
-          length(col("text")).as("n_chars"))
+          graft.functions.TokenStats.token_stats(col("text")).as("ts"))
         .select(col("doc_id"), element_at(col("ts"), 1).cast("int").as("n_tokens"),
-          element_at(col("ts"), 2).as("n_subwords"), col("n_chars"))
+          element_at(col("ts"), 2).as("n_subwords"),
+          element_at(col("ts"), 3).cast("int").as("n_chars"))
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id, CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,

@@ -238,7 +238,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       FunctionIdentifier("token_stats"),
       new ExpressionInfo(classOf[graft.functions.TokenStats].getName, "token_stats",
-        "token_stats(text) - [n_tokens, n_subwords] per row, split-on-space semantics"),
+        "token_stats(text) - [n_tokens, n_subwords, n_chars] per row, split-on-space semantics"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         if (args.length != 1)
           throw new graft.core.AgeInvalidInputException(

@@ -174,14 +174,17 @@ class FunctionsSpec extends AnyFunSuite {
     val df = cases.toDF("text")
     val got = df.select(col("text"), TokenStats.token_stats(col("text")).as("ts"))
       .select(col("text"), element_at(col("ts"), 1).as("ntok"),
-        element_at(col("ts"), 2).as("nsub")).collect()
+        element_at(col("ts"), 2).as("nsub"),
+        element_at(col("ts"), 3).as("nchars")).collect()
     val want = df.select(col("text"),
       size(split(col("text"), " ")).cast("long").as("ntok"),
       expr("aggregate(transform(split(text, ' '), w -> CAST(floor((length(w)+3)/4) AS BIGINT)), 0L, (a, x) -> a + x)")
-        .as("nsub")).collect()
+        .as("nsub"),
+      length(col("text")).cast("long").as("nchars")).collect()
     got.zip(want).foreach { case (g, w) =>
       assert(g.getLong(1) == w.getLong(1), s"ntok for '${g.getString(0)}'")
       assert(g.getLong(2) == w.getLong(2), s"nsub for '${g.getString(0)}'")
+      assert(g.getLong(3) == w.getLong(3), s"nchars for '${g.getString(0)}'")
     }
     // null in -> null out
     val n = Seq[Option[String]](None).toDF("text")

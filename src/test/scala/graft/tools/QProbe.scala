@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Generic single-query probe: `Test/runMain graft.QProbe q1 q2 ...`
+  * runs each named SparkEntry query at SPARK_GRAFT_SF_DIR under the
+  * sf10 measurement convention (local[32], shuffle.partitions=64, noop
+  * sink, warmed best-of-3) and prints one JSON line per query. Not part
+  * of the driver contract — a measurement tool.
+  */
+object QProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/localdata/sf10")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .withExtensions(new graft.sql.GraftSparkExtensions)
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      .config("spark.locality.wait", "0")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_qprobe_wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val qs = SparkEntry.queries
+    args.foreach { name =>
+      val mk = () => qs(name)(spark, sfDir)
+      noop(mk()) // warm
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); noop(mk()); (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"q":"$name","best":${ts.min}%.3f,"runs":[${ts.map(t => f"$t%.3f").mkString(",")}],"sf":"$sfDir"}""")
+    }
+    spark.stop()
+  }
+}
