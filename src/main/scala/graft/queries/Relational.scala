@@ -1383,7 +1383,45 @@ object Relational {
         JOIN region ON n_regionkey = r_regionkey
       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
-      GROUP BY n_name ORDER BY n_name"""))
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // ---- q61: RUNTIME BLOOM-FILTER semi-join reduction — Catalyst's
+    // InjectRuntimeFilter: when a shuffle join's build side carries a
+    // selective filter, the optimizer plans a bloom_filter_agg subquery
+    // over the build side's join keys and injects might_contain(...) into
+    // the probe side's scan stage, so fact rows that cannot join die AT
+    // THE SCAN instead of riding the exchange. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling the
+    // ~1% that survives the dim filter — the same reduction DPP gives
+    // partitioned keys, but for arbitrary join keys. Gate-scale stand-ins
+    // (q54's pattern): broadcast is disabled (at real scale supplier is
+    // itself too big to broadcast — a broadcast join would make the bloom
+    // filter redundant) and the application-side size threshold is
+    // lowered (defaults gate on a 10 GB scan). Plan-locked: PlanShapeSpec
+    // asserts might_contain/bloom_filter_agg in the physical plan.
+    QueryDef("q61_runtime_bloom_join", (s, d) => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val su = s2.read.parquet(s"$d/supplier.parquet")
+        .filter(col("s_acctbal") >= 6000) // selective dim predicate, non-empty at every sf
+        .select(col("s_suppkey"), col("s_nationkey"))
+      s2.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+        .join(su, col("l_suppkey") === su("s_suppkey"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"))
+        .orderBy(col("s_nationkey"))
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n_items,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_acctbal >= 6000
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
   )
 
   /** One-time orderkey-bucketed layout build shared by q59/q60 and the

@@ -716,6 +716,99 @@ object StreamingQueries {
       s.read.parquet(outDir.toString).orderBy("qid", "rank")
     }, // the oracle IS sim17's, shared verbatim: stream serve must equal
        // batch serve must equal the DuckDB recompute
-      Similarity.defs.find(_.name == "sim17_ann_index_serve").get.oracle)
+      Similarity.defs.find(_.name == "sim17_ann_index_serve").get.oracle),
+
+    // ---- stream16: NEAR-DUP ADMISSION GATE — the write-path twin of
+    // dd23's batch probe and the LSH sibling of stream15's exact-fp
+    // index: documents arrive in SEQUENTIAL micro-batches, each batch's
+    // LSH band keys (dd03's shingle→minhash→band pipeline, shared code)
+    // are probed against a PERSISTED parquet band index of previously
+    // ADMITTED documents, colliding docs are REJECTED, and the
+    // survivors' bands are APPENDED to the index (append-only deltas,
+    // stream15's LSM ingest discipline — the index is never rewritten).
+    // Order matters and the oracle proves it: a doc rejected in batch k
+    // contributes NO bands, so a later doc colliding only with the
+    // rejected one is ADMITTED — the DuckDB oracle replays the same
+    // 4-batch chain (hit_k checks batches < k minus their own rejects)
+    // and must land on identical per-batch ledgers. Co-arriving
+    // near-dups are both admitted by contract (the gate checks the
+    // index, not the in-flight batch; within-batch dups are the next
+    // tier's job — stream05). The arrival slice is bounded (doc_id <
+    // 2000, dd03's convention: the gate checks SEQUENTIAL-ADMISSION
+    // correctness; the per-batch plan — band equi-join against the
+    // index, never all-pairs — is the 100 TB shape regardless, and the
+    // index grows only with ADMITTED content, the whole point of an
+    // admission gate at scale).
+    QueryDef("stream16_neardup_admission", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val idxRoot = TempDirs.create("graft-band-idx")
+      val feed = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded feed plumbing (≤2000 docs), not the operator
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val idxPaths = scala.collection.mutable.ArrayBuffer[String]()
+      val ledger = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          val bands = TextDedup.bandKeysOf(
+            TextDedup.minhashSignatures(batch.toDF())).persist()
+          val hits = // banded equi-probe of the admitted index, never all-pairs
+            if (idxPaths.isEmpty) bands.filter(lit(false)).select("doc_id")
+            else bands.join(s.read.parquet(idxPaths.toSeq: _*), Seq("band", "key"), "left_semi")
+              .select("doc_id").distinct()
+          val nArrived = batch.count()
+          val nRejected = hits.count()
+          val dout = s"$idxRoot/b$batchId" // append-only delta, nothing rewritten
+          bands.join(hits, Seq("doc_id"), "left_anti")
+            .select("band", "key").distinct()
+            .write.mode("overwrite").parquet(dout)
+          idxPaths += dout
+          ledger += ((batchId, nArrived, nRejected))
+          bands.unpersist()
+          ()
+        }.start()
+      try {
+        (0 until 4).foreach { k => // batch k = doc_id % 4 == k, in order
+          mem.addData(feed.filter(_._1 % 4 == k)); q.processAllAvailable()
+        }
+      } finally q.stop()
+      ledger.toSeq.toDF("batch", "n_arrived", "n_rejected")
+        .withColumn("n_admitted", col("n_arrived") - col("n_rejected"))
+        .orderBy("batch")
+    }, Some(s"""
+      WITH arrivals AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+      ${TextDedup.minhashBandsSql("arrivals")},
+      hit1 AS (SELECT DISTINCT b.doc_id FROM bands b
+               WHERE b.doc_id % 4 = 1 AND EXISTS (
+                 SELECT 1 FROM bands i
+                 WHERE i.band = b.band AND i.key = b.key AND i.doc_id % 4 = 0)),
+      hit2 AS (SELECT DISTINCT b.doc_id FROM bands b
+               WHERE b.doc_id % 4 = 2 AND EXISTS (
+                 SELECT 1 FROM bands i
+                 WHERE i.band = b.band AND i.key = b.key AND
+                   (i.doc_id % 4 = 0 OR (i.doc_id % 4 = 1 AND
+                      i.doc_id NOT IN (SELECT doc_id FROM hit1))))),
+      hit3 AS (SELECT DISTINCT b.doc_id FROM bands b
+               WHERE b.doc_id % 4 = 3 AND EXISTS (
+                 SELECT 1 FROM bands i
+                 WHERE i.band = b.band AND i.key = b.key AND
+                   (i.doc_id % 4 = 0 OR (i.doc_id % 4 = 1 AND
+                      i.doc_id NOT IN (SELECT doc_id FROM hit1))
+                    OR (i.doc_id % 4 = 2 AND
+                      i.doc_id NOT IN (SELECT doc_id FROM hit2))))),
+      rej AS (SELECT doc_id FROM hit1 UNION ALL SELECT doc_id FROM hit2
+              UNION ALL SELECT doc_id FROM hit3)
+      SELECT CAST(a.doc_id % 4 AS BIGINT) AS batch,
+             COUNT(*) AS n_arrived,
+             CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rejected,
+             CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_admitted
+      FROM arrivals a LEFT JOIN rej r ON a.doc_id = r.doc_id
+      GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -26,9 +26,9 @@ object TextDedup {
   private def shingles(s: SparkSession, d: String, maxDoc: Long): DataFrame =
     shinglesOf(docs(s, d).filter(col("doc_id") < maxDoc))
 
-  /** Non-distinct variant for MinHash consumers (see shinglesRawOf). */
-  private def shinglesRaw(s: SparkSession, d: String, maxDoc: Long): DataFrame =
-    shinglesRawOf(docs(s, d).filter(col("doc_id") < maxDoc))
+  /** Bounded (doc_id, text) slice for the pair queries' MinHash feed. */
+  private def docsBounded(s: SparkSession, d: String, maxDoc: Long): DataFrame =
+    docs(s, d).filter(col("doc_id") < maxDoc)
 
   private[queries] def shinglesOf(df: DataFrame): DataFrame =
     shinglesRawOf(df).distinct()
@@ -114,15 +114,34 @@ object TextDedup {
       .orderBy("ida", "idb")
   }
 
-  /** MinHash-LSH candidate pairs over a (doc_id, sh) shingle set: one-pass
-    * 8-hash signatures (MinHashAgg), 4 bands of 2 rows, pairs from the
-    * band-equality bucket join — (ida, idb, shared_bands), unordered.
-    * Shared body of dd03 (bounded), dd08 (whole corpus) and dd09 (cluster
-    * step); the scale shape is the bucket equi-join, never n². */
-  /** Per-doc 8-hash MinHash signatures as a wide (doc_id, m0..m7) frame —
-    * the shared signature step of minhashBandPairs, exposed so estimator
-    * diagnostics (dd15) can read the raw signatures. */
-  private[queries] def minhashSignatures(sh0: DataFrame): DataFrame = {
+  /** MinHash-LSH candidate pairs over a (doc_id, text) document frame:
+    * one-pass scan-side signatures (MinHashSig), 4 bands of 2 rows, pairs
+    * from the band-equality bucket join — (ida, idb, shared_bands),
+    * unordered. Shared body of dd03 (bounded), dd08 (whole corpus) and
+    * dd09 (cluster step); the scale shape is the bucket equi-join, never
+    * n². */
+  /** Per-doc 8-hash MinHash signatures as a wide (doc_id, m0..m7) frame
+    * from a (doc_id, text) document frame — one native `minhash_sig`
+    * byte pass per document inside WholeStageCodegen: the shingle
+    * explode, per-shingle md5 hex decode, and doc-keyed signature
+    * aggregate of the staged derivation (kept as
+    * [[minhashSignaturesStaged]], equivalence-gated by MinHashSigSpec)
+    * all collapse into the scan. Exposed so estimator diagnostics (dd15)
+    * can read the raw signatures. */
+  private[queries] def minhashSignatures(docsDf: DataFrame): DataFrame = {
+    val sig = docsDf.select(col("doc_id"),
+        graft.functions.MinHashSig.minhash_sig(col("text")).as("sig"))
+      .filter(col("sig").isNotNull) // < 3 words = no shingles, like the staged filter
+    sig.select(col("doc_id") +:
+      (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
+  }
+
+  /** The staged shingle-level derivation minhash_sig fuses (explode →
+    * h28 → minhash_agg), kept as the executable spec of the signature
+    * semantics: MinHashSigSpec proves `minhashSignatures` equals this on
+    * real corpora, and the DuckDB oracles remain word-for-word this
+    * pipeline. */
+  private[queries] def minhashSignaturesStaged(sh0: DataFrame): DataFrame = {
     val sh = sh0.withColumn("h", h28(col("sh")))
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashAgg.minhash_agg(col("h")).as("sig"))
@@ -130,8 +149,8 @@ object TextDedup {
       (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
 
-  private[queries] def minhashBandPairs(sh0: DataFrame): DataFrame =
-    bandPairsFromSignatures(minhashSignatures(sh0))
+  private[queries] def minhashBandPairs(docsDf: DataFrame): DataFrame =
+    bandPairsFromSignatures(minhashSignatures(docsDf))
 
   /** LSH banding over an ALREADY-COMPUTED signature frame — lets callers
     * that also read the raw signatures (dd15) share one signature
@@ -159,7 +178,11 @@ object TextDedup {
   // the dd03 pair derivation as oracle SQL, parameterized by the doc CTE
   // feeding the shingles — kept textually beside the Spark helper so the
   // two cannot drift
-  private def minhashPairsSql(docsCte: String): String = s"""
+  /** The shingle → minhash → LSH `bands` CTE chain, parameterized by the
+    * doc CTE feeding the shingles — the SQL twin of
+    * `bandKeysOf(minhashSignatures(...))`, shared by the
+    * pair oracle below and stream16's sequential-admission oracle. */
+  private[queries] def minhashBandsSql(docsCte: String): String = s"""
       sh AS (
         SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
         FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
@@ -173,7 +196,10 @@ object TextDedup {
       bands AS (
         ${(0 until 4).map(bi =>
           s"SELECT doc_id, $bi AS band, CAST(m${2 * bi} AS VARCHAR) || '_' || CAST(m${2 * bi + 1} AS VARCHAR) AS key FROM mh")
-          .mkString(" UNION ALL ")}),
+          .mkString(" UNION ALL ")})"""
+
+  private def minhashPairsSql(docsCte: String): String = s"""
+      ${minhashBandsSql(docsCte)},
       pairs AS (
         SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS shared_bands
         FROM bands x JOIN bands y
@@ -305,7 +331,7 @@ object TextDedup {
       // one-pass K-way signatures via the custom TypedImperativeAggregate
       // (graft.functions.MinHashAgg), banded bucket join — see
       // minhashBandPairs above
-      minhashBandPairs(shinglesRaw(s, d, 200)).orderBy("ida", "idb")
+      minhashBandPairs(docsBounded(s, d, 200)).orderBy("ida", "idb")
     }, Some(s"""
       WITH docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       ${minhashPairsSql("docs200")}
@@ -325,7 +351,7 @@ object TextDedup {
         .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
         .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      minhashBandPairs(shinglesRawOf(doc.join(keep, "doc_id")))
+      minhashBandPairs(doc.join(keep, "doc_id"))
         .groupBy("shared_bands")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("shared_bands")
@@ -346,7 +372,7 @@ object TextDedup {
     // against a first-principles SQL fixpoint (graph04 pattern).
     QueryDef("dd09_lsh_cc_clusters", (s, d) => {
       import s.implicits._
-      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
+      val pairs = minhashBandPairs(docsBounded(s, d, 200))
       val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
         .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
       val cc = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
@@ -379,7 +405,7 @@ object TextDedup {
     // corpus at any scale); quality joins in by doc_id equi-join.
     QueryDef("dd19_canonical_selection", (s, d) => {
       import s.implicits._
-      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
+      val pairs = minhashBandPairs(docsBounded(s, d, 200))
       val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
         .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
       val cc = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
@@ -797,7 +823,7 @@ object TextDedup {
     QueryDef("dd11_neardup_dedup_apply", (s, d) => {
       import s.implicits._
       val doc = docs(s, d).filter(col("doc_id") < 200)
-      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
+      val pairs = minhashBandPairs(docsBounded(s, d, 200))
       val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
         .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
       val drop = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
@@ -974,7 +1000,7 @@ object TextDedup {
     // set, not the corpus, bounds the exact-confirm join — the standard
     // LSH-then-verify shape).
     QueryDef("dd15_minhash_quality", (s, d) => {
-      val mhs = minhashSignatures(shinglesRaw(s, d, 200))
+      val mhs = minhashSignatures(docsBounded(s, d, 200))
       val cands = bandPairsFromSignatures(mhs).select("ida", "idb")
       val est = cands
         .join(mhs.as("ma"), col("ida") === col("ma.doc_id"))
@@ -1127,7 +1153,7 @@ object TextDedup {
     // rows carry identical distances by the threshold contract.
     QueryDef("dd17_editdist_confirm", (s, d) => {
       val d200 = docs(s, d).filter(col("doc_id") < 200).select("doc_id", "text")
-      val cands = minhashBandPairs(shinglesRawOf(d200)).select("ida", "idb")
+      val cands = minhashBandPairs(d200).select("ida", "idb")
       cands
         .join(d200.select(col("doc_id").as("ida"), col("text").as("ta")), "ida")
         .join(d200.select(col("doc_id").as("idb"), col("text").as("tb")), "idb")
@@ -1244,7 +1270,7 @@ object TextDedup {
     QueryDef("dd18_cluster_size_histogram", (s, d) => {
       import s.implicits._
       val d200 = docs(s, d).filter(col("doc_id") < 200).select("doc_id")
-      val pairs = minhashBandPairs(shinglesRaw(s, d, 200))
+      val pairs = minhashBandPairs(docsBounded(s, d, 200))
       val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
         .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
       val comp = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
@@ -1700,11 +1726,11 @@ object TextDedup {
     // both engines. Per-lang arrival ledger, every doc accounted for.
     QueryDef("dd23_incremental_neardup", (s, d) => {
       val doc = docs(s, d)
-      val corpusBands = bandKeysOf(minhashSignatures(shinglesRawOf(
-          doc.filter(col("doc_id") % 4 =!= 3))))
+      val corpusBands = bandKeysOf(minhashSignatures(
+          doc.filter(col("doc_id") % 4 =!= 3)))
         .select("band", "key").distinct()
-      val batchBands = bandKeysOf(minhashSignatures(shinglesRawOf(
-        doc.filter(col("doc_id") % 4 === 3))))
+      val batchBands = bandKeysOf(minhashSignatures(
+        doc.filter(col("doc_id") % 4 === 3)))
       val hits = batchBands.join(corpusBands, Seq("band", "key"))
         .select("doc_id").distinct().withColumn("hit", lit(1L))
       doc.filter(col("doc_id") % 4 === 3).select(col("doc_id"), col("lang"))

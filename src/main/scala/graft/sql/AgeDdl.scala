@@ -275,6 +275,17 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BandKeys(args.head,
           intLit(args(1), "n_planes"), intLit(args(2), "band_size"))
       }))
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig",
+        "minhash_sig(text) - one-pass K=8 MinHash signature of the document's " +
+          "3-word shingle set (null when the document has fewer than 3 words)"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (args.length != 1)
+          throw new graft.core.AgeInvalidInputException(
+            "minhash_sig(text) takes exactly 1 argument")
+        graft.functions.MinHashSig(args.head)
+      }))
     // custom aggregates from pure SQL: the analyzer wraps a returned
     // AggregateFunction in a Complete AggregateExpression itself
     extensions.injectFunction((

@@ -94,6 +94,13 @@ object functions {
   def repetition_stats(c: Column): Column =
     graft.functions.RepetitionStats.repetition_stats(c)
 
+  /** Native per-row one-pass MinHash: `array<bigint>` K=8 signature of
+    * the document's 3-word shingle set (md5-prefix hashes, MinHashAgg's
+    * coefficients), null for documents with fewer than 3 words — the
+    * whole shingle→hash→signature pipeline as a scan-side map. */
+  def minhash_sig(text: Column): Column =
+    graft.functions.MinHashSig.minhash_sig(text)
+
   /** Bounded top-k aggregate by (score DESC, id ASC): map-side partial
     * aggregation carries at most k pairs per group through the shuffle —
     * the distributed brute-force ANN reducer. */

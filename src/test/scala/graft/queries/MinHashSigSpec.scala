@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.TestSpark
+import graft.functions.{MinHashAgg, MinHashSig}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** minhash_sig's contract is BIT-EQUALITY with the staged
+  * shingle-explode → md5-prefix → minhash_agg derivation (which is also,
+  * word for word, the DuckDB oracle pipeline): the fusion is only legal
+  * because duplicate shingles cannot change a minimum. This spec pins
+  * that equality on a real corpus slice plus the boundary cases the byte
+  * walker must get right (empty/short docs, consecutive/leading/trailing
+  * separators, multi-byte UTF-8). */
+class MinHashSigSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stagedSig(docs: org.apache.spark.sql.DataFrame) =
+    TextDedup.minhashSignaturesStaged(TextDedup.shinglesRawOf(docs))
+
+  test("matches the staged explode+agg derivation on a real corpus slice") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val fused = TextDedup.minhashSignatures(docs)
+    val staged = stagedSig(docs)
+    assert(fused.count() === staged.count())
+    assert(fused.exceptAll(staged).count() === 0L)
+    assert(staged.exceptAll(fused).count() === 0L)
+  }
+
+  test("edge cases: short docs null, separator runs and UTF-8 match staged") {
+    // < 3 words (after split-on-space) → null, like the staged size filter
+    val nulls = Seq((1L, ""), (2L, "one"), (3L, "two words"),
+      (4L, " "), (5L, "  ")) // " " → 2 empty words; "  " → 3 empty words
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), MinHashSig.minhash_sig(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(nulls(1L) && nulls(2L) && nulls(3L) && nulls(4L))
+    assert(!nulls(5L)) // three empty words = one shingle "  "
+    val tricky = Seq(
+      (10L, "a b c"), (11L, "a  b  c"), (12L, " a b c "),
+      (13L, "a b c d e f"), (14L, "ünïcödé tëxt wïth ümläüts ünïcödé tëxt wïth"),
+      (15L, "x x x x x"), (16L, "tab\tis not a separator here"),
+      (17L, "  leading and trailing  ")).toDF("doc_id", "text")
+    val fused = TextDedup.minhashSignatures(tricky)
+    val staged = stagedSig(tricky)
+    assert(fused.exceptAll(staged).count() === 0L)
+    assert(staged.exceptAll(fused).count() === 0L)
+    assert(fused.count() === staged.count())
+  }
+
+  test("SQL registration: minhash_sig callable from pure SQL") {
+    Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      .createOrReplaceTempView("mh_sql_probe")
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(text) AS sig FROM mh_sql_probe").collect()(0)
+      .getSeq[Long](0)
+    val viaDsl = Seq("alpha beta gamma delta").toDF("text")
+      .select(MinHashSig.minhash_sig(col("text"))).collect()(0).getSeq[Long](0)
+    assert(viaSql === viaDsl)
+    assert(viaSql.length === MinHashAgg.K)
+  }
+}

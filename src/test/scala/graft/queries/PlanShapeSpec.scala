@@ -80,6 +80,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "dd05 re-grew the per-dim explode")
   }
 
+  test("dd08 minhash signatures are one scan-side pass (no shingle explode, no sig aggregate)") {
+    // the fused minhash_sig expression replaced the staged shingle
+    // Generate + doc-keyed minhash_agg: the only Generates left are the
+    // 4-element band-array explodes (one per self-join side), and the
+    // only HashAggregates are AFTER the band join (pair counting) — the
+    // corpus-word-count row blow-up must not come back.
+    val dd08 = physicalPlan("dd08_minhash_all")
+    assert(dd08.contains("minhash_sig"), "dd08 lost the fused minhash_sig expression")
+    assert(!dd08.contains("minhash_agg"), "dd08 fell back to the staged signature aggregate")
+    assert("Generate".r.findAllIn(dd08).size <= 2,
+      "dd08 re-grew the per-shingle explode")
+  }
+
   test("dd02 carries no broadcast HINT (vocabulary-sized keep list must stay size-based)") {
     // the df-cap keep list is the long tail of the shingle vocabulary —
     // a hard-coded broadcast() hint would OOM at 100 TB. Catalyst MAY
@@ -137,6 +150,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // doc-keyed gram aggregates must not return
     assert("Exchange".r.findAllIn(plan).size <= 2,
       "tx28 re-grew a doc-keyed exchange — grams must not leave the scan task")
+  }
+
+  test("q61 injects the runtime bloom filter into the fact side's scan stage") {
+    val plan = physicalPlan("q61_runtime_bloom_join")
+    assert(plan.contains("might_contain"),
+      "q61 lost the injected runtime bloom filter — fact rows that cannot " +
+        "join must die at the scan, not ride the exchange")
+    assert(plan.contains("bloom_filter_agg"),
+      "q61's bloom filter build (bloom_filter_agg over the filtered dim) is missing")
   }
 
   test("q59 bucketed q03: the whole fact pipeline runs with ZERO shuffle exchanges") {
