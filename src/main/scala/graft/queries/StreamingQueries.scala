@@ -754,8 +754,8 @@ object StreamingQueries {
       val q = mem.toDF().toDF("doc_id", "text")
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-          val bands = TextDedup.bandKeysOf(
-            TextDedup.minhashSignatures(batch.toDF())).persist()
+          val bands = TextDedup.bandKeysOfSig(
+            TextDedup.minhashSigRaw(batch.toDF())).persist()
           val hits = // banded equi-probe of the admitted index, never all-pairs
             if (idxPaths.isEmpty) bands.filter(lit(false)).select("doc_id")
             else bands.join(s.read.parquet(idxPaths.toSeq: _*), Seq("band", "key"), "left_semi")

@@ -129,12 +129,23 @@ object TextDedup {
     * all collapse into the scan. Exposed so estimator diagnostics (dd15)
     * can read the raw signatures. */
   private[queries] def minhashSignatures(docsDf: DataFrame): DataFrame = {
-    val sig = docsDf.select(col("doc_id"),
-        graft.functions.MinHashSig.minhash_sig(col("text")).as("sig"))
+    val sig = minhashSigRaw(docsDf)
       .filter(col("sig").isNotNull) // < 3 words = no shingles, like the staged filter
     sig.select(col("doc_id") +:
       (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
+
+  /** (doc_id, sig) with NO null filter — the hot-path variant: a
+    * `Filter(isnotnull(sig))` above the projection gets pushed through it
+    * into the scan as `isnotnull(minhash_sig(text))`, making the scan
+    * compute every signature TWICE (once in the pushed DataFilter, once
+    * in the Project). Band consumers instead guard structurally
+    * ([[bandKeysOfSig]]'s `when` wraps the band array, and exploding a
+    * null array emits nothing), so no predicate ever references the
+    * expensive expression and it is evaluated exactly once per document. */
+  private[queries] def minhashSigRaw(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash_sig(col("text")).as("sig"))
 
   /** The staged shingle-level derivation minhash_sig fuses (explode →
     * h28 → minhash_agg), kept as the executable spec of the signature
@@ -150,15 +161,15 @@ object TextDedup {
   }
 
   private[queries] def minhashBandPairs(docsDf: DataFrame): DataFrame =
-    bandPairsFromSignatures(minhashSignatures(docsDf))
+    bandPairsOf(bandKeysOfSig(minhashSigRaw(docsDf)))
 
   /** LSH banding over an ALREADY-COMPUTED signature frame — lets callers
     * that also read the raw signatures (dd15) share one signature
     * aggregation: both consumers hang off the same plan, so the shingle
     * shuffle feeding the aggregate is planned once and reused, instead of
     * the signature stage executing twice per run (ADVICE r8). */
-  /** (doc_id, band, key) LSH band keys from a signature frame — shared by
-    * the pair join (dd03/dd08) and the index-probe consumers (dd23). */
+  /** (doc_id, band, key) LSH band keys from a WIDE (m0..m7) signature
+    * frame (dd15's diagnostic path). */
   private[queries] def bandKeysOf(minhashes: DataFrame): DataFrame =
     minhashes.select(col("doc_id"),
       explode(array((0 until 4).map(bi =>
@@ -166,8 +177,26 @@ object TextDedup {
           concat_ws("_", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-  private[queries] def bandPairsFromSignatures(minhashes: DataFrame): DataFrame = {
-    val bands = bandKeysOf(minhashes)
+  /** (doc_id, band, key) LSH band keys straight off the raw (doc_id, sig)
+    * frame — the hot path shared by the pair join (dd03/dd08) and the
+    * index-probe consumers (dd23, stream16). The `when(sig IS NOT NULL)`
+    * wrapper is the shingle-less-doc guard: it nulls the band ARRAY (so
+    * the explode emits no rows, matching the staged pipeline's
+    * `size(ws) >= 3` drop) without introducing a Filter node that
+    * predicate pushdown would rewrite into a second scan-side
+    * `minhash_sig` evaluation (see [[minhashSigRaw]]). */
+  private[queries] def bandKeysOfSig(sigDf: DataFrame): DataFrame =
+    sigDf.select(col("doc_id"),
+      explode(when(col("sig").isNotNull, array((0 until 4).map(bi =>
+        struct(lit(bi).as("band"),
+          concat_ws("_", element_at(col("sig"), 2 * bi + 1),
+            element_at(col("sig"), 2 * bi + 2)).as("key"))): _*))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private[queries] def bandPairsFromSignatures(minhashes: DataFrame): DataFrame =
+    bandPairsOf(bandKeysOf(minhashes))
+
+  private def bandPairsOf(bands: DataFrame): DataFrame = {
     val x = bands.as("x"); val y = bands.as("y")
     x.join(y, col("x.band") === col("y.band") && col("x.key") === col("y.key")
         && col("x.doc_id") < col("y.doc_id"))
@@ -180,7 +209,7 @@ object TextDedup {
   // two cannot drift
   /** The shingle → minhash → LSH `bands` CTE chain, parameterized by the
     * doc CTE feeding the shingles — the SQL twin of
-    * `bandKeysOf(minhashSignatures(...))`, shared by the
+    * `bandKeysOfSig(minhashSigRaw(...))`, shared by the
     * pair oracle below and stream16's sequential-admission oracle. */
   private[queries] def minhashBandsSql(docsCte: String): String = s"""
       sh AS (
@@ -1726,10 +1755,10 @@ object TextDedup {
     // both engines. Per-lang arrival ledger, every doc accounted for.
     QueryDef("dd23_incremental_neardup", (s, d) => {
       val doc = docs(s, d)
-      val corpusBands = bandKeysOf(minhashSignatures(
+      val corpusBands = bandKeysOfSig(minhashSigRaw(
           doc.filter(col("doc_id") % 4 =!= 3)))
         .select("band", "key").distinct()
-      val batchBands = bandKeysOf(minhashSignatures(
+      val batchBands = bandKeysOfSig(minhashSigRaw(
         doc.filter(col("doc_id") % 4 === 3)))
       val hits = batchBands.join(corpusBands, Seq("band", "key"))
         .select("doc_id").distinct().withColumn("hit", lit(1L))

@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object MhTune {
   def main(args: Array[String]): Unit = {
+    val only: String => Boolean =
+      if (args.isEmpty) _ => true else args.toSet.contains _
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/localdata/sf10")
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -31,7 +33,7 @@ object MhTune {
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def best3(name: String)(mk: => DataFrame): Unit = {
+    def best3(name: String)(mk: => DataFrame): Unit = if (only(name)) {
       noop(mk)
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); noop(mk); (System.nanoTime() - t0) / 1e9
@@ -46,7 +48,7 @@ object MhTune {
     best3("sig_staged") {
       TextDedup.minhashSignaturesStaged(TextDedup.shinglesRawOf(docs))
     }
-    best3("sig_fused") { TextDedup.minhashSignatures(docs) }
+    best3("sig_fused") { TextDedup.minhashSigRaw(docs) }
 
     // dd08 end-to-end (exact gate body: exact-dedup keep join +
     // signatures + band explode + pair join + histogram)
@@ -61,11 +63,8 @@ object MhTune {
         .groupBy("shared_bands").agg(count(lit(1)).as("n_pairs"))
         .orderBy("shared_bands")
     }
-    best3("dd08_fused") {
-      TextDedup.bandPairsFromSignatures(
-        TextDedup.minhashSignatures(docs.join(keep, "doc_id")))
-        .groupBy("shared_bands").agg(count(lit(1)).as("n_pairs"))
-        .orderBy("shared_bands")
+    best3("dd08_fused") { // the shipped gate body (minhashSigRaw + bandKeysOfSig)
+      graft.SparkEntry.queries("dd08_minhash_all")(spark, sfDir)
     }
 
     spark.stop()
