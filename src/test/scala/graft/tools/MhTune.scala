@@ -44,6 +44,22 @@ object MhTune {
     def docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
 
+    // Multi-split corpus evidence: the sf dir ships documents as ONE 37 MB
+    // row group (single scan task — a sandbox artifact; at 100 TB a corpus
+    // is thousands of splits). sig_split re-measures the fused signature
+    // pass over the same rows written as 32 files, which is the shape the
+    // scan-side-map claim is actually about.
+    lazy val splitDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_docs_split").toString
+      docs.repartition(32).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def docsSplit = spark.read.parquet(splitDir)
+    best3("sig_split_staged") {
+      TextDedup.minhashSignaturesStaged(TextDedup.shinglesRawOf(docsSplit))
+    }
+    best3("sig_split_fused") { TextDedup.minhashSigRaw(docsSplit) }
+
     // signature stage alone: the scan-side rework in isolation
     best3("sig_staged") {
       TextDedup.minhashSignaturesStaged(TextDedup.shinglesRawOf(docs))
