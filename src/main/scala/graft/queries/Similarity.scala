@@ -170,10 +170,15 @@ object Similarity {
     QueryDef("sim02_ann_lsh_buckets", (s, d) => {
       // 8 planes, one whole-signature bucket: band_keys with bandSize ==
       // nPlanes yields a single key — computed per row in codegen, no
-      // explode/aggregate before the bucket join
+      // explode/aggregate before the bucket join. The coalesce makes the
+      // bucket provably non-null so the equi-join's inferred
+      // isnotnull(bucket) constraint folds to true instead of being
+      // pushed through the projection into the scan as a SECOND
+      // band_keys evaluation per row (the PushdownAudit bug class);
+      // band_keys never actually returns null, so the 0 arm is dead.
       val buckets = emb(s, d).select(col("vec_id"),
-        graft.functions.BandKeys.band_keys(col("embedding"), 8, 8)
-          .getItem(0).as("bucket"))
+        coalesce(graft.functions.BandKeys.band_keys(col("embedding"), 8, 8)
+          .getItem(0), lit(0L)).as("bucket"))
       val a = buckets.as("a"); val b = buckets.as("b")
       a.join(b, col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .filter(col("a.vec_id") < 10)

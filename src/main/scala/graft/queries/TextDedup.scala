@@ -129,9 +129,13 @@ object TextDedup {
     * all collapse into the scan. Exposed so estimator diagnostics (dd15)
     * can read the raw signatures. */
   private[queries] def minhashSignatures(docsDf: DataFrame): DataFrame = {
-    val sig = minhashSigRaw(docsDf)
-      .filter(col("sig").isNotNull) // < 3 words = no shingles, like the staged filter
-    sig.select(col("doc_id") +:
+    // NO null filter here: a Filter(sig IS NOT NULL) above the projection
+    // is pushed through it into the scan as isnotnull(minhash_sig(text)),
+    // evaluating every signature twice (the PushdownAudit bug class).
+    // Docs with <3 words surface as all-null m0..m7 rows instead; the
+    // consumer (dd15) inner-joins on banded candidate doc_ids, which
+    // drops them — same rows as the staged pipeline's size(ws)>=3 filter.
+    minhashSigRaw(docsDf).select(col("doc_id") +:
       (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
 

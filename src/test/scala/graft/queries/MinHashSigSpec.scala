@@ -22,7 +22,10 @@ class MinHashSigSpec extends AnyFunSuite {
   test("matches the staged explode+agg derivation on a real corpus slice") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val fused = TextDedup.minhashSignatures(docs)
+    // the wide frame carries <3-word docs as all-null rows (no Filter by
+    // design — see minhashSignatures scaladoc); drop them spec-side to
+    // compare against the staged pipeline's size(ws)>=3 semantics
+    val fused = TextDedup.minhashSignatures(docs).filter(col("m0").isNotNull)
     val staged = stagedSig(docs)
     assert(fused.count() === staged.count())
     assert(fused.exceptAll(staged).count() === 0L)
@@ -43,7 +46,7 @@ class MinHashSigSpec extends AnyFunSuite {
       (13L, "a b c d e f"), (14L, "ünïcödé tëxt wïth ümläüts ünïcödé tëxt wïth"),
       (15L, "x x x x x"), (16L, "tab\tis not a separator here"),
       (17L, "  leading and trailing  ")).toDF("doc_id", "text")
-    val fused = TextDedup.minhashSignatures(tricky)
+    val fused = TextDedup.minhashSignatures(tricky).filter(col("m0").isNotNull)
     val staged = stagedSig(tricky)
     assert(fused.exceptAll(staged).count() === 0L)
     assert(staged.exceptAll(fused).count() === 0L)

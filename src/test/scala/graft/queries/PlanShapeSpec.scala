@@ -93,6 +93,25 @@ class PlanShapeSpec extends AnyFunSuite {
       "dd08 re-grew the per-shingle explode")
   }
 
+  test("no expensive expression is pushed into a scan's DataFilters (double-eval class)") {
+    // A Filter on a computed column gets rewritten through its Project
+    // into the scan's DataFilters, so the scan evaluates the expression
+    // per row just to test the predicate and the Project evaluates it
+    // AGAIN (found live in dd08/dd15/sim02 — BENCH_SCALING r14 addendum;
+    // the full-inventory sweep is graft.queries.PushdownAudit). Lock the
+    // three fixed sites.
+    for (name <- Seq("dd08_minhash_all", "dd15_minhash_quality", "sim02_ann_lsh_buckets")) {
+      val plan = physicalPlan(name)
+      for (line <- plan.split("\n"); if line.contains("DataFilters: [")) {
+        val df = line.substring(line.indexOf("DataFilters: [")).takeWhile(_ != ']')
+        for (fn <- Seq("minhash_sig", "band_keys", "token_stats", "repetition_stats"))
+          assert(!df.contains(fn),
+            s"$name pushes $fn into the scan filter — computed once in the " +
+              s"Project plus once per row in the scan")
+      }
+    }
+  }
+
   test("dd02 carries no broadcast HINT (vocabulary-sized keep list must stay size-based)") {
     // the df-cap keep list is the long tail of the shingle vocabulary —
     // a hard-coded broadcast() hint would OOM at 100 TB. Catalyst MAY
