@@ -1421,7 +1421,32 @@ object Relational {
              CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       WHERE s_acctbal >= 6000
-      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+      GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    // ---- q62: SLIDING (hopping) window aggregation — `window(ts, '1
+    // hour', '15 minutes')`: every event lands in 4 overlapping windows
+    // and Spark's TimeWindow expression EXPANDS it to its windows at the
+    // scan (a bounded 4x Generate) before a plain hash aggregate — the
+    // streaming-compatible tumble/hop shape (q25 is the tumbling special
+    // case). At 100 TB the expansion factor is width/slide (4x), a
+    // constant chosen by the query — unlike a self-join formulation whose
+    // fan-out would scale with data density. Windows align to the epoch
+    // grid, so the oracle re-derives membership arithmetically:
+    // start = floor(epoch/900)*900 - k*900, k in 0..3.
+    QueryDef("q62_sliding_window", (s, d) => {
+      Tables.load(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(unix_timestamp(col("w.start")).as("wstart_s"),
+          col("event_type"), col("n"), col("value_cents"))
+        .orderBy("wstart_s", "event_type")
+    }, Some("""
+      SELECT CAST(FLOOR(epoch(ts)/900)*900 - k*900 AS BIGINT) AS wstart_s,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events, generate_series(0, 3) t(k)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** One-time orderkey-bucketed layout build shared by q59/q60 and the
