@@ -809,6 +809,44 @@ object StreamingQueries {
              CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS n_admitted
       FROM arrivals a LEFT JOIN rej r ON a.doc_id = r.doc_id
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- stream17: SLIDING-window rollup on a stream — q62's hop shape
+    // (width 1 h, slide 15 min) in append mode: every event updates 4
+    // overlapping windows of state, each window finalizes and DROPS its
+    // state once the watermark passes its end (stream08's tumbling
+    // discipline; the 4× state is the query's width/slide constant, not
+    // data growth). Far-future sentinels advance the watermark past
+    // every real window (timeouts fire against the PREVIOUS batch's
+    // watermark, hence two), so the drained sink equals the batch q62
+    // aggregation on the same slice and the oracle is q62's arithmetic
+    // window-membership SQL.
+    QueryDef("stream17_sliding_rollup", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 50)
+        .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+        .collect().toSeq // bounded feed plumbing (user_id <= 50 slice)
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2)))
+      val maxMs = ev.map(_._1.getTime).max
+      val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val out = StreamingOps.slidingRollup(
+        mem.toDF().toDF("ts", "event_type", "value"))
+      drain(s, out, "append") { q =>
+        mem.addData(ev); q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 36000000L), "zz", 0.0))
+        q.processAllAvailable()
+        mem.addData((new java.sql.Timestamp(maxMs + 72000000L), "zz", 0.0))
+      }
+        .filter(col("event_type") =!= "zz")
+        .orderBy("wstart_s", "event_type")
+    }, Some("""
+      SELECT CAST(FLOOR(epoch(ts)/900)*900 - k*900 AS BIGINT) AS wstart_s,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM events, generate_series(0, 3) t(k)
+      WHERE user_id <= 50
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -30,6 +30,23 @@ object StreamingOps {
         sum(floor(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("value_cents"))
 
+  /** Sliding (hopping) window rollup — hourlyRollup's hop twin: every
+    * event belongs to width/slide = 4 overlapping windows, so window
+    * state is 4× the tumbling case but still WATERMARK-BOUNDED (a window
+    * finalizes and its state drops once the watermark passes its end,
+    * exactly like the tumbling rollup — the 4× is a query constant, not
+    * a data-dependent growth). Projects the window start as epoch
+    * seconds so the batch twin (q62) and DuckDB oracle compare without
+    * timestamp-zone plumbing. */
+  def slidingRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("wstart_s"),
+        col("event_type"), col("n"), col("value_cents"))
+
   final case class SessionEvent(user_id: Long, event_id: Long, tms: Long)
   // public: Catalyst's generated encoder projection cannot access a
   // private nested class (internal plumbing for the watermark column)
