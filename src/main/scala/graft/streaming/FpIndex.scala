@@ -45,6 +45,10 @@ object FpIndex {
   final class Manifest {
     val base = scala.collection.mutable.Map[Int, String]()
     val deltas = scala.collection.mutable.Map[Int, Vector[String]]()
+    /** batchIds whose ingest fully committed — the standard foreachBatch
+      * replay guard (the sink is at-least-once: a batch can be
+      * re-delivered with the same batchId after a downstream retry). */
+    val committed = scala.collection.mutable.Set[Long]()
     def allPaths: Seq[String] =
       (base.values ++ deltas.values.flatten).toSeq.sorted
   }
@@ -58,6 +62,15 @@ object FpIndex {
   def mergeBatch(spark: SparkSession, idxRoot: String, manifest: Manifest,
                  delta: DataFrame, batchId: Long,
                  compactThreshold: Int = defaultCompactThreshold): Unit = {
+    // Replay idempotence (FpIndexSpec): foreachBatch re-delivers a batch
+    // under the same batchId after a retry. A fully-committed batch
+    // short-circuits here; a batch that died mid-ingest re-runs safely
+    // because the delta write is an overwrite of the same d<batchId> dir
+    // and the manifest append below dedupes paths. (A crash BETWEEN
+    // compaction's manifest flip and this commit mark is the one window
+    // left open — closing it needs the atomic commit log a production
+    // table format provides; documented boundary, same as stream15's.)
+    if (manifest.committed.contains(batchId)) return
     // append-only ingest: O(batch) I/O, ONE Spark job — the delta is
     // written once and the touched-bucket set is read off the produced
     // partition directories (no second pass, no checkpoint, no
@@ -72,9 +85,11 @@ object FpIndex {
     val touched = hfs.listStatus(doutPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(_.getPath.getName.stripPrefix("bucket=").toInt).sorted
-    if (touched.isEmpty) return
+    if (touched.isEmpty) { manifest.committed += batchId; return }
     touched.foreach { b =>
-      manifest.deltas(b) = manifest.deltas.getOrElse(b, Vector.empty) :+ s"$dout/bucket=$b"
+      val p = s"$dout/bucket=$b"
+      val cur = manifest.deltas.getOrElse(b, Vector.empty)
+      if (!cur.contains(p)) manifest.deltas(b) = cur :+ p
     }
     // threshold compaction: fold base ∪ deltas for deep-pile buckets only
     val toCompact = touched.filter(b => manifest.deltas(b).size >= compactThreshold)
@@ -100,6 +115,7 @@ object FpIndex {
       // c<id> parent may still be live.
       paths.foreach(p => hfs.delete(new org.apache.hadoop.fs.Path(p), true))
     }
+    manifest.committed += batchId
   }
 
   /** The full current index relation: base ∪ deltas merged on read —

@@ -199,6 +199,39 @@ class StreamingQueriesSpec extends AnyFunSuite {
       finalWant.exceptAll(finalGot).count() == 0)
   }
 
+  test("FpIndex: replayed batchIds are idempotent (the at-least-once foreachBatch contract)") {
+    import graft.streaming.FpIndex
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx_rp_").toString
+    val manifest = new FpIndex.Manifest
+    def delta(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(md5(col("text").cast("binary")).as("fp"),
+          col("doc_id").as("keeper"), lit(1L).as("copies"))
+    val b0 = (0L until 64L).map(i => (i, s"rp-${i % 16}"))
+    val b1 = (100L until 164L).map(i => (i, s"rp-${i % 16}"))
+    FpIndex.mergeBatch(spark, root, manifest, delta(b0), 0L)
+    val want = FpIndex.read(spark, manifest).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    // full re-delivery of a committed batch: short-circuits, nothing changes
+    FpIndex.mergeBatch(spark, root, manifest, delta(b0), 0L)
+    assert(manifest.deltas.values.forall(_.size <= 1), "replay re-appended delta paths")
+    val got = FpIndex.read(spark, manifest).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == want, "replayed batch changed the index")
+    // mid-ingest retry: simulate a batch that wrote its delta + manifest
+    // entries but died before the commit mark, then re-ran — path dedupe
+    // makes the second run converge to the same state
+    manifest.committed -= 0L
+    FpIndex.mergeBatch(spark, root, manifest, delta(b0), 0L)
+    assert(manifest.deltas.values.forall(_.size <= 1), "retry duplicated delta paths")
+    assert(FpIndex.read(spark, manifest).collect().toSeq.map(_.toSeq).sortBy(_.toString) == want)
+    // and a NEW batch after the replays behaves normally
+    FpIndex.mergeBatch(spark, root, manifest, delta(b1), 1L)
+    val want01 = delta(b0 ++ b1).groupBy("fp")
+      .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
+    val got01 = FpIndex.read(spark, manifest)
+    assert(got01.exceptAll(want01).count() == 0 && want01.exceptAll(got01).count() == 0)
+  }
+
   test("FpIndex: an empty (never-ingested) index reads as the empty relation") {
     import graft.streaming.FpIndex
     val got = FpIndex.read(spark, new FpIndex.Manifest)
