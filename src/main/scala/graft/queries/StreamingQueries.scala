@@ -751,9 +751,12 @@ object StreamingQueries {
       val mem = MemoryStream[(Long, String)]
       val idxPaths = scala.collection.mutable.ArrayBuffer[String]()
       val ledger = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val committed = scala.collection.mutable.Set[Long]() // at-least-once replay guard (FpIndex discipline)
       val q = mem.toDF().toDF("doc_id", "text")
         .writeStream.outputMode("append")
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (committed.contains(batchId)) ()
+          else {
           val bands = TextDedup.bandKeysOfSig(
             TextDedup.minhashSigRaw(batch.toDF())).persist()
           val hits = // banded equi-probe of the admitted index, never all-pairs
@@ -766,10 +769,14 @@ object StreamingQueries {
           bands.join(hits, Seq("doc_id"), "left_anti")
             .select("band", "key").distinct()
             .write.mode("overwrite").parquet(dout)
-          idxPaths += dout
+          // retry-safe: the delta overwrite is idempotent, the path
+          // append dedupes, and the ledger row commits exactly once
+          if (!idxPaths.contains(dout)) idxPaths += dout
           ledger += ((batchId, nArrived, nRejected))
+          committed += batchId
           bands.unpersist()
           ()
+          }
         }.start()
       try {
         (0 until 4).foreach { k => // batch k = doc_id % 4 == k, in order
