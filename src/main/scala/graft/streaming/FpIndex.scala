@@ -85,7 +85,11 @@ object FpIndex {
     val touched = hfs.listStatus(doutPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
       .map(_.getPath.getName.stripPrefix("bucket=").toInt).sorted
-    if (touched.isEmpty) { manifest.committed += batchId; return }
+    if (touched.isEmpty) {
+      manifest.committed += batchId
+      persist(spark, idxRoot, manifest, batchId)
+      return
+    }
     touched.foreach { b =>
       val p = s"$dout/bucket=$b"
       val cur = manifest.deltas.getOrElse(b, Vector.empty)
@@ -113,9 +117,78 @@ object FpIndex {
       // delete them — storage stays O(live index), not O(ever ingested).
       // Only the bucket=<b> subdirs go; sibling buckets sharing a d<id>/
       // c<id> parent may still be live.
+      // GC is deferred until after the manifest COMMIT below: a crash in
+      // this window leaves extra (superseded) files on disk but the
+      // persisted manifest still references only a consistent file set.
+      manifest.committed += batchId
+      persist(spark, idxRoot, manifest, batchId)
       paths.foreach(p => hfs.delete(new org.apache.hadoop.fs.Path(p), true))
+    } else {
+      manifest.committed += batchId
+      persist(spark, idxRoot, manifest, batchId)
     }
-    manifest.committed += batchId
+  }
+
+  /** COMMIT-LOG persistence (the piece the r13/r14 scaladoc called "the
+    * commit-log role" and left driver-local): each batch commits a
+    * versioned `manifest-<batchId>` file (write tmp → rename, Delta-log
+    * style — a crash mid-write leaves an ignorable tmp, never a torn
+    * manifest), and [[recover]] loads the highest version. Write order is
+    * data files → manifest commit → GC of superseded files, so every
+    * persisted manifest references only files that exist: a crash in any
+    * window leaves the PREVIOUS consistent state readable (plus orphaned
+    * files a later compaction or sweep may reclaim). The committed
+    * batchId set rides in the manifest, so the at-least-once replay
+    * guard survives a driver restart too. */
+  def persist(spark: SparkSession, idxRoot: String, manifest: Manifest,
+              version: Long): Unit = {
+    val sb = new StringBuilder
+    manifest.committed.toSeq.sorted.foreach(id => sb.append(s"committed $id\n"))
+    manifest.base.toSeq.sortBy(_._1).foreach { case (b, p) => sb.append(s"base $b $p\n") }
+    manifest.deltas.toSeq.sortBy(_._1).foreach { case (b, ps) =>
+      ps.foreach(p => sb.append(s"delta $b $p\n")) }
+    val root = new org.apache.hadoop.fs.Path(idxRoot)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(root, s".manifest-$version.tmp")
+    val fin = new org.apache.hadoop.fs.Path(root, s"manifest-$version")
+    val out = hfs.create(tmp, true)
+    out.write(sb.toString.getBytes("UTF-8")); out.close()
+    hfs.rename(tmp, fin)
+    // keep only the newest commit: older manifests reference files the
+    // GC below may remove, so they are not valid recovery points anyway
+    hfs.listStatus(root).toSeq
+      .filter(s => s.getPath.getName.startsWith("manifest-") &&
+        s.getPath.getName.stripPrefix("manifest-").toLong < version)
+      .foreach(s => hfs.delete(s.getPath, false))
+  }
+
+  /** Rebuild the manifest from the newest committed `manifest-<v>` file —
+    * the restart path: an index root with no manifest recovers as the
+    * empty index. */
+  def recover(spark: SparkSession, idxRoot: String): Manifest = {
+    val m = new Manifest
+    val root = new org.apache.hadoop.fs.Path(idxRoot)
+    val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!hfs.exists(root)) return m
+    val latest = hfs.listStatus(root).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("manifest-"))
+      .map(_.stripPrefix("manifest-").toLong).sorted.lastOption
+    latest.foreach { v =>
+      val in = hfs.open(new org.apache.hadoop.fs.Path(root, s"manifest-$v"))
+      val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      text.split("\n").filter(_.nonEmpty).foreach { line =>
+        line.split(" ", 3) match {
+          case Array("committed", id) => m.committed += id.toLong
+          case Array("base", b, p) => m.base(b.toInt) = p
+          case Array("delta", b, p) =>
+            m.deltas(b.toInt) = m.deltas.getOrElse(b.toInt, Vector.empty) :+ p
+          case other => throw new IllegalStateException(
+            s"corrupt manifest-$v line: ${other.mkString(" ")}")
+        }
+      }
+    }
+    m
   }
 
   /** The full current index relation: base ∪ deltas merged on read —

@@ -232,6 +232,49 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(got01.exceptAll(want01).count() == 0 && want01.exceptAll(got01).count() == 0)
   }
 
+  test("FpIndex: the committed manifest recovers the index (and its replay guard) after restart") {
+    import graft.streaming.FpIndex
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx_rec_").toString
+    val manifest = new FpIndex.Manifest
+    def delta(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(md5(col("text").cast("binary")).as("fp"),
+          col("doc_id").as("keeper"), lit(1L).as("copies"))
+    // 5 batches over a shared universe: crosses the compaction threshold,
+    // so recovery must see base + post-compaction deltas, not just piles
+    val batches = (0 until 5).map { k =>
+      (0L until 48L).map(i => (k * 100L + i, s"rec-${i % 24}"))
+    }
+    batches.zipWithIndex.foreach { case (b, k) =>
+      FpIndex.mergeBatch(spark, root, manifest, delta(b), k.toLong)
+    }
+    assert(manifest.base.nonEmpty, "test setup must cross the compaction threshold")
+    val want = FpIndex.read(spark, manifest).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    // restart: all driver state gone, only the directory remains
+    val recovered = FpIndex.recover(spark, root)
+    assert(recovered.committed == manifest.committed, "committed batchIds lost on recovery")
+    assert(recovered.base.toMap == manifest.base.toMap)
+    assert(recovered.deltas.toMap == manifest.deltas.toMap)
+    val got = FpIndex.read(spark, recovered).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got == want, "recovered index diverged")
+    // the replay guard survives the restart: re-delivering the last batch
+    // through the RECOVERED manifest is a no-op
+    FpIndex.mergeBatch(spark, root, recovered, delta(batches(4)), 4L)
+    val got2 = FpIndex.read(spark, recovered).collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(got2 == want, "post-recovery replay changed the index")
+    // and ingest continues normally from the recovered state
+    val b5 = (500L until 548L).map(i => (i, s"rec-${i % 24}"))
+    FpIndex.mergeBatch(spark, root, recovered, delta(b5), 5L)
+    val wantAll = delta(batches.flatten ++ b5).groupBy("fp")
+      .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
+    val gotAll = FpIndex.read(spark, recovered)
+    assert(gotAll.exceptAll(wantAll).count() == 0 && wantAll.exceptAll(gotAll).count() == 0)
+    // an index root that never existed recovers as the empty index
+    val none = FpIndex.recover(spark, root + "-never-existed")
+    assert(none.allPaths.isEmpty && none.committed.isEmpty)
+  }
+
   test("FpIndex: an empty (never-ingested) index reads as the empty relation") {
     import graft.streaming.FpIndex
     val got = FpIndex.read(spark, new FpIndex.Manifest)
