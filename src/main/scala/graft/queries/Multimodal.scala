@@ -351,6 +351,57 @@ object MultimodalQueries {
              CAST(p.n AS BIGINT) AS n_samples,
              CAST(e.e AS BIGINT) AS total_energy, TRUE AS ok
       FROM params p JOIN energy e USING (doc_id)
+      ORDER BY p.doc_id""")),
+
+    // ---- mm11: RAW-FILE ingest via the `binaryFile` source — the shape a
+    // 100 TB multimodal corpus actually arrives in (millions of media
+    // FILES on object storage, not parquet-embedded blobs): Spark lists
+    // the tree, distributes (path, modificationTime, length, content)
+    // rows across the cluster, and the id rides the PATH (regexp off the
+    // filename), after which the pipeline is mm10's container parser
+    // unchanged. The bounded fixture write (≤200 WAVs to a temp dir) is
+    // ingest setup, not the operator; at scale the files pre-exist. The
+    // oracle is mm10's closed-form derivation on the same slice — path
+    // round-trip + byte-identical payload delivery is exactly what it
+    // gates (any truncation or id/file mismatch breaks energy or ok).
+    QueryDef("mm11_binaryfile_ingest", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000)
+        .select(col("doc_id").cast("long")).as[Long].collect().sorted
+        // bounded fixture write (≤200 files), not the operator
+      val dir = java.nio.file.Files.createTempDirectory("graft-binfiles")
+      ids.foreach { id =>
+        java.nio.file.Files.write(dir.resolve(s"$id.wav"),
+          graft.ops.Multimodal.syntheticWav(id))
+      }
+      val rows = s.read.format("binaryFile").load(dir.toString)
+        .select(regexp_extract(col("path"), "(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
+          col("content"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) => graft.ops.Multimodal.MediaRow(id, bytes) }
+      graft.ops.Multimodal.parseWavBatch(rows).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("total_energy"), col("ok"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH params AS (
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+               256 + doc_id % 256 AS n
+        FROM documents WHERE doc_id % 10 = 0 AND doc_id < 2000),
+      samples AS (
+        SELECT doc_id, unnest(generate_series(0, n - 1)) AS k
+        FROM params),
+      energy AS (
+        SELECT doc_id,
+               SUM(((doc_id*31 + k*17) % 4096 - 2048)
+                   * ((doc_id*31 + k*17) % 4096 - 2048)) AS e
+        FROM samples GROUP BY 1)
+      SELECT p.doc_id, p.sample_rate, CAST(1 AS INTEGER) AS channels,
+             CAST(p.n AS BIGINT) AS n_samples,
+             CAST(e.e AS BIGINT) AS total_energy, TRUE AS ok
+      FROM params p JOIN energy e USING (doc_id)
       ORDER BY p.doc_id"""))
   )
 }
