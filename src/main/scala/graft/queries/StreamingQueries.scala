@@ -854,6 +854,71 @@ object StreamingQueries {
              CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events, generate_series(0, 3) t(k)
       WHERE user_id <= 50
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- stream18: CONTINUOUS raw-file ingest — mm11's production twin:
+    // media files LAND on storage over time and `readStream.format(
+    // "binaryFile")` picks each new file up exactly once (FileStreamSource
+    // tracks seen files in its own log — file-arrival exactly-once, the
+    // ingest guarantee object-storage pipelines rely on), the id rides
+    // the path, and mm10's container parser runs unchanged as a stateless
+    // per-batch map. Complete-mode per-sample-rate rollup makes the
+    // drained sink deterministic; the oracle is mm10's closed-form
+    // derivation grouped the same way. Fixture files are written before
+    // the stream starts (bounded, ≤200) — at scale they arrive forever.
+    QueryDef("stream18_binaryfile_ingest", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 0 && col("doc_id") < 2000)
+        .select(col("doc_id").cast("long")).as[Long].collect().sorted
+        // bounded fixture write (≤200 files), not the operator
+      val dir = TempDirs.create("graft-binstream")
+      ids.foreach { id =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir).resolve(s"$id.wav"),
+          graft.ops.Multimodal.syntheticWav(id))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.schema(schema).format("binaryFile").load(dir)
+      val parsed = graft.ops.Multimodal.parseWavBatch(
+        stream.select(
+            regexp_extract(col("path"), "(\\d+)\\.wav$", 1).cast("long").as("doc_id"),
+            col("content"))
+          .as[(Long, Array[Byte])]
+          .map { case (id, bytes) => graft.ops.Multimodal.MediaRow(id, bytes) })
+      val rolled = parsed.toDF()
+        .groupBy(col("sample_rate"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("n_samples")).as("n_samples"),
+          sum(col("total_energy")).as("total_energy"))
+      drain(s, rolled, "complete") { _ => () }
+        .orderBy("sample_rate")
+    }, Some("""
+      WITH params AS (
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+               256 + doc_id % 256 AS n
+        FROM documents WHERE doc_id % 10 = 0 AND doc_id < 2000),
+      samples AS (
+        SELECT doc_id, unnest(generate_series(0, n - 1)) AS k
+        FROM params),
+      energy AS (
+        SELECT doc_id,
+               SUM(((doc_id*31 + k*17) % 4096 - 2048)
+                   * ((doc_id*31 + k*17) % 4096 - 2048)) AS e
+        FROM samples GROUP BY 1)
+      SELECT p.sample_rate, COUNT(*) AS n_files,
+             CAST(SUM(p.n) AS BIGINT) AS n_samples,
+             CAST(SUM(e.e) AS BIGINT) AS total_energy
+      FROM params p JOIN energy e USING (doc_id)
+      GROUP BY 1 ORDER BY 1"""))
   )
 }
