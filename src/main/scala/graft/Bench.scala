@@ -56,8 +56,9 @@ object Bench {
     // re-planning; 256 MB input was the measured crossover on the sf grid
     val aqe = totalBytes > (256L << 20)
 
+    // SPARK_GRAFT_MASTER: same cluster-mode lane as Verify (CLUSTER.md)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .withExtensions(new graft.sql.GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -48,8 +48,11 @@ object Verify {
       if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
+    // SPARK_GRAFT_MASTER overrides the single-JVM default so the same dump
+    // can run against a real multi-process cluster (spark://...) — the
+    // cluster-mode validation lane (CLUSTER.md); driver invocation unchanged
     val base = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .withExtensions(new graft.sql.GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions", math.min(cpus.toInt, 8))
       .config("spark.sql.session.timeZone", "UTC")
