@@ -2098,6 +2098,60 @@ object TextDedup {
                AS n_drop,
              CAST(SUM(f2) AS BIGINT) AS sum_f2_bp,
              CAST(SUM(f3) AS BIGINT) AS sum_f3_bp
-      FROM scored GROUP BY 1 ORDER BY source"""))
+      FROM scored GROUP BY 1 ORDER BY source""")),
+
+    // ---- tx29: EPOCH SHUFFLE + SHARD ASSIGNMENT — the step between a
+    // curated corpus and the trainer's data loader: each epoch gets its own
+    // deterministic pseudo-random GLOBAL order (seeded md5 over epoch:doc),
+    // cut into fixed-size shards with exact in-shard positions. The naive
+    // global rank — row_number() OVER (ORDER BY k) — funnels the corpus
+    // through ONE window partition; the scale shape used here is the
+    // two-level distributed rank: rank within 256 key-prefix buckets
+    // (windows of corpus/256 rows, fully parallel) + a broadcast join of
+    // cumulative bucket offsets (a ≤256-row/epoch relation — its running
+    // sum is a bounded-constant window, not data-sized). The oracle IS the
+    // naive global row_number, so the gate proves distributed rank ==
+    // global rank exactly — every position, via the per-shard
+    // position-weighted checksum (sum over doc_id·(pos_in_shard+1) pins
+    // the full permutation, while output stays #shards-sized).
+    QueryDef("tx29_epoch_shard", (s, d) => {
+      val shardSize = 100L
+      val keyed = docs(s, d)
+        .select(col("doc_id"),
+          explode(sequence(lit(1L), lit(2L))).as("epoch"))
+        .withColumn("k", md5(concat_ws(":", lit("42"), col("epoch"),
+          col("doc_id")).cast("binary")))
+        .withColumn("bucket", conv(substring(col("k"), 1, 2), 16, 10).cast("int"))
+      val offsets = keyed.groupBy("epoch", "bucket").agg(count(lit(1)).as("n"))
+        .withColumn("off",
+          sum("n").over(Window.partitionBy("epoch").orderBy("bucket")) - col("n"))
+        .select("epoch", "bucket", "off")
+      keyed
+        .withColumn("r",
+          row_number().over(Window.partitionBy("epoch", "bucket").orderBy("k"))
+            .cast("long") - 1L)
+        .join(broadcast(offsets), Seq("epoch", "bucket"))
+        .select(col("epoch"), col("doc_id"), (col("off") + col("r")).as("pos"))
+        .select(col("epoch"), expr(s"pos div $shardSize").as("shard"),
+          col("doc_id"), expr(s"pos % $shardSize").as("sp"))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id") * (col("sp") + 1L)).as("checksum"))
+        .orderBy("epoch", "shard")
+    }, Some("""
+      WITH e AS (
+        SELECT doc_id, epoch FROM documents,
+             (SELECT unnest(generate_series(1, 2)) AS epoch)),
+      keyed AS (
+        SELECT epoch, doc_id,
+               md5('42:' || CAST(epoch AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR)) AS k FROM e),
+      ranked AS (
+        SELECT epoch, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k) - 1 AS pos
+        FROM keyed)
+      SELECT epoch, pos // 100 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(doc_id * (pos % 100 + 1)) AS BIGINT) AS checksum
+      FROM ranked GROUP BY 1, 2 ORDER BY epoch, shard"""))
   )
 }

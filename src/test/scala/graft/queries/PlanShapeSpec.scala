@@ -475,4 +475,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "mm08 grew a shuffle before the result sort")
     assert(plan.contains("MapPartitions"), "mm08 lost the batch decode loop")
   }
+
+  test("tx29 global rank is distributed: bucketed ranking window + broadcast offsets") {
+    val plan = physicalPlan("tx29_epoch_shard")
+    // the corpus-sized row_number window must be partitioned by the key
+    // bucket (256-way parallel), never epoch-only / global — that's the
+    // single-partition funnel the two-level rank exists to avoid
+    val rnLine = plan.linesIterator.find(_.contains("row_number"))
+      .getOrElse(fail("tx29 lost its ranking window"))
+    assert(rnLine.contains("bucket"),
+      s"tx29 ranking window no longer bucket-partitioned: $rnLine")
+    // the cumulative bucket offsets (<=256 rows/epoch) join back by
+    // broadcast — a shuffle join here would re-exchange the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      "tx29 offsets join is no longer broadcast")
+  }
 }

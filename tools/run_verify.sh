@@ -1,0 +1,18 @@
+#!/bin/bash
+# Run graft.Verify (or another main) from the packaged jar without the sbt
+# lock. Usage: run_verify.sh <sf_dir> <out_dir> [mem] [main-class]
+set -e
+SF=${1:?sf_dir}
+OUT=${2:?out_dir}
+MEM=${3:-8g}
+MAIN=${4:-graft.Verify}
+OPENS=""
+for m in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$m=ALL-UNNAMED"
+done
+exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"$MEM" \
+  -cp /root/repo/target/scala-2.13/duckdbagespark_2.13-0.1.0.jar:'/opt/spark/jars/*' \
+  "$MAIN" "$SF" "$OUT"
