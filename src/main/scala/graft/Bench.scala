@@ -32,10 +32,16 @@ object Bench {
     // dispatch overhead (measured: total drops 5.7s -> ~2.5s; VERDICT r1).
     // At 100 TB the same rule yields the cap and AQE takes over (enabled
     // above 1 GB, where its per-stage re-planning cost is amortized).
+    // tables may be single files OR directories of part files (the
+    // multi-file corpus twin, tools/split_corpus.py) — size recursively
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty).map(sizeOf).sum
+      else f.length
     val totalBytes = {
       val root = new java.io.File(sfDir)
       val fs = Option(root.listFiles).map(_.toSeq).getOrElse(Seq.empty)
-      fs.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      fs.filter(_.getName.endsWith(".parquet")).map(sizeOf).sum
     }
     // capped at 2x cores: beyond that, extra partitions only add dispatch
     // cost on one machine (measured: sp=200 at sf10 is ~40% slower than

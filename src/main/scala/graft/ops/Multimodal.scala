@@ -349,4 +349,69 @@ object Multimodal {
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .as[MediaRow]
   }
+
+  /** Per-image container-walk row: IHDR fields + integrity verdict, no
+    * pixel decode. Corrupt/unwalkable payloads get the zeroed sentinel. */
+  final case class PngMeta(doc_id: Long, width: Int, height: Int,
+                           bit_depth: Int, color_type: Int, intact: Boolean)
+
+  /** PNG container walk WITHOUT pixel decode — the 100 TB media-triage
+    * pass (mm10's RIFF walker, PNG edition): validate the 8-byte
+    * signature, walk the big-endian chunk list (u32 length + 4-byte type
+    * + data + CRC32), require IHDR first (width/height/bit-depth/
+    * color-type from real header bytes) and a zero-length IEND last with
+    * no trailing bytes, and verify the CRC32 of EVERY chunk over
+    * type+data. A full ImageIO decode costs orders of magnitude more than
+    * this single linear scan; corrupt-file triage over an object-store
+    * corpus is exactly this shape — partition-local map, no shuffle. Any
+    * structural or checksum violation (bad magic, truncated/oversized
+    * declared length, CRC mismatch, missing IEND) → zeroed sentinel, so a
+    * single flipped payload bit must surface as intact = false. */
+  def parsePngBatch(rows: Dataset[MediaRow]): Dataset[PngMeta] = {
+    import rows.sparkSession.implicits._
+    rows.map { r =>
+      val p = r.payload
+      val bad = PngMeta(r.doc_id, 0, 0, 0, 0, intact = false)
+      def u32(i: Int): Long =
+        ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+          ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+      val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+      if (p.length < 8 + 25 || (0 until 8).exists(i => (p(i) & 0xFF) != sig(i))) bad
+      else {
+        var i = 8
+        var w = 0; var h = 0; var depth = 0; var ctype = 0
+        var ihdrSeen = false; var iendAt = -1
+        var corrupt = false
+        val crc = new java.util.zip.CRC32()
+        while (i + 12 <= p.length && iendAt < 0 && !corrupt) {
+          val lenL = u32(i)
+          // declared data length must fit before the payload end (plus its
+          // 4 CRC bytes) — an oversized length would wrap the index math
+          if (lenL > p.length - i - 12) corrupt = true
+          else {
+            val len = lenL.toInt
+            val tpe = new String(p, i + 4, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            crc.reset()
+            crc.update(p, i + 4, 4 + len)
+            if (crc.getValue != u32(i + 8 + len)) corrupt = true
+            else if (i == 8) {
+              // first chunk must be a 13-byte IHDR
+              if (tpe != "IHDR" || len != 13) corrupt = true
+              else {
+                w = u32(i + 8).toInt; h = u32(i + 12).toInt
+                depth = p(i + 16) & 0xFF; ctype = p(i + 17) & 0xFF
+                ihdrSeen = true
+              }
+            } else if (tpe == "IEND") {
+              if (len != 0) corrupt = true else iendAt = i + 12
+            }
+            i += 12 + len
+          }
+        }
+        if (corrupt || !ihdrSeen || iendAt != p.length) bad
+        else PngMeta(r.doc_id, w, h, depth, ctype, intact = true)
+      }
+    }
+  }
 }

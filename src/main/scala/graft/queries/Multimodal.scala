@@ -402,6 +402,48 @@ object MultimodalQueries {
              CAST(p.n AS BIGINT) AS n_samples,
              CAST(e.e AS BIGINT) AS total_energy, TRUE AS ok
       FROM params p JOIN energy e USING (doc_id)
-      ORDER BY p.doc_id"""))
+      ORDER BY p.doc_id""")),
+
+    // ---- mm12: PNG container walk + CRC integrity triage — the media
+    // VALIDATION pass a 100 TB ingest runs before any decode (mm10's RIFF
+    // walker, PNG edition): signature, big-endian chunk list, IHDR fields
+    // from real header bytes, CRC32 of every chunk, IEND-terminates-payload.
+    // One linear byte scan per file vs a full pixel decode — corrupt-file
+    // triage at scan speed. The gate INJECTS corruption (one bit of the
+    // IHDR width flipped for doc_id % 5 == 0; the 21-slice is coprime so
+    // exactly 1/5 of rows are hit) that the walker must catch via CRC:
+    // intact flips to false and the fields zero out. The clean rows'
+    // fields are arithmetic (the mm06 generator contract: width 1+id%16,
+    // height 1+id%12, bit depth 8, color type RGB=2/GRAY=0/ARGB=6), so the
+    // oracle predicts every row without parsing PNG — a walk/CRC/endian
+    // bug breaks the hash on exactly the clean or exactly the hit rows.
+    QueryDef("mm12_png_walk", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 21 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map { id =>
+        val p = graft.ops.Multimodal.syntheticImage(id)
+        if (id % 5 == 0) p(16) = (p(16) ^ 0x01).toByte // IHDR width bit flip
+        graft.ops.Multimodal.MediaRow(id, p)
+      }
+      graft.ops.Multimodal.parsePngBatch(rows).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("bit_depth"), col("color_type"), col("intact"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 + doc_id % 16 END
+               AS INTEGER) AS width,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 + doc_id % 12 END
+               AS INTEGER) AS height,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 8 END
+               AS INTEGER) AS bit_depth,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                  WHEN doc_id % 3 = 0 THEN 2
+                  WHEN doc_id % 3 = 1 THEN 0 ELSE 6 END
+               AS INTEGER) AS color_type,
+             doc_id % 5 <> 0 AS intact
+      FROM documents WHERE doc_id % 21 = 0 ORDER BY doc_id"""))
   )
 }

@@ -1446,7 +1446,43 @@ object Relational {
              event_type, COUNT(*) AS n,
              CAST(SUM(CAST(FLOOR(value*100) AS BIGINT)) AS BIGINT) AS value_cents
       FROM events, generate_series(0, 3) t(k)
-      GROUP BY 1, 2 ORDER BY 1, 2"""))
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---- q63: DYNAMIC partition pruning — the join-driven variant of
+    // q53's static prune and the partition-column sibling of q61's bloom
+    // reduction. The fact is partitioned by lang on disk; the predicate
+    // arrives through a JOIN to a derived dim whose filter (h28(lang)%3=0)
+    // Catalyst cannot constant-fold into a static partition filter, so
+    // the only way fact partitions die at the SCAN is the engine's DPP:
+    // the broadcast dim is reused as an IN-subquery on the fact's
+    // partition column (plan-locked: dynamicpruning expression in
+    // PartitionFilters). At 100 TB this is the mechanism that turns a
+    // dim-filtered star join from a full fact scan into reading only the
+    // joined partitions — DPP's effect is file-level, before q61's
+    // row-level bloom even runs. Same one-time partitioned write as q53
+    // (layout build, not the operator).
+    QueryDef("q63_dpp_join", (s, d) => {
+      val tmp = graft.queries.TempDirs.create("graft_dpp_")
+      t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+      val dim = t(s, d, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_dim"))
+        .filter(TextDedup.h28(col("lang")) % 3 === 0)
+        .select(col("lang").as("dlang"))
+      s.read.parquet(tmp)
+        .join(broadcast(dim), col("lang") === col("dlang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("lang")
+    }, Some("""
+      WITH dim AS (
+        SELECT lang FROM documents GROUP BY lang
+        HAVING ('0x' || substr(md5(lang), 1, 7))::BIGINT % 3 = 0)
+      SELECT d.lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(d.text)) AS BIGINT) AS n_chars
+      FROM documents d JOIN dim USING (lang)
+      GROUP BY d.lang ORDER BY d.lang"""))
   )
 
   /** One-time orderkey-bucketed layout build shared by q59/q60 and the

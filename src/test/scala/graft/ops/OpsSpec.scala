@@ -407,6 +407,49 @@ class OpsSpec extends AnyFunSuite {
     assert(GraphOps.componentCount(spark, sf) >= 1)
   }
 
+  test("multimodal: parsePngBatch walks real chunks and CRC-catches corruption") {
+    import spark.implicits._
+    // clean fixtures across all three color types (RGB=2 / GRAY=0 / ARGB=6)
+    val clean = Seq(0L, 1L, 2L, 21L, 42L).map(id =>
+      Multimodal.MediaRow(id, Multimodal.syntheticImage(id)))
+    // corruption classes the walker must sentinel, never throw or loop:
+    val flipped = Multimodal.syntheticImage(5L)
+    flipped(16) = (flipped(16) ^ 0x01).toByte // IHDR width bit -> CRC mismatch
+    val idatFlip = Multimodal.syntheticImage(6L)
+    idatFlip(idatFlip.length - 20) =
+      (idatFlip(idatFlip.length - 20) ^ 0x40).toByte // body byte -> CRC mismatch
+    val trailing = Multimodal.syntheticImage(7L) ++ Array[Byte](1, 2, 3)
+    val oversize = {
+      // valid signature, then a chunk declaring length 0xF8FFFFFF: a naive
+      // `i += 12 + len` wraps Int negative (the parseWavBatch lesson)
+      val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+        .map(_.toByte)
+      sig ++ Array[Byte](0xF8.toByte, -1, -1, -1) ++
+        "IHDR".getBytes("US-ASCII") ++ new Array[Byte](21)
+    }
+    val rows = spark.createDataset(clean ++ Seq(
+      Multimodal.MediaRow(500L, flipped),
+      Multimodal.MediaRow(501L, idatFlip),
+      Multimodal.MediaRow(502L, trailing),
+      Multimodal.MediaRow(503L, oversize),
+      Multimodal.MediaRow(504L, Multimodal.syntheticImage(8L).take(30)),
+      Multimodal.MediaRow(505L, "not a png at all, nope".getBytes("US-ASCII"))))
+    val got = Multimodal.parsePngBatch(rows).collect().map(r => r.doc_id -> r).toMap
+    Seq(0L, 1L, 2L, 21L, 42L).foreach { id =>
+      val r = got(id)
+      assert(r.intact, s"doc $id should walk clean")
+      assert(r.width == 1 + (id % 16).toInt && r.height == 1 + (id % 12).toInt,
+        s"doc $id dims")
+      assert(r.bit_depth == 8, s"doc $id depth")
+      val ct = (id % 3) match { case 0 => 2; case 1 => 0; case _ => 6 }
+      assert(r.color_type == ct, s"doc $id color type")
+    }
+    Seq(500L, 501L, 502L, 503L, 504L, 505L).foreach { id =>
+      assert(!got(id).intact && got(id).width == 0,
+        s"doc $id must get the zeroed sentinel")
+    }
+  }
+
   test("graphx: co-purchase pagerank differentiates customers") {
     // top-10 can tie (the max-degree clique); differentiation shows over
     // a wider window — at sf0.001 the projection has ~81 distinct ranks

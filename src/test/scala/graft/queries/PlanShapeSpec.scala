@@ -476,6 +476,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("MapPartitions"), "mm08 lost the batch decode loop")
   }
 
+  test("q63 partition pruning is DYNAMIC: DPP subquery on the fact scan") {
+    val plan = physicalPlan("q63_dpp_join")
+    // the fact scan's PartitionFilters must carry the runtime IN-subquery
+    // (dynamicpruningexpression) — a plan that reads all lang partitions
+    // and filters post-scan has lost exactly the file-level reduction the
+    // query exists to demonstrate
+    assert(plan.contains("dynamicpruning"),
+      "q63 fact scan lost its dynamic partition-pruning subquery")
+    assert(plan.contains("BroadcastHashJoin"),
+      "q63 dim join is no longer broadcast (DPP reuses the broadcast)")
+  }
+
   test("tx29 global rank is distributed: bucketed ranking window + broadcast offsets") {
     val plan = physicalPlan("tx29_epoch_shard")
     // the corpus-sized row_number window must be partitioned by the key

@@ -26,16 +26,33 @@ object QProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_STAGES=1: print per-stage task counts + wall for the
+    // LAST timed run — where did the time go, and was the scan parallel
+    val stages = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, String)]()
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          stages += ((si.stageId, si.numTasks,
+            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+            si.name.take(50)))
+        }
+      })
+
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     val qs = SparkEntry.queries
     args.foreach { name =>
       val mk = () => qs(name)(spark, sfDir)
       noop(mk()) // warm
-      val ts = (1 to 3).map { _ =>
+      val ts = (1 to 3).map { i =>
+        if (i == 3) stages.clear()
         val t0 = System.nanoTime(); noop(mk()); (System.nanoTime() - t0) / 1e9
       }
       println(f"""{"q":"$name","best":${ts.min}%.3f,"runs":[${ts.map(t => f"$t%.3f").mkString(",")}],"sf":"$sfDir"}""")
+      stages.sortBy(-_._3).take(10).foreach { case (id, n, ms, nm) =>
+        println(f"  stage $id%4d tasks=$n%3d ${ms / 1000.0}%7.2f s  $nm") }
     }
     spark.stop()
   }

@@ -21,9 +21,13 @@ con.sql("SET threads TO 32")
 # (BENCH_SCALING r13) — give it the same envelope the Spark side gets
 con.sql("SET memory_limit='90GB'")
 con.sql("SET temp_directory='/tmp/duckdb_bench_spill'")
+import os
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
-    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    p = f"{sf_dir}/{t}.parquet"
+    # multi-file twin layout (tools/split_corpus.py): table is a DIRECTORY
+    src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 out, total = {}, 0.0
 for n in heads:
     con.sql(oracle[n]).fetchall()          # warm
