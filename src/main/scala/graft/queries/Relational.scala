@@ -1482,7 +1482,45 @@ object Relational {
       SELECT d.lang, COUNT(*) AS n_docs,
              CAST(SUM(length(d.text)) AS BIGINT) AS n_chars
       FROM documents d JOIN dim USING (lang)
-      GROUP BY d.lang ORDER BY d.lang"""))
+      GROUP BY d.lang ORDER BY d.lang""")),
+
+    // ---- q64: SCHEMA EVOLUTION across ingest epochs — the lake reality a
+    // decade of 100 TB ingest produces: early batches were written before
+    // a column existed, later batches carry it, and ONE read must span
+    // both. Epoch 1 writes (doc_id, text); epoch 2 adds lang. The read is
+    // `mergeSchema` + partition discovery over the epoch directories: the
+    // unified schema gains `lang`, epoch-1 rows surface it as NULL (bucketed
+    // to 'unknown'), and the epoch partition column materializes from the
+    // directory names — no rewrite of the old files, which is the point
+    // (rewriting a decade of parquet to add a column is the anti-pattern).
+    // The oracle reproduces the epoch split arithmetically with an
+    // explicit NULL column for epoch 1, so a read that drops old-file rows,
+    // mis-aligns columns by position, or loses the partition column breaks
+    // the hash. Temp write = ingest-history fixture, not the operator.
+    QueryDef("q64_schema_evolution", (s, d) => {
+      val tmp = graft.queries.TempDirs.create("graft_evo_")
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$tmp/epoch=1")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$tmp/epoch=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy(col("epoch").cast("int").as("epoch"),
+          coalesce(col("lang"), lit("unknown")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("n_chars"))
+        .orderBy("epoch", "lang")
+    }, Some("""
+      WITH unioned AS (
+        SELECT 1 AS epoch, doc_id, text, CAST(NULL AS VARCHAR) AS lang
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 2 AS epoch, doc_id, text, lang
+        FROM documents WHERE doc_id % 2 = 1)
+      SELECT epoch, COALESCE(lang, 'unknown') AS lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM unioned GROUP BY 1, 2 ORDER BY epoch, lang"""))
   )
 
   /** One-time orderkey-bucketed layout build shared by q59/q60 and the

@@ -2152,6 +2152,56 @@ object TextDedup {
         FROM keyed)
       SELECT epoch, pos // 100 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
              CAST(SUM(doc_id * (pos % 100 + 1)) AS BIGINT) AS checksum
-      FROM ranked GROUP BY 1, 2 ORDER BY epoch, shard"""))
+      FROM ranked GROUP BY 1, 2 ORDER BY epoch, shard""")),
+
+    // ---- tx30: CORRUPT-TOLERANT JSONL ingest — tx19 reads clean JSONL;
+    // real crawled/vendored feeds are never clean, and a strict reader
+    // either dies on the first bad line (FAILFAST) or silently drops rows
+    // (DROPMALFORMED — the anti-pattern: at 100 TB you must ACCOUNT for
+    // every discarded byte). This is the production shape: PERMISSIVE
+    // mode quarantines each malformed line into the _corrupt column
+    // (schema-explicit, no inference scan), good rows flow to the per-lang
+    // ledger, and the quarantine row makes the loss auditable. The gate
+    // INJECTS corruption deterministically (doc_id % 7 == 0 lines are
+    // truncated 5 bytes — always unbalances the trailing "lang" field) so
+    // the oracle predicts both populations arithmetically: a reader that
+    // drops quarantined rows, double-counts them, or lets a truncated
+    // line parse breaks the count or the ledger hash. The temp write is
+    // the dirty-feed fixture, not the operator.
+    QueryDef("tx30_jsonl_corrupt", (s, d) => {
+      val tmp = TempDirs.create("graft_jsonlc_")
+      docs(s, d).select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("j", to_json(struct(col("doc_id"), col("text"), col("lang"))))
+        .select(when(col("doc_id") % 7 === 0,
+            expr("substring(j, 1, length(j) - 5)")).otherwise(col("j"))
+          .as("value"))
+        .write.mode("overwrite").text(tmp)
+      val back = s.read
+        .schema("doc_id LONG, text STRING, lang STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(tmp)
+      // one pass: good rows ledger by lang, corrupt rows under the
+      // '_quarantined' bucket (partial-parse fields of corrupt lines must
+      // NOT leak into the ledger — the _corrupt guard, not lang-null,
+      // decides). Also the only legal shape: Spark refuses a scan whose
+      // referenced columns are ONLY the internal corrupt-record column,
+      // so a separate quarantine-count branch would need a cache — at
+      // 100 TB the conditional aggregate is the right plan anyway.
+      back
+        .groupBy(when(col("_corrupt").isNull, col("lang"))
+          .otherwise(lit("_quarantined")).as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_corrupt").isNull, length(col("text")).cast("long"))
+            .otherwise(0L)).as("n_chars"))
+        .orderBy("lang")
+    }, Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang
+      UNION ALL
+      SELECT '_quarantined' AS lang, COUNT(*) AS n_docs, 0 AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      ORDER BY lang"""))
   )
 }
