@@ -1520,7 +1520,80 @@ object Relational {
         FROM documents WHERE doc_id % 2 = 1)
       SELECT epoch, COALESCE(lang, 'unknown') AS lang, COUNT(*) AS n_docs,
              CAST(SUM(length(text)) AS BIGINT) AS n_chars
-      FROM unioned GROUP BY 1, 2 ORDER BY epoch, lang"""))
+      FROM unioned GROUP BY 1, 2 ORDER BY epoch, lang""")),
+
+    // ---- q65: FUNNEL analysis — ordered event-sequence matching (first
+    // view → first click AFTER it → first purchase after THAT), the
+    // canonical product-analytics shape. The scale formulation is three
+    // user-keyed equi-joins with strictly-increasing time guards — each
+    // stage's relation shrinks, all shuffles share the user_id key (one
+    // partitioning reused), and NO per-user event sort or session window
+    // ever materializes (the collect-and-scan-per-user formulation is the
+    // anti-pattern at 10^11 events). Σuser_id per stage pins membership
+    // exactly, not just counts.
+    QueryDef("q65_funnel_stages", (s, d) => {
+      val ev = Tables.load(s, d, "events")
+      def firstOf(tpe: String) = ev.filter(col("event_type") === tpe)
+      val v = firstOf("view").groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t1"))
+      val c = firstOf("click").join(v, "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val p = firstOf("purchase").join(c, "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def tier(df: org.apache.spark.sql.DataFrame, stage: Int) =
+        df.agg(count(lit(1)).as("n_users"),
+          sum(col("user_id")).as("user_sum"))
+          .select(lit(stage).as("stage"), col("n_users"), col("user_sum"))
+      tier(v, 1).unionByName(tier(c, 2)).unionByName(tier(p, 3))
+        .orderBy("stage")
+    }, Some("""
+      WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT 1 AS stage, COUNT(*) AS n_users, SUM(user_id) AS user_sum FROM v
+      UNION ALL
+      SELECT 2, COUNT(*), SUM(user_id) FROM c
+      UNION ALL
+      SELECT 3, COUNT(*), SUM(user_id) FROM p
+      ORDER BY stage""")),
+
+    // ---- q66: COHORT RETENTION — users bucketed by first-activity week
+    // (the cohort), then distinct-active counts at each week offset k: the
+    // canonical engagement matrix. Scale shape: the (user, week) activity
+    // set is deduplicated BEFORE the cohort join (map-side combinable,
+    // collapses 10^11 events to |users|×|weeks|), the cohort relation is
+    // user-keyed like q65's tiers, and the matrix is |weeks|² rows.
+    // Epoch-week arithmetic (epoch div 604800) is engine-stable — both
+    // sides integer-truncate the same instant.
+    QueryDef("q66_cohort_retention", (s, d) => {
+      val ev = Tables.load(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 604800").as("week"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("w0"))
+      val active = ev.distinct()
+      active.join(cohort, "user_id")
+        .groupBy(col("w0"), (col("week") - col("w0")).as("k"))
+        .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_sum"))
+        .orderBy("w0", "k")
+    }, Some("""
+      WITH weekly AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS week
+        FROM events),
+      cohort AS (
+        SELECT user_id, MIN(week) AS w0 FROM weekly GROUP BY 1)
+      SELECT c.w0, w.week - c.w0 AS k, COUNT(*) AS n_users,
+             SUM(w.user_id) AS user_sum
+      FROM weekly w JOIN cohort c USING (user_id)
+      GROUP BY 1, 2 ORDER BY w0, k"""))
   )
 
   /** One-time orderkey-bucketed layout build shared by q59/q60 and the
