@@ -919,6 +919,73 @@ object StreamingQueries {
              CAST(SUM(p.n) AS BIGINT) AS n_samples,
              CAST(SUM(e.e) AS BIGINT) AS total_energy
       FROM params p JOIN energy e USING (doc_id)
-      GROUP BY 1 ORDER BY 1"""))
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- stream19: streaming FUNNEL — q65's ordered-sequence analysis as
+    // per-user STATE that survives micro-batch boundaries
+    // (StreamingOps.funnelStages): stage advances greedily on the first
+    // qualifying event in event-time order, which equals q65's min-chain
+    // exactly (first qualifying event in ascending time IS the min), so
+    // the batch funnel SQL is the oracle for the streaming state machine.
+    // The feed splits the slice into 3 time-ordered micro-batches (cutting
+    // each user's history mid-funnel — the state hand-off IS the test);
+    // final stages flush via event-time timeout set BEYOND the data
+    // horizon (a watermark+1 timeout would flush-and-drop live state
+    // between batches), triggered by the sentinel jump. Event times ride
+    // MICROSECONDS end-to-end so the strict after-guards compare at the
+    // oracle's native ts precision. Cumulative tiers (stage >= s) via a
+    // bounded explode(sequence(1, stage)).
+    QueryDef("stream19_funnel_stages", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val ev = Tables.load(s, d, "events")
+        .filter(col("user_id") <= 100)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("tms"), col("event_type").as("etype"))
+        .as[StreamingOps.FunnelEvent]
+        .collect().toSeq // bounded feed plumbing (user_id <= 100 slice)
+      val ts = ev.map(_.tms)
+      val (minT, maxT) = (ts.min, ts.max)
+      val cut1 = minT + (maxT - minT) / 3
+      val cut2 = minT + 2 * (maxT - minT) / 3
+      val horizonMs = (maxT - minT) / 1000L + 60000L // past the data span
+      val mem = MemoryStream[StreamingOps.FunnelEvent]
+      val out = StreamingOps.funnelStages(mem.toDS(), horizonMs)
+      val stages = drain(s, out.toDF(), "append") { q =>
+        mem.addData(ev.filter(_.tms <= cut1)); q.processAllAvailable()
+        mem.addData(ev.filter(e => e.tms > cut1 && e.tms <= cut2))
+        q.processAllAvailable()
+        mem.addData(ev.filter(_.tms > cut2)); q.processAllAvailable()
+        // sentinel leaps the watermark past every horizon timeout; the
+        // follow-up batch delivers the timed-out flushes
+        mem.addData(StreamingOps.FunnelEvent(-1L, -1L,
+          maxT + 3 * horizonMs * 1000L, "x"))
+        q.processAllAvailable()
+        mem.addData(StreamingOps.FunnelEvent(-1L, -2L,
+          maxT + 4 * horizonMs * 1000L, "x"))
+      }
+      stages.filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          explode(sequence(lit(1), col("stage"))).as("stage_ge"))
+        .groupBy(col("stage_ge").as("stage"))
+        .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_sum"))
+        .orderBy("stage")
+    }, Some("""
+      WITH e AS (SELECT * FROM events WHERE user_id <= 100),
+      v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY 1),
+      c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+      SELECT 1 AS stage, COUNT(*) AS n_users, SUM(user_id) AS user_sum FROM v
+      UNION ALL
+      SELECT 2, COUNT(*), SUM(user_id) FROM c
+      UNION ALL
+      SELECT 3, COUNT(*), SUM(user_id) FROM p
+      ORDER BY stage"""))
   )
 }

@@ -201,4 +201,68 @@ object StreamingOps {
   def encryptProps(events: DataFrame, recipient: String): DataFrame =
     events.select(col("event_id"), col("ts"), col("event_type"),
       call_udf("age_encrypt", col("props").cast("binary"), lit(recipient)).as("props_enc"))
+
+  final case class FunnelEvent(user_id: Long, event_id: Long, tms: Long,
+                               etype: String)
+  // public: Catalyst's generated encoder projection cannot access a
+  // private nested class (same constraint as SessionEventTs)
+  final case class FunnelEventTs(user_id: Long, event_id: Long,
+                                 tms: Long, etype: String,
+                                 ets: java.sql.Timestamp)
+  final case class FunnelState(stage: Int, advTms: Long)
+  final case class FunnelOut(user_id: Long, stage: Int)
+
+  /** Streaming FUNNEL stage machine — q65's ordered-sequence analysis as
+    * per-user state that survives micro-batch boundaries: stage 0→1 on the
+    * first 'view', 1→2 on the first 'click' STRICTLY after the advancing
+    * event, 2→3 on the first 'purchase' after that. Processing each
+    * user's events in event-time order makes the greedy machine equal
+    * q65's min-chain (the first qualifying event in ascending time IS the
+    * min), so the batch oracle verifies the streaming state exactly.
+    * State is 12 bytes per live user regardless of event volume; final
+    * stages flush via event-time timeout once the watermark passes
+    * `horizonMs` beyond the last batch (stream03's discipline) — the
+    * timeout must sit BEYOND the data horizon, or a mid-stream batch
+    * would flush-and-drop live state (the watermark+1 naive choice). */
+  def funnelStages(events: Dataset[FunnelEvent],
+                   horizonMs: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    events
+      // tms rides MICROSECONDS (the oracle's native ts precision for the
+      // strict after-guards); the event-time column converts accordingly
+      .withColumn("ets", timestamp_micros(col("tms")))
+      .withWatermark("ets", "0 milliseconds")
+      .as[FunnelEventTs]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[FunnelEventTs], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.stage > 0) Iterator.single(FunnelOut(userId, st.stage))
+            else Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+            val sorted = rows.toSeq.sortBy(e => (e.tms, e.event_id))
+            sorted.foreach { e =>
+              st = (st.stage, e.etype) match {
+                case (0, "view") => FunnelState(1, e.tms)
+                case (1, "click") if e.tms > st.advTms => FunnelState(2, e.tms)
+                case (2, "purchase") if e.tms > st.advTms => FunnelState(3, e.tms)
+                case _ => st
+              }
+            }
+            state.update(st)
+            // anchor the timeout to EVENT time (sessionize's discipline):
+            // the first batch's watermark is 0/epoch, so a watermark-based
+            // horizon would land in 1970, fire mid-stream, and duplicate
+            // every user that still had events coming
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1,
+              sorted.last.tms / 1000L + horizonMs))
+            Iterator.empty
+          }
+      }
+  }
 }
