@@ -1558,11 +1558,12 @@ object Relational {
       p AS (
         SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
         WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
-      SELECT 1 AS stage, COUNT(*) AS n_users, SUM(user_id) AS user_sum FROM v
+      SELECT 1 AS stage, COUNT(*) AS n_users,
+             CAST(SUM(user_id) AS BIGINT) AS user_sum FROM v
       UNION ALL
-      SELECT 2, COUNT(*), SUM(user_id) FROM c
+      SELECT 2, COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM c
       UNION ALL
-      SELECT 3, COUNT(*), SUM(user_id) FROM p
+      SELECT 3, COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM p
       ORDER BY stage""")),
 
     // ---- q66: COHORT RETENTION — users bucketed by first-activity week
@@ -1591,7 +1592,7 @@ object Relational {
       cohort AS (
         SELECT user_id, MIN(week) AS w0 FROM weekly GROUP BY 1)
       SELECT c.w0, w.week - c.w0 AS k, COUNT(*) AS n_users,
-             SUM(w.user_id) AS user_sum
+             CAST(SUM(w.user_id) AS BIGINT) AS user_sum
       FROM weekly w JOIN cohort c USING (user_id)
       GROUP BY 1, 2 ORDER BY w0, k"""))
   )

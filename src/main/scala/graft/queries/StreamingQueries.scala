@@ -981,11 +981,12 @@ object StreamingQueries {
       p AS (
         SELECT e.user_id, MIN(e.ts) AS t3 FROM e JOIN c USING (user_id)
         WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
-      SELECT 1 AS stage, COUNT(*) AS n_users, SUM(user_id) AS user_sum FROM v
+      SELECT 1 AS stage, COUNT(*) AS n_users,
+             CAST(SUM(user_id) AS BIGINT) AS user_sum FROM v
       UNION ALL
-      SELECT 2, COUNT(*), SUM(user_id) FROM c
+      SELECT 2, COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM c
       UNION ALL
-      SELECT 3, COUNT(*), SUM(user_id) FROM p
+      SELECT 3, COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM p
       ORDER BY stage"""))
   )
 }
