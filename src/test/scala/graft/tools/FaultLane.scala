@@ -70,15 +70,23 @@ object FaultLane {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // pgrep exits 1 on no match (`.!!` would throw) — an empty set is the
+    // meaningful answer, both for the pre-spawn window and for the killer
+    // thread racing executor churn
     def executorPids(): Set[Long] = {
       import scala.sys.process._
-      (Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!)
-        .split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSet -
-        ProcessHandle.current().pid()
+      scala.util.Try(Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!)
+        .map(_.split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSet)
+        .getOrElse(Set.empty) - ProcessHandle.current().pid()
     }
 
     val mk = () => SparkEntry.queries(qname)(spark, sfDir)
     val baseline = fingerprint(mk()) // warm pass doubles as the baseline
+    // the record must attribute ONLY fault-run events: let the async
+    // listener bus drain the baseline's tail, then zero the counters so
+    // healthy-run churn can't leak into the fault record
+    Thread.sleep(2000)
+    removed.set(0); failedTasks.set(0); stageRetries.set(0)
     val before = executorPids()
     println(s"[fault] baseline rows=${baseline._1} hashsum=${baseline._2} " +
       s"executors=${before.size}")

@@ -34,9 +34,11 @@ object QProbe {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = sc.stageInfo
-          stages += ((si.stageId, si.numTasks,
-            si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
-            si.name.take(50)))
+          stages.synchronized {
+            stages += ((si.stageId, si.numTasks,
+              si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+              si.name.take(50)))
+          }
         }
       })
 
@@ -47,12 +49,18 @@ object QProbe {
       val mk = () => qs(name)(spark, sfDir)
       noop(mk()) // warm
       val ts = (1 to 3).map { i =>
-        if (i == 3) stages.clear()
+        if (i == 3) {
+          // listener events arrive on an async bus: let run 2's tail drain
+          // before clearing, or it lands inside run 3's window
+          Thread.sleep(500); stages.synchronized(stages.clear())
+        }
         val t0 = System.nanoTime(); noop(mk()); (System.nanoTime() - t0) / 1e9
       }
+      Thread.sleep(500) // same drain before reading run 3's stages
       println(f"""{"q":"$name","best":${ts.min}%.3f,"runs":[${ts.map(t => f"$t%.3f").mkString(",")}],"sf":"$sfDir"}""")
-      stages.sortBy(-_._3).take(10).foreach { case (id, n, ms, nm) =>
-        println(f"  stage $id%4d tasks=$n%3d ${ms / 1000.0}%7.2f s  $nm") }
+      stages.synchronized(stages.sortBy(-_._3).take(10).toList)
+        .foreach { case (id, n, ms, nm) =>
+          println(f"  stage $id%4d tasks=$n%3d ${ms / 1000.0}%7.2f s  $nm") }
     }
     spark.stop()
   }

@@ -47,26 +47,10 @@ object Sim01Tune {
         .orderBy("qid", "rank")
     }
 
-    def xjoin: DataFrame = {
-      val e = emb
-      val qs = e.filter(col("vec_id") < 10)
-        .agg(collect_list(struct(col("vec_id").as("qid"),
-          col("embedding").as("qe"))).as("qs"))
-      val scored = e.select(col("vec_id").as("vid"), col("embedding").as("ve"))
-        .crossJoin(broadcast(qs))
-        .select(col("vid"),
-          explode(expr("transform(qs, s -> struct(s.qid as qid, " +
-            "cosine_sim(s.qe, ve) as cos))")).as("sc"))
-        .filter(col("sc.qid") =!= col("vid"))
-        .select(col("sc.qid").as("qid"), col("vid"), col("sc.cos").as("cos"))
-      val top = scored.groupBy(col("qid"))
-        .agg(graft.functions.TopKAgg.topk_agg(col("cos"), col("vid"), 5).as("top"))
-      top.select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
-        .select(col("qid"), col("t.id").as("vid"),
-          floor(col("t.score") * 10000).cast("long").as("cos_x1e4"),
-          (col("pos") + 1).cast("int").as("rank"))
-        .orderBy("qid", "rank")
-    }
+    // the SHIPPED shape, via the registry — so a future sim01 edit is
+    // automatically what this A/B measures (only the retired NLJ arm
+    // above needs to stay inlined)
+    def xjoin: DataFrame = SparkEntry.queries("sim01_cosine_topk")(spark, sfDir)
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
