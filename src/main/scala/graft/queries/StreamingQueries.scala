@@ -704,16 +704,20 @@ object StreamingQueries {
       val mem = MemoryStream[(Long, Array[Float])]
       val q = mem.toDF().toDF("vec_id", "embedding")
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // idempotent per-batch sink (ADVICE r14): each micro-batch owns
+          // its b<batchId> subdir and OVERWRITES it, so an at-least-once
+          // re-delivery replaces rather than duplicates — the
+          // partitioned-path twin of stream16's committed-set guard.
           Similarity.serveIvfPq(s, batch, idxDir.toString)
-            .write.mode("append").parquet(outDir.toString)
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
         }.start()
       try {
         // three micro-batch groups with a forced boundary between them,
         // so the serve really runs per-batch (stream14 discipline)
         feed.grouped(4).foreach { g => mem.addData(g); q.processAllAvailable() }
       } finally q.stop()
-      s.read.parquet(outDir.toString).orderBy("qid", "rank")
+      s.read.parquet(s"$outDir/b*").orderBy("qid", "rank")
     }, // the oracle IS sim17's, shared verbatim: stream serve must equal
        // batch serve must equal the DuckDB recompute
       Similarity.defs.find(_.name == "sim17_ann_index_serve").get.oracle),
@@ -964,11 +968,18 @@ object StreamingQueries {
         mem.addData(StreamingOps.FunnelEvent(-1L, -2L,
           maxT + 4 * horizonMs * 1000L, "x"))
       }
-      stages.filter(col("user_id") >= 0)
+      // left-join the exploded tiers onto a literal 1..3 stage frame
+      // (ADVICE r14): the oracle's three UNION ALL branches always emit
+      // rows 1..3 (COUNT 0 / SUM NULL for an unreached stage), so a
+      // stage no user reached must still produce an explicit zero row —
+      // count(user_id) over the null-extended join gives exactly that.
+      val tiers = stages.filter(col("user_id") >= 0)
         .select(col("user_id"),
-          explode(sequence(lit(1), col("stage"))).as("stage_ge"))
-        .groupBy(col("stage_ge").as("stage"))
-        .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_sum"))
+          explode(sequence(lit(1), col("stage"))).as("stage"))
+      s.range(1, 4).select(col("id").cast("int").as("stage"))
+        .join(tiers, Seq("stage"), "left")
+        .groupBy(col("stage"))
+        .agg(count(col("user_id")).as("n_users"), sum(col("user_id")).as("user_sum"))
         .orderBy("stage")
     }, Some("""
       WITH e AS (SELECT * FROM events WHERE user_id <= 100),

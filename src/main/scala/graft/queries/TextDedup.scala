@@ -173,12 +173,20 @@ object TextDedup {
     * shuffle feeding the aggregate is planned once and reused, instead of
     * the signature stage executing twice per run (ADVICE r8). */
   /** (doc_id, band, key) LSH band keys from a WIDE (m0..m7) signature
-    * frame (dd15's diagnostic path). */
+    * frame (dd15's diagnostic path). The `when(m0 IS NOT NULL)` wrapper
+    * mirrors [[bandKeysOfSig]]: shingle-less docs carry all-null m0..m7
+    * (see [[minhashSignatures]]), and `concat_ws` would otherwise map
+    * every such doc to the SAME key "" — band-colliding unrelated
+    * sub-3-word docs into spurious agree=0 candidate pairs the staged
+    * oracle (which drops shingle-less docs) never produces. Nulling the
+    * band array makes the explode emit nothing, same as the staged
+    * pipeline's size(ws)>=3 filter, without a pushdown-rewritable
+    * Filter node. */
   private[queries] def bandKeysOf(minhashes: DataFrame): DataFrame =
     minhashes.select(col("doc_id"),
-      explode(array((0 until 4).map(bi =>
+      explode(when(col("m0").isNotNull, array((0 until 4).map(bi =>
         struct(lit(bi).as("band"),
-          concat_ws("_", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("key"))): _*)).as("bk"))
+          concat_ws("_", col(s"m${2 * bi}"), col(s"m${2 * bi + 1}")).as("key"))): _*))).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
   /** (doc_id, band, key) LSH band keys straight off the raw (doc_id, sig)

@@ -53,6 +53,20 @@ class MinHashSigSpec extends AnyFunSuite {
     assert(fused.count() === staged.count())
   }
 
+  test("bandKeysOf guards null signatures: sub-3-word docs never band-collide (ADVICE r14)") {
+    // two shingle-less docs carry all-null m0..m7; without the guard,
+    // concat_ws maps BOTH to key "" in every band → 4 spurious agree=0
+    // candidate pairs the staged oracle (size(ws)>=3 drop) never emits
+    val docs = Seq(
+      (1L, "one"), (2L, ""),                         // shingle-less pair
+      (3L, "alpha beta gamma"), (4L, "alpha beta gamma") // a real dup pair
+    ).toDF("doc_id", "text")
+    val pairs = TextDedup.bandPairsFromSignatures(TextDedup.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)),
+      s"expected only the real dup pair, got $pairs")
+  }
+
   test("SQL registration: minhash_sig callable from pure SQL") {
     Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
       .createOrReplaceTempView("mh_sql_probe")

@@ -281,4 +281,81 @@ class StreamingQueriesSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("fp", "keeper", "copies"))
     assert(got.count() == 0)
   }
+
+  test("FpIndex: a pinned reader snapshot survives a concurrent compaction byte-identically") {
+    import graft.streaming.FpIndex
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx_pin_").toString
+    val manifest = new FpIndex.Manifest
+    def delta(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(md5(col("text").cast("binary")).as("fp"),
+          col("doc_id").as("keeper"), lit(1L).as("copies"))
+    val batches = (0 until 4).map { k =>
+      (0L until 48L).map(i => (k * 100L + i, s"pin-${i % 24}"))
+    }
+    // three batches below the threshold, then PIN a reader snapshot
+    (0 until 3).foreach(k => FpIndex.mergeBatch(spark, root, manifest, delta(batches(k)), k.toLong))
+    val snap = FpIndex.pin(manifest, 2L)
+    val want = FpIndex.readSnapshot(spark, snap)
+      .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    // batch 3 fires the compaction that supersedes every pinned delta;
+    // GC must DEFER those paths (a reader is iterating), not delete them
+    FpIndex.mergeBatch(spark, root, manifest, delta(batches(3)), 3L)
+    assert(manifest.base.nonEmpty, "setup must cross the compaction threshold")
+    snap.paths.foreach(p => assert(new java.io.File(p).exists(),
+      s"pinned path GC'd under a live reader: $p"))
+    assert(manifest.deferredGc.nonEmpty, "compaction should have deferred pinned paths")
+    // the reader re-resolves the SAME bytes mid/post-compaction
+    val gotDuring = FpIndex.readSnapshot(spark, snap)
+      .collect().toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(gotDuring == want, "pinned snapshot changed under compaction")
+    // a fresh (unpinned) read sees the post-compaction state, exact
+    val wantAll = delta(batches.flatten).groupBy("fp")
+      .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
+    val gotAll = FpIndex.read(spark, manifest)
+    assert(gotAll.exceptAll(wantAll).count() == 0 && wantAll.exceptAll(gotAll).count() == 0)
+    // unpin reclaims exactly the deferred superseded files
+    FpIndex.unpin(spark, manifest, snap)
+    assert(manifest.deferredGc.isEmpty && manifest.pinned.isEmpty)
+    snap.paths.filterNot(manifest.allPaths.contains).foreach(p =>
+      assert(!new java.io.File(p).exists(), s"deferred GC not reclaimed on unpin: $p"))
+  }
+
+  test("FpIndex: a persist-time crash during compaction retries without double-counting (ADVICE r14)") {
+    import graft.streaming.FpIndex
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx_flt_").toString
+    val manifest = new FpIndex.Manifest
+    def delta(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(md5(col("text").cast("binary")).as("fp"),
+          col("doc_id").as("keeper"), lit(1L).as("copies"))
+    val batches = (0 until 4).map { k =>
+      (0L until 48L).map(i => (k * 100L + i, s"flt-${i % 24}"))
+    }
+    (0 until 3).foreach(k => FpIndex.mergeBatch(spark, root, manifest, delta(batches(k)), k.toLong))
+    // inject: the COMPACTING batch's persist write itself throws — the
+    // exact window ADVICE r14 named (old code had already emptied the
+    // delta piles, so the retry re-appended a consumed delta and
+    // double-counted its copies in every later read)
+    FpIndex.persistFault = v => if (v == 3L) throw new java.io.IOException("injected persist fault")
+    try {
+      intercept[java.io.IOException] {
+        FpIndex.mergeBatch(spark, root, manifest, delta(batches(3)), 3L)
+      }
+    } finally FpIndex.persistFault = _ => ()
+    // the live manifest must still be the PRE-compaction state: piles
+    // intact (4 deltas incl. the re-appended-safe batch-3 path), no base
+    assert(manifest.base.isEmpty, "persist fault leaked a half-compacted manifest")
+    assert(!manifest.committed.contains(3L))
+    // foreachBatch re-delivers batch 3: the retry compacts and commits
+    FpIndex.mergeBatch(spark, root, manifest, delta(batches(3)), 3L)
+    assert(manifest.base.nonEmpty && manifest.committed.contains(3L))
+    val wantAll = delta(batches.flatten).groupBy("fp")
+      .agg(min(col("keeper")).as("keeper"), sum(col("copies")).as("copies"))
+    val gotAll = FpIndex.read(spark, manifest)
+    assert(gotAll.exceptAll(wantAll).count() == 0 && wantAll.exceptAll(gotAll).count() == 0,
+      "retry after persist fault double-counted a batch")
+  }
 }
