@@ -414,4 +414,136 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-file ISO-BMFF walk row: movie-header fields, nested-track
+    * evidence, mdat payload stats, integrity verdict. Zeroed sentinel on
+    * any structural violation. */
+  final case class Mp4Meta(doc_id: Long, timescale: Int, duration: Int,
+                           n_traks: Int, trak_id_sum: Long,
+                           mdat_bytes: Long, mdat_sum: Long, intact: Boolean)
+
+  /** Deterministic REAL ISO-BMFF (MP4) container: big-endian size-prefixed
+    * box tree `ftyp` → `moov` (nested `mvhd` + one `trak`→`tkhd` per
+    * track) → optional `free` junk (doc_id % 3 == 0) → `mdat`. Every 4th
+    * doc's mdat uses the 64-bit LARGESIZE rule (size field = 1, u64 size
+    * after the type), so a walker that only reads the u32 size mis-strides
+    * on exactly those docs. Field contract (the closed-form oracle):
+    * timescale = 1000 + (id%4)·500, duration = 1000 + id%9000,
+    * n_traks = 1 + id%3 with track_IDs 1..n, mdat payload n = 64 + id%64
+    * bytes with byte k = (id·31 + k·17) % 251. */
+  def syntheticMp4(docId: Long): Array[Byte] = {
+    val timescale = 1000 + (docId % 4).toInt * 500
+    val duration = 1000 + (docId % 9000).toInt
+    val nTraks = 1 + (docId % 3).toInt
+    val n = 64 + (docId % 64).toInt
+    val mdatPayload = Array.tabulate(n)(k => ((docId * 31 + k * 17) % 251).toByte)
+    val largesize = docId % 4 == 0
+    val freeLen = if (docId % 3 == 0) 12 else 0
+    val mvhdSz = 8 + 100; val tkhdSz = 8 + 84; val trakSz = 8 + tkhdSz
+    val moovSz = 8 + mvhdSz + nTraks * trakSz
+    val mdatHdr = if (largesize) 16 else 8
+    val bb = java.nio.ByteBuffer.allocate(20 + moovSz + freeLen + mdatHdr + n)
+    // ftyp: major brand + minor version + one compatible brand
+    bb.putInt(20).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .put("mp41".getBytes("US-ASCII"))
+    bb.putInt(moovSz).put("moov".getBytes("US-ASCII"))
+    // mvhd v0: version/flags, creation, modification, timescale, duration,
+    // then rate/volume/matrix/next_track_ID padding to the 100-byte body
+    bb.putInt(mvhdSz).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+    bb.position(bb.position() + 100 - 20)
+    (1 to nTraks).foreach { tid =>
+      bb.putInt(trakSz).put("trak".getBytes("US-ASCII"))
+      // tkhd v0: version/flags, creation, modification, track_ID, then
+      // reserved/duration/matrix/width/height padding to the 84-byte body
+      bb.putInt(tkhdSz).put("tkhd".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0).putInt(tid)
+      bb.position(bb.position() + 84 - 16)
+    }
+    if (freeLen > 0)
+      bb.putInt(freeLen).put("free".getBytes("US-ASCII")).putInt(0)
+    if (largesize)
+      bb.putInt(1).put("mdat".getBytes("US-ASCII")).putLong(16L + n)
+    else
+      bb.putInt(8 + n).put("mdat".getBytes("US-ASCII"))
+    bb.put(mdatPayload)
+    bb.array()
+  }
+
+  /** ISO-BMFF/MP4 box walk WITHOUT media decode — the third container
+    * triage next to RIFF (mm10) and PNG (mm12), completing the media
+    * ingest path's format family: walk the big-endian size-prefixed box
+    * list (u32 size + 4-byte type; size == 1 → u64 largesize follows;
+    * size == 0 → box extends to end of file), require `ftyp` first,
+    * RECURSE into `moov` for the mvhd movie header (timescale/duration
+    * from real header bytes) and into each `trak` for its tkhd track_ID
+    * (two levels of nesting — a flat walker cannot produce trak_id_sum),
+    * skip unknown boxes by declared size, and byte-sum the located
+    * `mdat` payload. Any size overrunning its enclosing box (injected by
+    * mm13's bit flip) → zeroed sentinel. One linear scan per file,
+    * partition-local map, no shuffle — scan-bound at 100 TB. */
+  def parseMp4Batch(rows: Dataset[MediaRow]): Dataset[Mp4Meta] = {
+    import rows.sparkSession.implicits._
+    rows.map { r =>
+      val p = r.payload
+      val bad = Mp4Meta(r.doc_id, 0, 0, 0, 0L, 0L, 0L, intact = false)
+      def u32(i: Int): Long =
+        ((p(i) & 0xFFL) << 24) | ((p(i + 1) & 0xFFL) << 16) |
+          ((p(i + 2) & 0xFFL) << 8) | (p(i + 3) & 0xFFL)
+      def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+      def tag(i: Int): String =
+        new String(p, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      var timescale = 0; var duration = 0
+      var nTraks = 0; var trakIdSum = 0L
+      var mdatBytes = -1L; var mdatSum = 0L
+      var ftypFirst = false; var moovSeen = false
+      var corrupt = false
+      // walk one box list spanning [from, to); returns false on violation
+      def walk(from: Int, to: Int, depth: Int): Boolean = {
+        var i = from
+        var first = true
+        while (i < to && !corrupt) {
+          if (i + 8 > to) { corrupt = true }
+          else {
+            val s32 = u32(i)
+            val (size, hdr) =
+              if (s32 == 1L) { if (i + 16 > to) { corrupt = true; (0L, 0) } else (u64(i + 8), 16) }
+              else if (s32 == 0L) ((to - i).toLong, 8) // last box: to end
+              else (s32, 8)
+            if (!corrupt) {
+              if (size < hdr || size > to - i) corrupt = true
+              else {
+                val t = tag(i + 4); val body = i + hdr
+                val bodyLen = (size - hdr).toInt
+                if (depth == 0 && first) ftypFirst = t == "ftyp"
+                t match {
+                  case "moov" => moovSeen = true; walk(body, body + bodyLen, depth + 1)
+                  case "trak" if depth == 1 =>
+                    nTraks += 1; walk(body, body + bodyLen, depth + 1)
+                  case "mvhd" if depth == 1 && bodyLen >= 20 =>
+                    timescale = u32(body + 12).toInt
+                    duration = u32(body + 16).toInt
+                  case "tkhd" if depth == 2 && bodyLen >= 16 =>
+                    trakIdSum += u32(body + 12)
+                  case "mdat" if depth == 0 =>
+                    mdatBytes = bodyLen.toLong
+                    var k = 0
+                    while (k < bodyLen) { mdatSum += p(body + k) & 0xFF; k += 1 }
+                  case _ => () // ftyp / free / unknown: skip by size
+                }
+                first = false
+                i += size.toInt
+              }
+            }
+          }
+        }
+        !corrupt
+      }
+      if (p.length < 8 || !walk(0, p.length, 0)) bad
+      else if (!ftypFirst || !moovSeen || mdatBytes < 0 || timescale == 0) bad
+      else Mp4Meta(r.doc_id, timescale, duration, nTraks, trakIdSum,
+        mdatBytes, mdatSum, intact = true)
+    }
+  }
 }

@@ -444,6 +444,66 @@ object MultimodalQueries {
                   WHEN doc_id % 3 = 1 THEN 0 ELSE 6 END
                AS INTEGER) AS color_type,
              doc_id % 5 <> 0 AS intact
-      FROM documents WHERE doc_id % 21 = 0 ORDER BY doc_id"""))
+      FROM documents WHERE doc_id % 21 = 0 ORDER BY doc_id""")),
+
+    // ---- mm13: ISO-BMFF/MP4 box walk (VERDICT r14 #5) — the third
+    // container format next to RIFF (mm10) and PNG (mm12), completing the
+    // triage family for the media-corpus ingest path: big-endian
+    // size-prefixed box tree (ftyp/moov/mdat), the 64-bit LARGESIZE rule
+    // on every 4th doc's mdat, a junk `free` box to skip on every 3rd,
+    // and TWO levels of box nesting (moov→mvhd fields, moov→trak→tkhd
+    // track_IDs) that a flat walker cannot reproduce. The gate INJECTS
+    // corruption (one bit of moov's declared size flipped for doc_id %
+    // 5 == 0) that the walker must catch via the size-overrun check —
+    // intact flips false, fields zero out. Clean rows' fields are
+    // arithmetic (the syntheticMp4 generator contract), so the oracle
+    // predicts every row without parsing BMFF — a stride, largesize,
+    // endian, or nesting bug breaks the hash on exactly the affected
+    // residue class. Partition-local map, no shuffle.
+    QueryDef("mm13_mp4_walk", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map { id =>
+        val p = graft.ops.Multimodal.syntheticMp4(id)
+        if (id % 5 == 0) p(20) = (p(20) | 0x20).toByte // moov size bit flip
+        graft.ops.Multimodal.MediaRow(id, p)
+      }
+      graft.ops.Multimodal.parseMp4Batch(rows).toDF()
+        .select(col("doc_id"), col("timescale"), col("duration"),
+          col("n_traks"), col("trak_id_sum"), col("mdat_bytes"),
+          col("mdat_sum"), col("intact"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH params AS (
+        SELECT doc_id,
+               1000 + (doc_id % 4) * 500 AS timescale,
+               1000 + doc_id % 9000 AS duration,
+               1 + doc_id % 3 AS n_traks,
+               64 + doc_id % 64 AS n
+        FROM documents WHERE doc_id % 17 = 0),
+      ms AS (
+        SELECT doc_id, SUM((doc_id*31 + k*17) % 251) AS mdat_sum
+        FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS k
+              FROM params)
+        GROUP BY 1)
+      SELECT p.doc_id,
+             CAST(CASE WHEN p.doc_id % 5 = 0 THEN 0 ELSE p.timescale END
+               AS INTEGER) AS timescale,
+             CAST(CASE WHEN p.doc_id % 5 = 0 THEN 0 ELSE p.duration END
+               AS INTEGER) AS duration,
+             CAST(CASE WHEN p.doc_id % 5 = 0 THEN 0 ELSE p.n_traks END
+               AS INTEGER) AS n_traks,
+             CAST(CASE WHEN p.doc_id % 5 = 0 THEN 0
+                  ELSE p.n_traks * (p.n_traks + 1) / 2 END
+               AS BIGINT) AS trak_id_sum,
+             CAST(CASE WHEN p.doc_id % 5 = 0 THEN 0 ELSE p.n END
+               AS BIGINT) AS mdat_bytes,
+             CAST(CASE WHEN p.doc_id % 5 = 0 THEN 0 ELSE ms.mdat_sum END
+               AS BIGINT) AS mdat_sum,
+             p.doc_id % 5 <> 0 AS intact
+      FROM params p JOIN ms USING (doc_id)
+      ORDER BY p.doc_id"""))
   )
 }

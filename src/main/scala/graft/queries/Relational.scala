@@ -1610,7 +1610,59 @@ object Relational {
       SELECT c.w0, w.week - c.w0 AS k, COUNT(*) AS n_users,
              CAST(SUM(w.user_id) AS BIGINT) AS user_sum
       FROM weekly w JOIN cohort c USING (user_id)
-      GROUP BY 1, 2 ORDER BY w0, k"""))
+      GROUP BY 1, 2 ORDER BY w0, k""")),
+
+    // ---- q67: MAP-TYPE SURFACE (VERDICT r14 #6) — the one host-type-
+    // lattice family with no gate query until now: per-mktsegment
+    // nation→count maps built with map_from_entries over a sorted
+    // entry list, extended via map_concat with a map() literal holding
+    // a fold-computed _TOTAL entry (functions.aggregate over
+    // map_values), point-accessed with element_at, sized with
+    // map_keys, and exploded back to rows. The map column itself is
+    // engine-local (DuckDB 1.0 MAP semantics differ), so the gate
+    // compares the EXPLODED key/value relation plus the scalar
+    // lookups — every map op's effect is visible in the output.
+    // Scale shape: maps are per-GROUP values (|segments| rows of
+    // |nations| entries), built after the aggregation collapse —
+    // never a corpus-sized collect.
+    QueryDef("q67_map_surface", (s, d) => {
+      val cn = t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_mktsegment").as("segment"), col("n_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val m = cn.groupBy(col("segment"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("n_name"), col("cnt"))))).as("m"))
+        .withColumn("m2", map_concat(col("m"),
+          map(lit("_TOTAL"),
+            aggregate(map_values(col("m")), lit(0L), (acc, x) => acc + x))))
+      m.select(col("segment"),
+          explode(col("m2")).as(Seq("key", "value")),
+          size(map_keys(col("m2"))).as("n_keys"),
+          coalesce(element_at(col("m2"), lit("GERMANY")), lit(0L))
+            .as("germany_cnt"))
+        .orderBy("segment", "key")
+    }, Some("""
+      WITH cn AS (
+        SELECT c.c_mktsegment AS segment, n.n_name, COUNT(*) AS cnt
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2),
+      tot AS (
+        SELECT segment, CAST(SUM(cnt) AS BIGINT) AS total,
+               COUNT(*) AS nk,
+               CAST(COALESCE(SUM(CASE WHEN n_name = 'GERMANY' THEN cnt END), 0)
+                 AS BIGINT) AS germany
+        FROM cn GROUP BY 1),
+      entries AS (
+        SELECT segment, n_name AS key, cnt AS value FROM cn
+        UNION ALL
+        SELECT segment, '_TOTAL', total FROM tot)
+      SELECT e.segment, e.key, CAST(e.value AS BIGINT) AS value,
+             CAST(t.nk + 1 AS INTEGER) AS n_keys,
+             t.germany AS germany_cnt
+      FROM entries e JOIN tot t USING (segment)
+      ORDER BY segment, key"""))
   )
 
   /** One-time orderkey-bucketed layout build shared by q59/q60 and the
