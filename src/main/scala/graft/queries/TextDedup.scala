@@ -1888,6 +1888,86 @@ object TextDedup {
                AS dup_chars
       FROM scored GROUP BY 1 ORDER BY lang""")),
 
+    // ---- dd25: EXACT-SUBSTRING dedup tier (VERDICT r14 #4) — the
+    // suffix-style pass between dd01's whole-doc hash and dd24's CDC
+    // chunk fingerprints: any 50-token run shared ACROSS documents is a
+    // reclaimable exact substring (the "dedup long common prefixes/runs"
+    // tier production pipelines run after whole-doc dedup). Shape:
+    // 50-token rolling windows are fingerprinted DOC-LOCALLY inside the
+    // scan (transform over sequence — no window function, no shuffle),
+    // the fp groupBy finding cross-doc runs is the ONLY corpus-wide
+    // exchange (bucketed equi-join, dd01's shape — never all-pairs),
+    // and overlapping hit windows merge into maximal spans with a
+    // gaps-and-islands pass partitioned BY DOCUMENT (millions of
+    // independent doc partitions at 100 TB, no global sort). The
+    // per-lang ledger reports affected docs, merged spans, and the
+    // token count a substring-dedup rewrite would reclaim.
+    QueryDef("dd25_substring_spans", (s, d) => {
+      val W = 50
+      val wins = docs(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= W)
+        .select(col("doc_id"), col("lang"),
+          posexplode(expr(
+            s"transform(sequence(0, size(ws) - $W), " +
+              s"i -> md5(array_join(slice(ws, i + 1, $W), ' ')))"))
+            .as(Seq("i", "fp")))
+      // a run is shared iff its fp spans >= 2 distinct docs: min<max is
+      // the cheap two-accumulator form (map-side combinable, no distinct)
+      val dup = wins.groupBy("fp")
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .filter(col("mn") < col("mx"))
+        .select("fp")
+      val hits = wins.join(dup, "fp").select(col("doc_id"), col("lang"), col("i"))
+      // gaps-and-islands: [i, i+W) spans merge while each window starts
+      // at or before the running max end of the preceding ones
+      val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val spans = hits
+        .withColumn("ni",
+          when(col("i") > coalesce(max(col("i") + W).over(wPrev), lit(-1)),
+            1L).otherwise(0L))
+        .withColumn("island", sum(col("ni")).over(wRun))
+        .groupBy(col("doc_id"), col("lang"), col("island"))
+        .agg(min(col("i")).as("s"), (max(col("i")) + W).as("e"))
+      spans.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_spans"),
+          sum((col("e") - col("s")).cast("long")).as("reclaimed_tokens"))
+        .orderBy("lang")
+    }, Some("""
+      WITH d25 AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+      pos AS (
+        SELECT doc_id, lang, ws, unnest(generate_series(0, len(ws) - 50)) AS i
+        FROM d25 WHERE len(ws) >= 50),
+      sh AS (
+        SELECT doc_id, lang, i,
+               md5(array_to_string(ws[i+1:i+50], ' ')) AS fp
+        FROM pos),
+      dup AS (SELECT fp FROM sh GROUP BY fp HAVING MIN(doc_id) < MAX(doc_id)),
+      hits AS (SELECT doc_id, lang, i FROM sh JOIN dup USING (fp)),
+      isl AS (
+        SELECT doc_id, lang, i,
+               CASE WHEN i > COALESCE(MAX(i + 50) OVER (
+                      PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS ni
+        FROM hits),
+      isl2 AS (
+        SELECT doc_id, lang, i,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl),
+      spans AS (
+        SELECT doc_id, lang, island, MIN(i) AS s, MAX(i) + 50 AS e
+        FROM isl2 GROUP BY 1, 2, 3)
+      SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_spans,
+             CAST(SUM(e - s) AS BIGINT) AS reclaimed_tokens
+      FROM spans GROUP BY 1 ORDER BY lang""")),
+
     // ---- tx26: Count-Min-Sketch heavy hitters — the third sketch next
     // to HLL (q34) and KLL quantiles (q37), and unlike those, CUSTOM and
     // fully oracle-checkable: cms_agg (functions/CmsAgg.scala, the 9th
@@ -2210,6 +2290,153 @@ object TextDedup {
       UNION ALL
       SELECT '_quarantined' AS lang, COUNT(*) AS n_docs, 0 AS n_chars
       FROM documents WHERE doc_id % 7 = 0
-      ORDER BY lang"""))
+      ORDER BY lang""")),
+
+    // ---- tx31: MULTI-ITERATION BPE TRAINER (VERDICT r14 #3) — the real
+    // tokenizer-training loop tx17 (mines round 1) and tx27 (encodes a
+    // static vocab) bracket: three merge rounds, each one (a) counting
+    // adjacent SYMBOL pairs over the current segmentation weighted by
+    // word frequency, (b) adopting the single most frequent pair
+    // (ties → lexicographic, both engines binary-collate), and (c)
+    // RE-SEGMENTING every word by greedy leftmost non-overlapping merge
+    // before the next round — the re-segmentation between rounds is
+    // exactly what the static-vocab queries couldn't exercise. Per-round
+    // output: the adopted pair, its mined frequency, and the corpus
+    // token count + segmentation checksum AFTER the merge (Σ n·h28(sym)
+    // pins the exact symbol sequence, so a wrong merge application or a
+    // round-order bug cannot hash-match).
+    //
+    // 100 TB shape: the corpus collapses to DISTINCT words at the first
+    // exchange and every round's work is vocabulary-bounded — pair
+    // counting and the merge fold run once per distinct word (persisted
+    // between rounds, so round r+1 starts from r's materialized
+    // segmentation, not a 3^r-deep recompute); the adopted pair is a
+    // one-row broadcast. A 1000× corpus with the same vocabulary does
+    // no more per-round work, exactly like production BPE trainers.
+    //
+    // Oracle: tx27's closed-form greedy discipline applied per round —
+    // merge-eligible positions group into runs of consecutive indices
+    // and greedy selects every other position from each run head, so
+    // each DuckDB round is LEAD + gaps-and-islands + anti-join SQL over
+    // the distinct-word relation (no recursive CTE; see bpeRoundSql).
+    QueryDef("tx31_bpe_train3", (s, d) => {
+      val wc = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val cksumOf = // Σ h28(symbol) over one segmentation, as a fold
+        "aggregate(seg, CAST(0 AS BIGINT), (acc, x) -> acc + " +
+          "CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 7), 16, 10) AS BIGINT))"
+      var seg = wc.withColumn("seg",
+        expr("transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"))
+        .select("word", "n", "seg").persist()
+      val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      for (r <- 1 to 3) {
+        val best = seg.filter(size(col("seg")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(seg) - 1), i -> " +
+              "named_struct('a', element_at(seg, i), 'b', element_at(seg, i + 1)))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("total"))
+          .orderBy(col("total").desc, col("a"), col("b")).limit(1)
+        // greedy leftmost non-overlapping merge of (a,b), tx27's fold
+        // shape but emitting the new symbol ARRAY instead of counters
+        val merged = seg.crossJoin(broadcast(best))
+          .withColumn("seg2", expr(
+            """aggregate(
+                 sequence(1, size(seg)),
+                 named_struct('out', slice(seg, 1, 0), 'pos', 1),
+                 (acc, i) -> CASE
+                   WHEN i < acc.pos THEN acc
+                   WHEN i < size(seg) AND element_at(seg, i) = a
+                        AND element_at(seg, i + 1) = b
+                     THEN named_struct('out', concat(acc.out, array(concat(a, b))),
+                                       'pos', i + 2)
+                   ELSE named_struct('out', concat(acc.out, array(element_at(seg, i))),
+                                     'pos', i + 1)
+                 END).out"""))
+          .select(col("word"), col("n"), col("seg2").as("seg"))
+          .persist()
+        val stats = merged.agg(
+          sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
+          sum(col("n") * expr(cksumOf)).as("cksum"))
+        rounds += best
+          .select(lit(r).as("round"), concat(col("a"), col("b")).as("pair"),
+            col("total").cast("long").as("pair_total"))
+          .crossJoin(stats) // 1×1 certificate row per round
+        seg = merged
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }, Some(s"""
+      WITH wc AS (
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) >= 1 GROUP BY 1),
+      seg1 AS (
+        SELECT word, n, i AS j, substr(word, i, 1) AS sym
+        FROM (SELECT word, n, unnest(generate_series(1, len(word))) AS i
+              FROM wc)),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)}
+      SELECT round, pair, pair_total, n_tokens, cksum
+      FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
+            UNION ALL SELECT * FROM m3)
+      ORDER BY round"""))
   )
+
+  /** One BPE training round as DuckDB CTEs (tx31's oracle): from the
+    * current segmentation `seg r` (word, n, j, sym), mine the most
+    * frequent adjacent pair, select greedy leftmost non-overlapping
+    * merge positions via the tx27 run/gaps-and-islands closed form,
+    * apply the merge with a LEAD + anti-join rewrite, and emit the
+    * per-round certificate row `m r`. */
+  private def bpeRoundSql(r: Int): String = {
+    val sIn = s"seg$r"; val sOut = s"seg${r + 1}"
+    s"""
+      pairs$r AS (
+        SELECT pa, pb, SUM(n) AS total FROM (
+          SELECT word, n, sym AS pa,
+                 LEAD(sym) OVER (PARTITION BY word ORDER BY j) AS pb
+          FROM $sIn)
+        WHERE pb IS NOT NULL GROUP BY 1, 2),
+      best$r AS (
+        SELECT pa, pb, total FROM pairs$r
+        ORDER BY total DESC, pa, pb LIMIT 1),
+      el$r AS (
+        SELECT s.word, s.j FROM (
+          SELECT word, j, sym,
+                 LEAD(sym) OVER (PARTITION BY word ORDER BY j) AS nx
+          FROM $sIn) s, best$r b
+        WHERE s.sym = b.pa AND s.nx = b.pb),
+      sel$r AS (
+        SELECT word, j FROM (
+          SELECT word, j, MIN(j) OVER (PARTITION BY word, grp) AS run0 FROM (
+            SELECT word, j,
+                   j - ROW_NUMBER() OVER (PARTITION BY word ORDER BY j) AS grp
+            FROM el$r))
+        WHERE (j - run0) % 2 = 0),
+      $sOut AS (
+        SELECT word, n,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY j) AS j, sym
+        FROM (
+          SELECT s.word, s.n, s.j,
+                 CASE WHEN sel.j IS NOT NULL THEN s.sym || s.nx
+                      ELSE s.sym END AS sym
+          FROM (SELECT word, n, j, sym,
+                       LEAD(sym) OVER (PARTITION BY word ORDER BY j) AS nx
+                FROM $sIn) s
+          LEFT JOIN sel$r sel ON sel.word = s.word AND sel.j = s.j
+          LEFT JOIN sel$r prev ON prev.word = s.word AND prev.j = s.j - 1
+          WHERE prev.word IS NULL)),
+      m$r AS (
+        SELECT $r AS round,
+               (SELECT pa || pb FROM best$r) AS pair,
+               (SELECT CAST(total AS BIGINT) FROM best$r) AS pair_total,
+               CAST(SUM(n) AS BIGINT) AS n_tokens,
+               CAST(SUM(n * (('0x' || substr(md5(sym), 1, 7))::BIGINT))
+                 AS BIGINT) AS cksum
+        FROM $sOut)"""
+  }
 }
