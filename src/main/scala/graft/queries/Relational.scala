@@ -1402,6 +1402,35 @@ object Relational {
         AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
       GROUP BY n_name ORDER BY n_name""")),
 
+    // ---- q68: q60's star over a DUAL bucketed layout (VERDICT r14 #1)
+    // — q60 killed the orderkey exchange but its custkey join still
+    // re-hashed the filtered fact intermediate AND customer at runtime
+    // ("one layout cannot co-locate two keys"). The warehouse answer is
+    // the SECOND copy: orders+customer co-bucketed on custkey next to
+    // lineitem's orderkey buckets. orders⋈customer then rides its own
+    // buckets exchange-free, and the only shuffle left in the whole
+    // star is the orders-sized o⋈c output re-hashed to lineitem's
+    // buckets — lineitem never moves, customer never moves. Oracle
+    // identical to q05/q60's, so layout-copy correctness is
+    // oracle-checked; plan-locked by PlanShapeSpec (the one exchange).
+    QueryDef("q68_dual_bucketed_join5", (s, d) => {
+      val lt = "graft_b68_lineitem"
+      buildLineitemOrderkeyBucketed(s, d, lt, nb = 8, withSuppkey = true)
+      val ot = "graft_b68_orders_ck"; val ct = "graft_b68_customer_ck"
+      buildCustkeyBucketedTables(s, d, ot, ct, nb = 8)
+      q60DualLayoutPhase(s, d, lt, ot, ct)
+    }, Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n_name ORDER BY n_name""")),
+
     // ---- q61: RUNTIME BLOOM-FILTER semi-join reduction — Catalyst's
     // InjectRuntimeFilter: when a shuffle join's build side carries a
     // selective filter, the optimizer plans a bloom_filter_agg subquery
@@ -1672,6 +1701,20 @@ object Relational {
   def buildOrderkeyBucketedTables(s: SparkSession, d: String,
                                   lineitemTbl: String, ordersTbl: String,
                                   nb: Int, withSuppkey: Boolean): Unit = {
+    buildLineitemOrderkeyBucketed(s, d, lineitemTbl, nb, withSuppkey)
+    t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      .repartition(nb, col("o_orderkey"))
+      .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable(ordersTbl)
+  }
+
+  /** The lineitem half of the orderkey layout alone — q68's dual-layout
+    * build needs lineitem on orderkey but orders on CUSTKEY, so the
+    * paired write above would waste an orders copy. */
+  def buildLineitemOrderkeyBucketed(s: SparkSession, d: String,
+                                    lineitemTbl: String, nb: Int,
+                                    withSuppkey: Boolean): Unit = {
     val lcols =
       if (withSuppkey) Seq(col("l_orderkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_discount"))
@@ -1681,11 +1724,57 @@ object Relational {
       .repartition(nb, col("l_orderkey"))
       .write.bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
       .mode("overwrite").saveAsTable(lineitemTbl)
+  }
+
+  /** The SECOND bucketed copy a real warehouse maintains for the q05/q60
+    * star (BENCH_SCALING r14's named next step): orders and customer
+    * co-bucketed on CUSTKEY, so the star's second join key gets its own
+    * co-located layout instead of a fact-sized runtime exchange. */
+  def buildCustkeyBucketedTables(s: SparkSession, d: String,
+                                 ordersTbl: String, customerTbl: String,
+                                 nb: Int): Unit = {
     t(s, d, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-      .repartition(nb, col("o_orderkey"))
-      .write.bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
+      .repartition(nb, col("o_custkey"))
+      .write.bucketBy(nb, "o_custkey").sortBy("o_custkey")
       .mode("overwrite").saveAsTable(ordersTbl)
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .repartition(nb, col("c_custkey"))
+      .write.bucketBy(nb, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable(customerTbl)
+  }
+
+  /** q68's query phase — the q05/q60 star over BOTH bucketed copies:
+    * orders⋈customer rides the custkey buckets (zero exchange on either
+    * side), the orders-sized join output is the ONLY relation re-hashed
+    * (to lineitem's orderkey buckets — lineitem, the biggest table,
+    * never moves), and supplier/nation/region broadcast. Exchanged
+    * bytes collapse from fact-sized (q60: filtered l⋈o output +
+    * customer, both on custkey) to one orders-sized intermediate —
+    * at 100 TB that is the difference between re-shuffling the fact
+    * pipeline per query and paying two amortized bucketed writes. */
+  def q60DualLayoutPhase(s: SparkSession, d: String,
+                         lineitemTbl: String, ordersCkTbl: String,
+                         customerCkTbl: String): DataFrame = {
+    val r = t(s, d, "region"); val n = t(s, d, "nation")
+    val su = t(s, d, "supplier")
+    val o = s.table(ordersCkTbl)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val c = s.table(customerCkTbl)
+    val oc = o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey"))
+    s.table(lineitemTbl).hint("merge")
+      .join(oc, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue_cents"))
+      .orderBy(col("n_name"))
   }
 
   /** q59's query phase over pre-built bucketed tables: per-order revenue

@@ -202,6 +202,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "q60 re-grew the fact-fact orderkey exchange the bucketing exists to kill")
   }
 
+  test("q68 dual layout: custkey join bucket-local, ONE orders-sized exchange, lineitem never moves") {
+    val plan = physicalPlan("q68_dual_bucketed_join5")
+    assert(plan.contains("Bucketed: true"), "q68 lost the bucketed scans")
+    // orders⋈customer must ride the custkey buckets — no exchange on
+    // either custkey input
+    assert(!plan.contains("Exchange hashpartitioning(o_custkey") &&
+      !plan.contains("Exchange hashpartitioning(c_custkey"),
+      "q68 re-grew a custkey exchange — the second bucketed copy exists to kill it")
+    // lineitem (the fact) must never be re-hashed; the ONE allowed
+    // shuffle re-hashes the orders-sized o⋈c output to lineitem's buckets
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      "q68 exchanged lineitem — the orderkey buckets must carry it")
+    assert(plan.contains("Exchange hashpartitioning(o_orderkey"),
+      "q68's o⋈c intermediate should re-hash to lineitem's buckets")
+  }
+
   test("selective filters reach the parquet scan (PushedFilters)") {
     val plan = physicalPlan("q06_selective_sum")
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThanOrEqual"),
