@@ -42,6 +42,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "tx26_cms_heavy_hitters", // 1-row sketch broadcast into the probe (tx12's class)
     "stream14_cms_heavy_hitters", // same 1-row sketch broadcast, drained from the stream
     "tx27_bpe_encode", // 1-row 50-pair vocab array broadcast into the encode fold
+    "tx31_bpe_train3", // per-round 1-row adopted-pair broadcast into the merge fold + 1×1 certificate rows (tx27/graph04's classes)
     "graph04_copurchase_cc") // 1-row × 1-row certificate-counter cross join
 
   test("no unintended cartesian / nested-loop joins anywhere in the inventory") {
