@@ -1904,13 +1904,19 @@ object TextDedup {
     // token count a substring-dedup rewrite would reclaim.
     QueryDef("dd25_substring_spans", (s, d) => {
       val W = 50
+      // native one-pass window fingerprints (functions/SubstringRunFps):
+      // each w-token window is a CONTIGUOUS byte span of the document
+      // (split's separator is the join's space), so the md5s run in
+      // place over the row bytes — no interpreted transform lambda, no
+      // per-window string allocation (1.59→1.14 s at sf10m; the scan+fp
+      // stage alone is 0.28 s, the rest is the fp self-join's hash
+      // aggregate + islands window — BENCH_SCALING r15). NULL (sub-w
+      // docs) explodes to nothing, the same structural guard as
+      // minhash_sig's consumers.
       val wins = docs(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= W)
         .select(col("doc_id"), col("lang"),
-          posexplode(expr(
-            s"transform(sequence(0, size(ws) - $W), " +
-              s"i -> md5(array_join(slice(ws, i + 1, $W), ' ')))"))
+          posexplode(
+            graft.functions.SubstringRunFps.substring_run_fps(col("text"), W))
             .as(Seq("i", "fp")))
       // a run is shared iff its fp spans >= 2 distinct docs: min<max is
       // the cheap two-accumulator form (map-side combinable, no distinct)

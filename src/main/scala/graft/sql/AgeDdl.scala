@@ -276,6 +276,25 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           intLit(args(1), "n_planes"), intLit(args(2), "band_size"))
       }))
     extensions.injectFunction((
+      FunctionIdentifier("substring_run_fps"),
+      new ExpressionInfo(classOf[graft.functions.SubstringRunFps].getName,
+        "substring_run_fps",
+        "substring_run_fps(text, w) - md5 hex fingerprint per w-token " +
+          "window (array index = window start token), one zero-copy byte " +
+          "pass; w must be an integer literal"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        if (args.length != 2)
+          throw new graft.core.AgeInvalidInputException(
+            "substring_run_fps(text, w) takes exactly 2 arguments")
+        val w = args(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new graft.core.AgeInvalidInputException(
+            "substring_run_fps: w must be an integer literal")
+        }
+        graft.functions.SubstringRunFps(args.head, w)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig",
         "minhash_sig(text) - one-pass K=8 MinHash signature of the document's " +
