@@ -450,6 +450,56 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: parseMp4Batch walks the box tree, largesize, size-0, and sentinels corruption") {
+    import spark.implicits._
+    // clean fixtures covering every generator regime: largesize (id%4==0),
+    // free box (id%3==0), 1..3 traks
+    val cleanIds = Seq(0L, 1L, 2L, 3L, 4L, 12L, 17L)
+    val clean = cleanIds.map(id => Multimodal.MediaRow(id, Multimodal.syntheticMp4(id)))
+    // size == 0: per ISO-BMFF the box extends to END of file — rewrite the
+    // (non-largesize) mdat size field of doc 1 to 0; the payload is
+    // unchanged, so all fields must still parse identically
+    val sizeZero = {
+      val p = Multimodal.syntheticMp4(1L)
+      val n = 64 + 1 // doc 1 mdat payload length
+      val off = p.length - n - 8 // start of the u32 size field
+      p(off) = 0; p(off + 1) = 0; p(off + 2) = 0; p(off + 3) = 0
+      p
+    }
+    // corruption classes: moov size overrun (the mm13 gate flip), a
+    // truncated largesize header, a truncated file, and not-bmff bytes
+    val moovFlip = Multimodal.syntheticMp4(2L)
+    moovFlip(20) = (moovFlip(20) | 0x20).toByte
+    val truncLarge = Multimodal.syntheticMp4(4L).dropRight(70) // cuts into mdat payload
+    val rows = spark.createDataset(clean ++ Seq(
+      Multimodal.MediaRow(600L, sizeZero),
+      Multimodal.MediaRow(601L, moovFlip),
+      Multimodal.MediaRow(602L, truncLarge),
+      Multimodal.MediaRow(603L, Multimodal.syntheticMp4(5L).take(10)),
+      Multimodal.MediaRow(604L, "never was an mp4".getBytes("US-ASCII"))))
+    val got = Multimodal.parseMp4Batch(rows).collect().map(r => r.doc_id -> r).toMap
+    cleanIds.foreach { id =>
+      val r = got(id)
+      assert(r.intact, s"doc $id should walk clean")
+      assert(r.timescale == 1000 + (id % 4).toInt * 500, s"doc $id timescale")
+      assert(r.duration == 1000 + (id % 9000).toInt, s"doc $id duration")
+      val nt = 1 + (id % 3).toInt
+      assert(r.n_traks == nt && r.trak_id_sum == nt.toLong * (nt + 1) / 2,
+        s"doc $id traks")
+      val n = 64 + (id % 64).toInt
+      assert(r.mdat_bytes == n.toLong, s"doc $id mdat bytes")
+      assert(r.mdat_sum == (0 until n).map(k => (id * 31 + k * 17) % 251).sum,
+        s"doc $id mdat sum")
+    }
+    // size-0 last box: identical fields to the unmodified doc 1
+    assert(got(600L).intact && got(600L).copy(doc_id = 1L) == got(1L),
+      "size-0 mdat must parse to-end identically")
+    Seq(601L, 602L, 603L, 604L).foreach { id =>
+      assert(!got(id).intact && got(id).timescale == 0,
+        s"doc $id must get the zeroed sentinel")
+    }
+  }
+
   test("graphx: co-purchase pagerank differentiates customers") {
     // top-10 can tie (the max-degree clique); differentiation shows over
     // a wider window — at sf0.001 the projection has ~81 distinct ranks

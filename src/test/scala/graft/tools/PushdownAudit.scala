@@ -7,7 +7,7 @@ import graft.SparkEntry
   * the predicate, and the Project above evaluates it AGAIN. Prints every
   * (query, expensive-fn) pair found in DataFilters. */
 object PushdownAudit {
-  val expensive = Seq("minhash_sig", "token_stats", "repetition_stats",
+  val expensive = Seq("minhash_sig", "token_stats", "repetition_stats", "substring_run_fps",
     "cosine_sim", "band_keys", "simhash", "cms_agg", "age_encrypt",
     "age_decrypt", "levenshtein", "regexp_replace", "regexp_extract")
   def main(args: Array[String]): Unit = {
