@@ -23,9 +23,19 @@ import org.apache.spark.sql.functions._
 object R15Tune {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/localdata/sf10m")
-    val spark = SparkSession.builder()
-      .master("local[32]")
+    // SPARK_GRAFT_MASTER=spark://... runs the same lane on the standalone
+    // cluster (CLUSTER.md) — where exchanges are real serde+IPC and q68's
+    // shuffle-byte reduction is the thing under test; the packaged jar is
+    // shipped to executors (this tune main itself is driver-only).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val b0 = SparkSession.builder()
+      .master(master)
       .withExtensions(new graft.sql.GraftSparkExtensions)
+    val spark = (if (master.startsWith("spark://"))
+      b0.config("spark.jars",
+          "/root/repo/target/scala-2.13/duckdbagespark_2.13-0.1.0.jar")
+        .config("spark.executor.memory", sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "12g"))
+    else b0)
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
