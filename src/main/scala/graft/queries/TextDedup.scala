@@ -2325,56 +2325,8 @@ object TextDedup {
     // and greedy selects every other position from each run head, so
     // each DuckDB round is LEAD + gaps-and-islands + anti-join SQL over
     // the distinct-word relation (no recursive CTE; see bpeRoundSql).
-    QueryDef("tx31_bpe_train3", (s, d) => {
-      val wc = docs(s, d)
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) >= 1)
-        .groupBy("word").agg(count(lit(1)).as("n"))
-      val cksumOf = // Σ h28(symbol) over one segmentation, as a fold
-        "aggregate(seg, CAST(0 AS BIGINT), (acc, x) -> acc + " +
-          "CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 7), 16, 10) AS BIGINT))"
-      var seg = wc.withColumn("seg",
-        expr("transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"))
-        .select("word", "n", "seg").persist()
-      val rounds = scala.collection.mutable.ArrayBuffer[DataFrame]()
-      for (r <- 1 to 3) {
-        val best = seg.filter(size(col("seg")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(1, size(seg) - 1), i -> " +
-              "named_struct('a', element_at(seg, i), 'b', element_at(seg, i + 1)))"))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("n")).as("total"))
-          .orderBy(col("total").desc, col("a"), col("b")).limit(1)
-        // greedy leftmost non-overlapping merge of (a,b), tx27's fold
-        // shape but emitting the new symbol ARRAY instead of counters
-        val merged = seg.crossJoin(broadcast(best))
-          .withColumn("seg2", expr(
-            """aggregate(
-                 sequence(1, size(seg)),
-                 named_struct('out', slice(seg, 1, 0), 'pos', 1),
-                 (acc, i) -> CASE
-                   WHEN i < acc.pos THEN acc
-                   WHEN i < size(seg) AND element_at(seg, i) = a
-                        AND element_at(seg, i + 1) = b
-                     THEN named_struct('out', concat(acc.out, array(concat(a, b))),
-                                       'pos', i + 2)
-                   ELSE named_struct('out', concat(acc.out, array(element_at(seg, i))),
-                                     'pos', i + 1)
-                 END).out"""))
-          .select(col("word"), col("n"), col("seg2").as("seg"))
-          .persist()
-        val stats = merged.agg(
-          sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
-          sum(col("n") * expr(cksumOf)).as("cksum"))
-        rounds += best
-          .select(lit(r).as("round"), concat(col("a"), col("b")).as("pair"),
-            col("total").cast("long").as("pair_total"))
-          .crossJoin(stats) // 1×1 certificate row per round
-        seg = merged
-      }
-      rounds.reduce(_ unionByName _).orderBy("round")
-    }, Some(s"""
+    QueryDef("tx31_bpe_train3", (s, d) =>
+      bpeTrainRounds(docs(s, d), 3), Some(s"""
       WITH wc AS (
         SELECT word, COUNT(*) AS n FROM (
           SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -2391,6 +2343,80 @@ object TextDedup {
             UNION ALL SELECT * FROM m3)
       ORDER BY round"""))
   )
+
+  /** The tx31 training loop, parameterized by round count so the scale
+    * lane (Tx31Probe) can measure per-round cost beyond the gate's 3:
+    * one certificate row per round (round, pair, pair_total, n_tokens,
+    * cksum). Per-round work is vocabulary-bounded, and each round's
+    * segmentation is MATERIALIZED to parquet and re-read — the
+    * checkpoint-per-iteration discipline every production iterative
+    * Spark job uses, because chaining r rounds of lazy plans grows
+    * analysis/optimization superlinearly (measured: persist-only
+    * lineage hit 27.6 s at 7 rounds and timed out at 10; materialized
+    * rounds are flat — BENCH_SCALING r15). The per-round argmax pair
+    * and the two certificate aggregates are 1-row collects (bounded by
+    * construction, the DDL-materialization class); everything
+    * corpus- or vocab-sized stays distributed. */
+  private[graft] def bpeTrainRounds(docsDf: DataFrame, nRounds: Int): DataFrame = {
+    val s = docsDf.sparkSession
+    val tmp = TempDirs.create("graft-bpe-train")
+    val cksumOf = // Σ h28(symbol) over one segmentation, as a fold
+      "aggregate(seg, CAST(0 AS BIGINT), (acc, x) -> acc + " +
+        "CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 7), 16, 10) AS BIGINT))"
+    docsDf
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("seg",
+        expr("transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"))
+      .select("word", "n", "seg")
+      .write.mode("overwrite").parquet(s"$tmp/seg0")
+    var seg = s.read.parquet(s"$tmp/seg0")
+    val certs = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
+    for (r <- 1 to nRounds) {
+      // the adopted pair: distributed pair mining, 1-row argmax collect
+      val bestRow = seg.filter(size(col("seg")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(seg) - 1), i -> " +
+            "named_struct('a', element_at(seg, i), 'b', element_at(seg, i + 1)))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("total"))
+        .orderBy(col("total").desc, col("a"), col("b")).limit(1)
+        .collect()(0) // bounded: the single adopted merge of this round
+      val (a, b, total) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+      // greedy leftmost non-overlapping merge of (a,b), tx27's fold
+      // shape but emitting the new symbol ARRAY instead of counters;
+      // the pair rides in as a broadcast 1-row frame so the fold text
+      // stays literal-free
+      val pairDf = { import s.implicits._; Seq((a, b)).toDF("a", "b") }
+      seg.crossJoin(broadcast(pairDf))
+        .withColumn("seg2", expr(
+          """aggregate(
+               sequence(1, size(seg)),
+               named_struct('out', slice(seg, 1, 0), 'pos', 1),
+               (acc, i) -> CASE
+                 WHEN i < acc.pos THEN acc
+                 WHEN i < size(seg) AND element_at(seg, i) = a
+                      AND element_at(seg, i + 1) = b
+                   THEN named_struct('out', concat(acc.out, array(concat(a, b))),
+                                     'pos', i + 2)
+                 ELSE named_struct('out', concat(acc.out, array(element_at(seg, i))),
+                                   'pos', i + 1)
+               END).out"""))
+        .select(col("word"), col("n"), col("seg2").as("seg"))
+        .write.mode("overwrite").parquet(s"$tmp/seg$r")
+      seg = s.read.parquet(s"$tmp/seg$r")
+      val st = seg.agg(
+        sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
+        sum(col("n") * expr(cksumOf)).as("cksum"))
+        .collect()(0) // bounded: the round's 1-row certificate aggregates
+      certs += ((r, a + b, total, st.getLong(0), st.getLong(1)))
+    }
+    import s.implicits._
+    certs.toSeq.toDF("round", "pair", "pair_total", "n_tokens", "cksum")
+      .orderBy("round")
+  }
 
   /** One BPE training round as DuckDB CTEs (tx31's oracle): from the
     * current segmentation `seg r` (word, n, j, sym), mine the most
