@@ -19,7 +19,12 @@ object Bench {
     // r14: the two custom-expression pipeline operators where the
     // scan-side-map design beats the explode-and-aggregate shape outright
     // (tx28 0.31×, dd24 0.61× vs DuckDB at sf10 — BENCH_SCALING)
-    "tx28_repetition_filter", "dd24_cdc_chunk_dedup")
+    "tx28_repetition_filter", "dd24_cdc_chunk_dedup",
+    // r15: the substring-dedup tier on the native zero-copy window
+    // fingerprints, and the multi-round BPE trainer whose materialized
+    // per-round state runs 26× faster than the oracle's CTE re-inlining
+    // at sf10 (BENCH_SCALING r15)
+    "dd25_substring_spans", "tx31_bpe_train3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
