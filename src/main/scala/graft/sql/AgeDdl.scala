@@ -292,6 +292,8 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
           case _ => throw new graft.core.AgeInvalidInputException(
             "substring_run_fps: w must be an integer literal")
         }
+        if (w < 1) throw new graft.core.AgeInvalidInputException(
+          "substring_run_fps: w must be >= 1")
         graft.functions.SubstringRunFps(args.head, w)
       }))
     extensions.injectFunction((
