@@ -63,11 +63,15 @@ object FaultLane {
 
     // order-insensitive result fingerprint: row count + sum of xxhash64
     // over every column — any lost, duplicated, or corrupted row flips it
-    def fingerprint(df: DataFrame): (Long, Long) = {
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
+      // sum the hashes as decimal(38,0): full-range xxhash64 longs can
+      // overflow a BIGINT sum under ANSI mode (hit by tx31's 3-row
+      // certificate result); decimal keeps the fingerprint exact
       val r = df
         .select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(count(lit(1)), sum(col("h"))).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
     }
 
     // pgrep exits 1 on no match (`.!!` would throw) — an empty set is the
