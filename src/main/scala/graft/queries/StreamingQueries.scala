@@ -998,6 +998,108 @@ object StreamingQueries {
       SELECT 2, COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM c
       UNION ALL
       SELECT 3, COUNT(*), CAST(SUM(user_id) AS BIGINT) FROM p
-      ORDER BY stage"""))
+      ORDER BY stage""")),
+
+    // ---- stream20: SUBSTRING-LEVEL ADMISSION GATE — stream16's
+    // sequential admission discipline at dd25's granularity: incoming
+    // crawl batches are rejected if they SHARE ANY 50-token run with the
+    // already-admitted corpus (the streaming decontamination pass a
+    // training pipeline runs at the ingest boundary — conservative
+    // exact-substring containment, not whole-doc or band similarity).
+    // Window fingerprints come from the native one-pass
+    // `substring_run_fps` on the scan; the probe is a fp equi-join
+    // against the persisted admitted-run index (never all-pairs);
+    // survivors' distinct fps APPEND as per-batch deltas (LSM, index
+    // never rewritten). Order matters exactly as in stream16 and the
+    // oracle replays the same 4-batch chain: a run contributed only by a
+    // REJECTED doc admits later docs that share it. Docs shorter than 50
+    // tokens carry no windows — never rejected, admitted, contribute
+    // nothing. At 100 TB the per-batch cost is batch-windows × index
+    // probe (bucketed equi-join) and the index grows only with admitted
+    // content.
+    QueryDef("stream20_substring_admission", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val idxRoot = TempDirs.create("graft-run-idx")
+      val feed = Tables.load(s, d, "documents")
+        .filter(col("doc_id") < 2000)
+        .select(col("doc_id"), col("text"))
+        .collect() // bounded feed plumbing (≤2000 docs), not the operator
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val mem = MemoryStream[(Long, String)]
+      val idxPaths = scala.collection.mutable.ArrayBuffer[String]()
+      val ledger = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      val committed = scala.collection.mutable.Set[Long]() // at-least-once replay guard
+      val q = mem.toDF().toDF("doc_id", "text")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (committed.contains(batchId)) ()
+          else {
+          val wins = batch.toDF().select(col("doc_id"),
+            posexplode(graft.functions.SubstringRunFps
+              .substring_run_fps(col("text"), 50)).as(Seq("i", "fp")))
+            .select("doc_id", "fp").persist()
+          val hits = // fp equi-probe of the admitted-run index
+            if (idxPaths.isEmpty) wins.filter(lit(false)).select("doc_id")
+            else wins.join(s.read.parquet(idxPaths.toSeq: _*), Seq("fp"), "left_semi")
+              .select("doc_id").distinct()
+          val nArrived = batch.count()
+          val nRejected = hits.count()
+          val dout = s"$idxRoot/b$batchId" // append-only delta, nothing rewritten
+          wins.join(hits, Seq("doc_id"), "left_anti")
+            .select("fp").distinct()
+            .write.mode("overwrite").parquet(dout)
+          if (!idxPaths.contains(dout)) idxPaths += dout
+          ledger += ((batchId, nArrived, nRejected))
+          committed += batchId
+          wins.unpersist()
+          ()
+          }
+        }.start()
+      try {
+        (0 until 4).foreach { k => // batch k = doc_id % 4 == k, in order
+          mem.addData(feed.filter(_._1 % 4 == k)); q.processAllAvailable()
+        }
+      } finally q.stop()
+      ledger.toSeq.toDF("batch", "n_arrived", "n_rejected")
+        .withColumn("n_admitted", col("n_arrived") - col("n_rejected"))
+        .orderBy("batch")
+    }, Some("""
+      WITH arrivals AS (SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+      d20 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM arrivals),
+      pos AS (
+        SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 50)) AS i
+        FROM d20 WHERE len(ws) >= 50),
+      fps AS (
+        SELECT doc_id, md5(array_to_string(ws[i+1:i+50], ' ')) AS fp
+        FROM pos),
+      hit1 AS (SELECT DISTINCT f.doc_id FROM fps f
+               WHERE f.doc_id % 4 = 1 AND EXISTS (
+                 SELECT 1 FROM fps i
+                 WHERE i.fp = f.fp AND i.doc_id % 4 = 0)),
+      hit2 AS (SELECT DISTINCT f.doc_id FROM fps f
+               WHERE f.doc_id % 4 = 2 AND EXISTS (
+                 SELECT 1 FROM fps i
+                 WHERE i.fp = f.fp AND
+                   (i.doc_id % 4 = 0 OR (i.doc_id % 4 = 1 AND
+                      i.doc_id NOT IN (SELECT doc_id FROM hit1))))),
+      hit3 AS (SELECT DISTINCT f.doc_id FROM fps f
+               WHERE f.doc_id % 4 = 3 AND EXISTS (
+                 SELECT 1 FROM fps i
+                 WHERE i.fp = f.fp AND
+                   (i.doc_id % 4 = 0 OR (i.doc_id % 4 = 1 AND
+                      i.doc_id NOT IN (SELECT doc_id FROM hit1))
+                    OR (i.doc_id % 4 = 2 AND
+                      i.doc_id NOT IN (SELECT doc_id FROM hit2))))),
+      rej AS (SELECT doc_id FROM hit1 UNION ALL SELECT doc_id FROM hit2
+              UNION ALL SELECT doc_id FROM hit3)
+      SELECT CAST(a.doc_id % 4 AS BIGINT) AS batch,
+             COUNT(*) AS n_arrived,
+             CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rejected,
+             CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_admitted
+      FROM arrivals a LEFT JOIN rej r ON a.doc_id = r.doc_id
+      GROUP BY 1 ORDER BY 1"""))
   )
 }
