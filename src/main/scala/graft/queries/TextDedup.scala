@@ -2373,9 +2373,16 @@ object TextDedup {
       .write.mode("overwrite").parquet(s"$tmp/seg0")
     var seg = s.read.parquet(s"$tmp/seg0")
     val certs = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
-    for (r <- 1 to nRounds) {
-      // the adopted pair: distributed pair mining, 1-row argmax collect
-      val bestRow = seg.filter(size(col("seg")) >= 2)
+    var exhausted = false
+    for (r <- 1 to nRounds if !exhausted) {
+      // the adopted pair: distributed pair mining, 1-row argmax collect.
+      // A round can find NO adjacent pair (every word already reduced to
+      // one symbol — reachable on tiny corpora at high round counts,
+      // ADVICE r15): training terminates there with the certificate rows
+      // produced so far, instead of indexing into an empty collect. The
+      // fixed-round gate oracle (tx31, 3 rounds) assumes the corpus
+      // supports its round count — the sf tables do by construction.
+      val bestOpt = seg.filter(size(col("seg")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(seg) - 1), i -> " +
             "named_struct('a', element_at(seg, i), 'b', element_at(seg, i + 1)))"))
@@ -2383,7 +2390,10 @@ object TextDedup {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("total"))
         .orderBy(col("total").desc, col("a"), col("b")).limit(1)
-        .collect()(0) // bounded: the single adopted merge of this round
+        .collect().headOption // bounded: the single adopted merge of this round
+      if (bestOpt.isEmpty) { exhausted = true }
+      else {
+      val bestRow = bestOpt.get
       val (a, b, total) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
       // greedy leftmost non-overlapping merge of (a,b), tx27's fold
       // shape but emitting the new symbol ARRAY instead of counters;
@@ -2412,6 +2422,7 @@ object TextDedup {
         sum(col("n") * expr(cksumOf)).as("cksum"))
         .collect()(0) // bounded: the round's 1-row certificate aggregates
       certs += ((r, a + b, total, st.getLong(0), st.getLong(1)))
+      }
     }
     import s.implicits._
     certs.toSeq.toDF("round", "pair", "pair_total", "n_tokens", "cksum")

@@ -86,4 +86,19 @@ class Tx31Spec extends AnyFunSuite {
     assert(want(1)._2 == "aaaa", "round 2 should merge two merged symbols")
     TempDirs.deleteRecursively(dir)
   }
+
+  test("tx31 trainer terminates gracefully when a round finds no pair (ADVICE r15)") {
+    // every word collapses to ONE symbol after 2 merges ("ab","abc");
+    // asking for 10 rounds used to throw ArrayIndexOutOfBounds on the
+    // empty argmax collect — it must instead stop with the certificate
+    // rows of the rounds that DID adopt a merge
+    val docs = Seq((1L, "ab abc ab"), (2L, "abc ab abc")).toDF("doc_id", "text")
+    val got = TextDedup.bpeTrainRounds(docs, 10)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(got.size < 10, "exhausted corpus must terminate early")
+    assert(got.nonEmpty && got.map(_._1) == (1 to got.size),
+      s"certificate rounds must be the contiguous adopted prefix: $got")
+    // the adopted merges fully reduce this vocabulary
+    assert(got.map(_._2).toSet == Set("ab", "abc"), s"unexpected merges: $got")
+  }
 }
