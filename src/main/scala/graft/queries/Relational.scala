@@ -18,6 +18,24 @@ object Relational {
   /** floor(x*100) as long — exact cents from a double column. */
   private def cents(c: org.apache.spark.sql.Column) = floor(c * 100).cast("long")
 
+  /** Size-aware fact-join hint (r16): `shuffle_hash` only when the build
+    * table is too big to broadcast. The hardcoded hint was tuned at sf10
+    * (SHJ beats SMJ there, 6.0→4.4 s — Q03Tune) but a hint OVERRIDES the
+    * planner, so at small scale it forced a two-sided fact shuffle where
+    * a few-MB broadcast wins outright — exactly the size-based choice a
+    * cost-based planner makes, keyed on the same statistic Catalyst's
+    * own broadcast threshold uses (file size on disk). */
+  private def shuffleHashIfBig(s: SparkSession, d: String, n: String): DataFrame = {
+    val df = t(s, d, n)
+    val thr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(10L << 20)
+    def sz(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
+      else f.length
+    if (sz(new java.io.File(s"$d/$n.parquet")) > thr) df.hint("shuffle_hash") else df
+  }
+
   /** One-time lang-partitioned documents layout shared by q53/q63 — built
     * once per (session, sf dir), like the q59/q60 bucketed-table helper:
     * the partitioned write is the pipeline's WRITE-TIME cost, paid once
@@ -131,11 +149,13 @@ object Relational {
     // (Q03Tune). AQE skew-split applies to shuffled hash joins too, so
     // the 100 TB skew story is unchanged.
     QueryDef("q05_join5_agg", (s, d) => {
-      val r = t(s, d, "region"); val n = t(s, d, "nation"); val c = t(s, d, "customer")
-      val o = t(s, d, "orders"); val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
-      l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
+      val r = t(s, d, "region"); val n = t(s, d, "nation")
+      val c = shuffleHashIfBig(s, d, "customer")
+      val o = shuffleHashIfBig(s, d, "orders")
+      val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(c.hint("shuffle_hash"),
+        .join(c,
           o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))

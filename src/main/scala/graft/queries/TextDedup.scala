@@ -1839,15 +1839,20 @@ object TextDedup {
         .agg(concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, word))), s -> s.word)")).as("ctext"))
         .select(col("doc_id"), col("lang"), col("chunk"),
           md5(col("ctext").cast("binary")).as("fp"), length(col("ctext")).as("n_chars"))
-      // keeper = lexicographic min (doc_id, chunk) as an exact struct-min
-      // (no packed-long arithmetic: a packed key silently wraps Long past
-      // chunk >= 1e8 / doc_id ~ 9.2e10 where DuckDB would raise — the
-      // struct comparison has no overflow regime at any scale); the
-      // groupBy keeps map-side partial min, same exchange shape as dd01
-      val ident = struct(col("doc_id"), col("chunk"))
-      val keeper = chunks.groupBy("fp").agg(min(ident).as("k"))
-      chunks.join(keeper, "fp")
-        .withColumn("dup", when(ident =!= col("k"), 1L).otherwise(0L))
+      // keeper = lexicographic min (doc_id, chunk) via ONE row_number
+      // window over fp (r16 rework): the previous groupBy-keeper +
+      // fp-join planned the expensive explode→window→chunk pipeline
+      // TWICE (broadcast build + probe) and at 100 TB the keeper
+      // relation is corpus-sized, forcing a second full shuffle; the
+      // window shape is a single fp exchange over the chunk ledger with
+      // no recompute. Struct ordering (doc_id, chunk) has no overflow
+      // regime at any scale (a packed-long key would wrap past
+      // chunk >= 1e8 / doc_id ~ 9.2e10 where DuckDB raises).
+      val wfp = Window.partitionBy(col("fp"))
+        .orderBy(col("doc_id"), col("chunk"))
+      chunks
+        .withColumn("dup",
+          when(row_number().over(wfp) > 1, 1L).otherwise(0L))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("dup")).as("n_dup_chunks"),
@@ -2359,19 +2364,27 @@ object TextDedup {
     * corpus- or vocab-sized stays distributed. */
   private[graft] def bpeTrainRounds(docsDf: DataFrame, nRounds: Int): DataFrame = {
     val s = docsDf.sparkSession
-    val tmp = TempDirs.create("graft-bpe-train")
     val cksumOf = // Σ h28(symbol) over one segmentation, as a fold
       "aggregate(seg, CAST(0 AS BIGINT), (acc, x) -> acc + " +
         "CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 7), 16, 10) AS BIGINT))"
-    docsDf
+    // checkpoint-per-iteration, but via eager localCheckpoint (r16):
+    // the RDD-block checkpoint truncates lineage exactly like the r15
+    // parquet round-trip did (keeping Catalyst analysis flat across
+    // rounds — the measured 27.6 s blowup at 7 rounds of lazy lineage),
+    // while skipping two filesystem jobs per round (~0.3 s/round at
+    // sf0.1, which WAS the bench floor there). The state is the
+    // vocabulary segmentation — bounded by distinct words, not corpus
+    // size — so executor block storage holds it at any corpus scale;
+    // a lost-executor restart re-trains from the last driver-side
+    // certificate, the same stance as any in-memory iterative job.
+    var seg = docsDf
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("seg",
         expr("transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"))
       .select("word", "n", "seg")
-      .write.mode("overwrite").parquet(s"$tmp/seg0")
-    var seg = s.read.parquet(s"$tmp/seg0")
+      .localCheckpoint()
     val certs = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
     var exhausted = false
     for (r <- 1 to nRounds if !exhausted) {
@@ -2400,7 +2413,8 @@ object TextDedup {
       // the pair rides in as a broadcast 1-row frame so the fold text
       // stays literal-free
       val pairDf = { import s.implicits._; Seq((a, b)).toDF("a", "b") }
-      seg.crossJoin(broadcast(pairDf))
+      val prev = seg
+      seg = seg.crossJoin(broadcast(pairDf))
         .withColumn("seg2", expr(
           """aggregate(
                sequence(1, size(seg)),
@@ -2415,8 +2429,10 @@ object TextDedup {
                                    'pos', i + 1)
                END).out"""))
         .select(col("word"), col("n"), col("seg2").as("seg"))
-        .write.mode("overwrite").parquet(s"$tmp/seg$r")
-      seg = s.read.parquet(s"$tmp/seg$r")
+        .localCheckpoint()
+      // blocks of superseded rounds are dropped eagerly so a 256-round
+      // training run holds exactly one segmentation in block storage
+      prev.unpersist(blocking = false)
       val st = seg.agg(
         sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
         sum(col("n") * expr(cksumOf)).as("cksum"))
@@ -2424,6 +2440,7 @@ object TextDedup {
       certs += ((r, a + b, total, st.getLong(0), st.getLong(1)))
       }
     }
+    seg.unpersist(blocking = false) // the certs carry the result; drop the state
     import s.implicits._
     certs.toSeq.toDF("round", "pair", "pair_total", "n_tokens", "cksum")
       .orderBy("round")
