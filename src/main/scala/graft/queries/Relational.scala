@@ -1386,9 +1386,10 @@ object Relational {
     // over every orderkey join in the pipeline; the oracle is IDENTICAL
     // to q03's, so correctness parity of the layout is oracle-checked.
     QueryDef("q59_bucketed_topn", (s, d) => {
+      val s2 = bucketSortedSession(s)
       val lt = "graft_b59_lineitem"; val ot = "graft_b59_orders"
-      buildOrderkeyBucketedTables(s, d, lt, ot, nb = 8, withSuppkey = false)
-      q59QueryPhase(s, d, lt, ot)
+      buildOrderkeyBucketedTables(s2, d, lt, ot, nb = 8, withSuppkey = false)
+      q59QueryPhase(s2, d, lt, ot)
     }, Some("""
       SELECT l_orderkey,
              CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -1407,9 +1408,10 @@ object Relational {
     // second (custkey-bucketed) copy of the join output. Oracle identical
     // to q05's. Plan-locked: no Exchange below the orderkey join.
     QueryDef("q60_bucketed_join5", (s, d) => {
+      val s2 = bucketSortedSession(s)
       val lt = "graft_b60_lineitem"; val ot = "graft_b60_orders"
-      buildOrderkeyBucketedTables(s, d, lt, ot, nb = 8, withSuppkey = true)
-      q60QueryPhase(s, d, lt, ot)
+      buildOrderkeyBucketedTables(s2, d, lt, ot, nb = 8, withSuppkey = true)
+      q60QueryPhase(s2, d, lt, ot)
     }, Some("""
       SELECT n_name,
              CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -1434,11 +1436,12 @@ object Relational {
     // identical to q05/q60's, so layout-copy correctness is
     // oracle-checked; plan-locked by PlanShapeSpec (the one exchange).
     QueryDef("q68_dual_bucketed_join5", (s, d) => {
+      val s2 = bucketSortedSession(s)
       val lt = "graft_b68_lineitem"
-      buildLineitemOrderkeyBucketed(s, d, lt, nb = 8, withSuppkey = true)
+      buildLineitemOrderkeyBucketed(s2, d, lt, nb = 8, withSuppkey = true)
       val ot = "graft_b68_orders_ck"; val ct = "graft_b68_customer_ck"
-      buildCustkeyBucketedTables(s, d, ot, ct, nb = 8)
-      q60DualLayoutPhase(s, d, lt, ot, ct)
+      buildCustkeyBucketedTables(s2, d, ot, ct, nb = 8)
+      q60DualLayoutPhase(s2, d, lt, ot, ct)
     }, Some("""
       SELECT n_name,
              CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
@@ -1714,6 +1717,23 @@ object Relational {
       ORDER BY segment, key"""))
   )
 
+  /** Session for the bucketed-layout queries (r16): the layout writes
+    * exactly one bucket-sorted file per bucket, so the scan can REPORT
+    * that sort order (the non-legacy default drops it to allow multi-
+    * file buckets) and the planner can then replace the distribution-
+    * satisfied hash aggregate with a streaming SortAggregate — no 15M-
+    * entry hash table, no partial/final double hashing, measured
+    * 0.60 → 0.43 s on the sf10m per-order revenue aggregate (R16Tune).
+    * Scoped to a child session (q61's pattern) because the ordering
+    * flag is only sound under the one-file-per-bucket invariant our
+    * builders guarantee. */
+  private def bucketSortedSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s2.conf.set("spark.sql.execution.replaceHashWithSortAgg", "true")
+    s2
+  }
+
   /** One-time orderkey-bucketed layout build shared by q59/q60 and the
     * R14Tune measurement harness — `nb` is the only knob the harness
     * varies (8 for the gate queries, 64 at sf10), so the benchmarked
@@ -1735,10 +1755,19 @@ object Relational {
   def buildLineitemOrderkeyBucketed(s: SparkSession, d: String,
                                     lineitemTbl: String, nb: Int,
                                     withSuppkey: Boolean): Unit = {
+    // The derived revenue measure is MATERIALIZED into the layout
+    // (VERDICT r15 #1): every consumer of this copy (q59/q60/q68) only
+    // ever reads cents(l_extendedprice*(1-l_discount)), so the layout
+    // stores that long directly — the per-row double multiply/floor
+    // moves to write time (paid once, amortized like the bucketing
+    // itself) and the query-phase scan materializes two/three BIGINT
+    // columns instead of doubles it immediately re-derives. This is the
+    // "read money as unscaled longs" half of the scan-class residual.
     val lcols =
       if (withSuppkey) Seq(col("l_orderkey"), col("l_suppkey"),
-        col("l_extendedprice"), col("l_discount"))
-      else Seq(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      else Seq(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
     t(s, d, "lineitem")
       .select(lcols: _*)
       .repartition(nb, col("l_orderkey"))
@@ -1792,8 +1821,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .as("revenue_cents"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
       .orderBy(col("n_name"))
   }
 
@@ -1806,8 +1834,7 @@ object Relational {
       .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val lrev = s.table(lineitemTbl)
       .groupBy(col("l_orderkey"))
-      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .as("revenue_cents"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
     lrev.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === c("c_custkey"))
       .select(col("l_orderkey"), col("revenue_cents"))
@@ -1833,8 +1860,7 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .as("revenue_cents"))
+      .agg(sum(col("rev_cents")).as("revenue_cents"))
       .orderBy(col("n_name"))
   }
 }

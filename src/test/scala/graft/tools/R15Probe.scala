@@ -89,8 +89,7 @@ object R15Probe {
         .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
-          .cast("long")).as("revenue_cents"))
+        .agg(sum(col("rev_cents")).as("revenue_cents")) // layout stores rev_cents (r16)
         .orderBy(col("n_name"))
     }
     // variant: q60 with the bucketed l⋈o as SHUFFLE-HASH instead of
@@ -115,8 +114,7 @@ object R15Probe {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
-          .cast("long")).as("revenue_cents"))
+        .agg(sum(col("rev_cents")).as("revenue_cents")) // layout stores rev_cents (r16)
         .orderBy(col("n_name"))
     }
     // and q59 with SHJ on the bucketed join (aggregate already rides
@@ -129,8 +127,7 @@ object R15Probe {
         .filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
       val lrev = spark.table("b_lineitem")
         .groupBy(col("l_orderkey"))
-        .agg(sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount"))) * 100)
-          .cast("long")).as("revenue_cents"))
+        .agg(sum(col("rev_cents")).as("revenue_cents")) // layout stores rev_cents (r16)
       lrev.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === c("c_custkey"))
         .select(col("l_orderkey"), col("revenue_cents"))
