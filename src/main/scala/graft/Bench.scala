@@ -85,8 +85,8 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries
-    def exec(name: String): Boolean =
-      try { qs(name)(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+    def exec(name: String, dir: String = sfDir): Boolean =
+      try { qs(name)(spark, dir).write.format("noop").mode("overwrite").save(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
@@ -94,8 +94,8 @@ object Bench {
     // the timed pass measures steady-state engine throughput (the 100 TB
     // regime), not single-shot JVM startup costs (one pass is not enough —
     // C2 compilation of the shuffle/scheduler hot path lands mid-pass-2)
-    headline.filter(qs.contains).foreach(exec)
-    headline.filter(qs.contains).foreach(exec)
+    headline.filter(qs.contains).foreach(n => exec(n))
+    headline.filter(qs.contains).foreach(n => exec(n))
     val results = headline.filter(qs.contains).map { name =>
       // best-of-3: single-shot local timings vary ~2x with background JVM
       // noise; the minimum is the standard stable estimator of capability
@@ -111,8 +111,49 @@ object Bench {
       .mkString("{", ",", "}")
     // failed queries carry -1 in the per-query map; total sums successes only
     val total = results.map(_._2).filter(_ >= 0).sum
+
+    // SECONDARY sf1 pass (VERDICT r15 #3): at the driver's sf0.1 bench
+    // scale, ~60-80% of every per-query wall is a measured data-
+    // independent floor — single-row-group scans (unsplittable below one
+    // row group) plus exchange/task machinery (BENCH_SCALING r16's
+    // decomposition) — which washes out by sf1. So when the primary dir
+    // is small and the sf1 twin exists, the same binary re-runs the
+    // headline there in the same sitting and reports it alongside, so
+    // the round artifact carries a number at the scale the engine
+    // actually targets. Additive JSON fields; the primary contract line
+    // is unchanged.
+    val sf1Dir = sys.env.get("SPARK_GRAFT_SF1_DIR")
+      .orElse(Some("/root/repo/localdata/sf1")
+        .filter(p => totalBytes < (256L << 20) && new java.io.File(p).isDirectory))
+    val sf1Part = sf1Dir.map { d1 =>
+      // re-size the session for sf1 (runtime-settable confs only)
+      val b1 = {
+        val fs = Option(new java.io.File(d1).listFiles).map(_.toSeq).getOrElse(Seq.empty)
+        fs.filter(_.getName.endsWith(".parquet")).map(sizeOf).sum
+      }
+      spark.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, math.min(b1 / (8L << 20), cpus.toInt * 2L)).toString)
+      spark.conf.set("spark.sql.files.maxPartitionBytes",
+        math.max(8L << 20, b1 / (cpus.toInt * 3L)).toString)
+      spark.conf.set("spark.sql.files.minPartitionNum",
+        math.max(1L, math.min(b1 / (4L << 20), cpus.toLong)).toString)
+      spark.conf.set("spark.sql.adaptive.enabled", (b1 > (256L << 20)).toString)
+      headline.filter(qs.contains).foreach(n => exec(n, d1)) // warm
+      val r1 = headline.filter(qs.contains).map { name =>
+        val times = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = exec(name, d1)
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      }
+      val q1 = r1.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val t1 = r1.map(_._2).filter(_ >= 0).sum
+      f""","sf1_value":$t1%.3f,"sf1_queries":$q1,"sf1_dir":"$d1""""
+    }.getOrElse("")
+
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"$sf1Part}"""
     println(line)
     // Also land the JSON as a file so round tooling reads a parsed artifact
     // instead of re-scraping the stdout tail (VERDICT r11 #8). Optional

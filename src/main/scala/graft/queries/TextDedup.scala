@@ -1923,13 +1923,20 @@ object TextDedup {
           posexplode(
             graft.functions.SubstringRunFps.substring_run_fps(col("text"), W))
             .as(Seq("i", "fp")))
-      // a run is shared iff its fp spans >= 2 distinct docs: min<max is
-      // the cheap two-accumulator form (map-side combinable, no distinct)
-      val dup = wins.groupBy("fp")
-        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      // a run is shared iff its fp spans >= 2 distinct docs: min<max as
+      // TWO window aggregates over the fp partition (r16 rework — the
+      // previous groupBy-dup + fp-join planned the scan+fp stage TWICE,
+      // once into the dup aggregate and once into the probe; VERDICT
+      // r15 #4). The window shape carries wins through ONE fp exchange
+      // and one pass — no join, no recompute; partition width is
+      // bounded by the corpus duplication rate exactly as the join
+      // build side was.
+      val wFp = Window.partitionBy(col("fp"))
+      val hits = wins
+        .withColumn("mn", min(col("doc_id")).over(wFp))
+        .withColumn("mx", max(col("doc_id")).over(wFp))
         .filter(col("mn") < col("mx"))
-        .select("fp")
-      val hits = wins.join(dup, "fp").select(col("doc_id"), col("lang"), col("i"))
+        .select(col("doc_id"), col("lang"), col("i"))
       // gaps-and-islands: [i, i+W) spans merge while each window starts
       // at or before the running max end of the preceding ones
       val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
