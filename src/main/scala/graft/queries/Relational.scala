@@ -152,7 +152,15 @@ object Relational {
       val r = t(s, d, "region"); val n = t(s, d, "nation")
       val c = shuffleHashIfBig(s, d, "customer")
       val o = shuffleHashIfBig(s, d, "orders")
-      val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+      val su = t(s, d, "supplier")
+      // rev_cents is computed AT THE SCAN, before the fact exchange: the
+      // orderkey shuffle then carries (orderkey, suppkey, rev_cents) —
+      // three longs instead of two longs + two doubles — and the money
+      // math runs once scan-side instead of post-join (r16; the q59
+      // layout materializes the same column at write time)
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(c,
@@ -162,7 +170,7 @@ object Relational {
         .filter(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("n_name"))
-        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .agg(sum(col("rev_cents")).as("revenue_cents"))
         .orderBy(col("n_name"))
     }, Some("""
       SELECT n_name,
