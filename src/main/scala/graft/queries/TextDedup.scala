@@ -1986,6 +1986,76 @@ object TextDedup {
              CAST(SUM(e - s) AS BIGINT) AS reclaimed_tokens
       FROM spans GROUP BY 1 ORDER BY lang""")),
 
+    // ---- dd26: LEAKAGE-FREE SPLIT ASSIGNMENT — the policy step dd09's
+    // clustering and dd22's leakage DETECTION bracket: train/val/test is
+    // assigned per duplicate CLUSTER (hash of the component root), never
+    // per document, so near-duplicates cannot straddle a split boundary
+    // by construction — the exact contamination dd22 exists to catch.
+    // Shape: LSH candidate pairs (dd03's banded join) → GraphX connected
+    // components → every doc (singletons included, via the left join +
+    // coalesce to self) keyed by its cluster root → deterministic
+    // md5-bucket of the ROOT picks the split (8/1/1), both engines
+    // deriving identical buckets with no coordination (tx07's hashing
+    // discipline). The per-split ledger carries a LEAK CERTIFICATE:
+    // each engine independently counts docs whose cluster spans >1
+    // split from ITS OWN clustering — gated to be zero on both sides,
+    // not just asserted on one. At 100 TB the cluster relation is
+    // cluster-sized (tiny next to the corpus), the assignment is one
+    // hash projection, and the ledger is a 3-row aggregate.
+    QueryDef("dd26_leakfree_split", (s, d) => {
+      import s.implicits._
+      val pairs = minhashBandPairs(docsBounded(s, d, 200))
+      val edges = pairs.select(col("ida"), col("idb")).as[(Long, Long)].rdd
+        .map { case (a, b) => org.apache.spark.graphx.Edge(a, b, 1) }
+      val cc = org.apache.spark.graphx.Graph.fromEdges(edges, 0)
+        .connectedComponents().vertices
+      val comp = cc.toDF("doc_id", "root")
+      val assigned = docs(s, d).filter(col("doc_id") < 200).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("root", coalesce(col("root"), col("doc_id")))
+        .withColumn("bucket", h28(col("root").cast("string")) % 10)
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val").otherwise("test"))
+      val rootSplits = assigned.groupBy("root")
+        .agg(countDistinct(col("split")).as("n_splits"))
+      assigned.join(rootSplits, "root")
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("root")).as("n_clusters"),
+          sum(col("doc_id")).as("doc_sum"),
+          sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("leaky_docs"))
+        .orderBy("split")
+    }, Some(s"""
+      WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      ${minhashPairsSql("docs200")},
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node),
+      assigned AS (
+        SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root,
+               ('0x' || substr(md5(CAST(COALESCE(c.root, d.doc_id) AS VARCHAR)), 1, 7))::BIGINT % 10 AS bucket
+        FROM docs200 d LEFT JOIN comp c ON c.node = d.doc_id),
+      labeled AS (
+        SELECT doc_id, root,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split
+        FROM assigned),
+      rs AS (SELECT root, COUNT(DISTINCT split) AS n_splits
+             FROM labeled GROUP BY 1)
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(COUNT(DISTINCT l.root) AS BIGINT) AS n_clusters,
+             CAST(SUM(doc_id) AS BIGINT) AS doc_sum,
+             CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS leaky_docs
+      FROM labeled l JOIN rs USING (root)
+      GROUP BY 1 ORDER BY split""")),
+
     // ---- tx26: Count-Min-Sketch heavy hitters — the third sketch next
     // to HLL (q34) and KLL quantiles (q37), and unlike those, CUSTOM and
     // fully oracle-checkable: cms_agg (functions/CmsAgg.scala, the 9th
