@@ -1827,18 +1827,19 @@ object TextDedup {
     // → chunk-keyed aggregates; the fp groupBy is the only corpus-wide
     // exchange, exactly like dd01.
     QueryDef("dd24_cdc_chunk_dedup", (s, d) => {
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("pos")).rowsBetween(Window.unboundedPreceding, 0)
-      val words = docs(s, d)
+      // r16b: the whole doc-local pipeline (posexplode words → h28
+      // boundary flag → doc_id-window prefix sum → (doc_id, chunk)
+      // groupBy rebuild) is one native scan expression now —
+      // cdc_chunks(text, 8) emits the finished chunk ledger per row
+      // (CdcChunksSpec pins bit-equality with the staged derivation).
+      // That deletes the two word-level corpus exchanges the staged
+      // shape paid; the fp window below is dd24's ONLY exchange.
+      val chunks = docs(s, d)
         .select(col("doc_id"), col("lang"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
-        .filter(length(col("word")) >= 1)
-        .withColumn("b", when(h28(col("word")) % 8 === 0, 1L).otherwise(0L))
-        .withColumn("chunk", sum(col("b")).over(w) - col("b")) // boundary word ENDS its chunk
-      val chunks = words.groupBy(col("doc_id"), col("lang"), col("chunk"))
-        .agg(concat_ws(" ", expr("transform(sort_array(collect_list(struct(pos, word))), s -> s.word)")).as("ctext"))
-        .select(col("doc_id"), col("lang"), col("chunk"),
-          md5(col("ctext").cast("binary")).as("fp"), length(col("ctext")).as("n_chars"))
+          explode(graft.functions.CdcChunks.cdc_chunks(col("text"), 8)).as("c"))
+        .select(col("doc_id"), col("lang"),
+          col("c.chunk").as("chunk"), col("c.fp").as("fp"),
+          col("c.n_chars").as("n_chars"))
       // keeper = lexicographic min (doc_id, chunk) via ONE row_number
       // window over fp (r16 rework): the previous groupBy-keeper +
       // fp-join planned the expensive explode→window→chunk pipeline

@@ -297,6 +297,28 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SubstringRunFps(args.head, w)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[graft.functions.CdcChunks].getName,
+        "cdc_chunks",
+        "cdc_chunks(text, mod) - content-defined-chunking ledger " +
+          "array<struct<chunk, fp, n_chars>> per document (h28-mod " +
+          "boundary words end their chunk), one byte pass; mod must be " +
+          "an integer literal"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        if (args.length != 2)
+          throw new graft.core.AgeInvalidInputException(
+            "cdc_chunks(text, mod) takes exactly 2 arguments")
+        val m = args(1) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new graft.core.AgeInvalidInputException(
+            "cdc_chunks: mod must be an integer literal")
+        }
+        if (m < 1) throw new graft.core.AgeInvalidInputException(
+          "cdc_chunks: mod must be >= 1")
+        graft.functions.CdcChunks(args.head, m)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[graft.functions.MinHashSig].getName, "minhash_sig",
         "minhash_sig(text) - one-pass K=8 MinHash signature of the document's " +
