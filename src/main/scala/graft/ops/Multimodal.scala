@@ -546,4 +546,139 @@ object Multimodal {
         mdatBytes, mdatSum, intact = true)
     }
   }
+
+  /** Per-file JPEG/JFIF walk row: frame header fields, quantization-table
+    * checksum, entropy-coded-data stats, integrity verdict. Zeroed
+    * sentinel on any structural violation. */
+  final case class JpegMeta(doc_id: Long, width: Int, height: Int,
+                            n_components: Int, has_comment: Boolean,
+                            qt_sum: Long, entropy_bytes: Long,
+                            entropy_sum: Long, n_restarts: Long,
+                            intact: Boolean)
+
+  /** Deterministic REAL JPEG/JFIF stream: SOI → APP0 "JFIF" → optional
+    * COM (doc_id % 3 == 0) → DQT (64-byte table) → SOF0 baseline frame
+    * header → SOS header → entropy-coded data with the FF00 byte-stuffing
+    * rule and, on every 4th doc, FFD0-7 restart markers every 16 data
+    * bytes → EOI. Field contract (the closed-form oracle): width =
+    * 1 + id%16, height = 1 + id%12, n_components = 3 if id even else 1,
+    * qt byte j = 1 + (id + 3j) % 99, entropy data n = 64 + id%64 logical
+    * bytes where byte k = 255 (written STUFFED as FF 00) when k % 7 == 0
+    * else (id·31 + k·17) % 251, restarts (id % 4 == 0) after every 16
+    * data bytes cycling FFD0..FFD7. Unlike PNG/RIFF/BMFF, the payload is
+    * NOT size-prefixed — a walker must honor the stuffing/restart
+    * escapes to find the next marker, which is exactly what mm14 gates. */
+  def syntheticJpeg(docId: Long): Array[Byte] = {
+    val width = 1 + (docId % 16).toInt
+    val height = 1 + (docId % 12).toInt
+    val nComp = if (docId % 2 == 0) 3 else 1
+    val n = 64 + (docId % 64).toInt
+    val o = new java.io.ByteArrayOutputStream()
+    def m(b: Int): Unit = { o.write(0xFF); o.write(b) }
+    def u16(v: Int): Unit = { o.write((v >> 8) & 0xFF); o.write(v & 0xFF) }
+    m(0xD8) // SOI
+    m(0xE0); u16(16) // APP0: "JFIF\0", v1.1, aspect-ratio units, 1x1, no thumb
+    o.write("JFIF".getBytes("US-ASCII")); o.write(0)
+    o.write(1); o.write(1); o.write(0); u16(1); u16(1); o.write(0); o.write(0)
+    if (docId % 3 == 0) {
+      val clen = 5 + (docId % 11).toInt
+      m(0xFE); u16(2 + clen) // COM
+      (0 until clen).foreach(j => o.write('a' + ((docId * 13 + j * 7) % 26).toInt))
+    }
+    m(0xDB); u16(67); o.write(0) // DQT: precision/id byte + 64-byte table
+    (0 until 64).foreach(j => o.write(1 + ((docId + 3 * j) % 99).toInt))
+    m(0xC0); u16(8 + 3 * nComp) // SOF0 baseline
+    o.write(8); u16(height); u16(width); o.write(nComp)
+    (1 to nComp).foreach { c => o.write(c); o.write(0x11); o.write(0) }
+    m(0xDA); u16(6 + 2 * nComp) // SOS header
+    o.write(nComp)
+    (1 to nComp).foreach { c => o.write(c); o.write(0) }
+    o.write(0); o.write(63); o.write(0) // spectral selection Ss/Se/Ah+Al
+    var k = 0
+    while (k < n) { // entropy-coded data (stuffing + restart escapes)
+      if (docId % 4 == 0 && k > 0 && k % 16 == 0)
+        m(0xD0 + ((k / 16 - 1) % 8))
+      if (k % 7 == 0) { o.write(0xFF); o.write(0x00) } // stuffed 255 data byte
+      else o.write(((docId * 31 + k * 17) % 251).toInt)
+      k += 1
+    }
+    m(0xD9) // EOI
+    o.toByteArray
+  }
+
+  /** JPEG/JFIF marker walk WITHOUT entropy decode — the fourth container
+    * triage next to RIFF (mm10), PNG (mm12), and BMFF (mm13), and the
+    * one whose payload is NOT size-prefixed: marker segments carry a
+    * big-endian u16 length (self-inclusive), but the entropy-coded data
+    * after SOS can only be traversed by honoring the FF00 byte-stuffing
+    * and FFD0-7 restart escapes until the next true marker. The walker
+    * validates SOI, requires every segment to land on an FF marker
+    * byte (a flipped length surfaces exactly there), extracts SOF0
+    * frame fields and the DQT byte-sum from real header bytes, counts
+    * logical entropy bytes/sum/restarts, and requires EOI to terminate
+    * the payload with no trailing bytes. Any violation → zeroed
+    * sentinel. One linear scan per file, partition-local map, no
+    * shuffle — scan-bound at 100 TB. */
+  def parseJpegBatch(rows: Dataset[MediaRow]): Dataset[JpegMeta] = {
+    import rows.sparkSession.implicits._
+    rows.map { r =>
+      val p = r.payload
+      val bad = JpegMeta(r.doc_id, 0, 0, 0, has_comment = false, 0L, 0L, 0L,
+        0L, intact = false)
+      def u16(i: Int): Int = ((p(i) & 0xFF) << 8) | (p(i + 1) & 0xFF)
+      var width = 0; var height = 0; var nComp = 0
+      var hasComment = false; var qtSum = 0L
+      var entropyBytes = 0L; var entropySum = 0L; var nRestarts = 0L
+      var sofSeen = false; var eoiAt = -1
+      var corrupt = false
+      if (p.length < 4 || (p(0) & 0xFF) != 0xFF || (p(1) & 0xFF) != 0xD8) corrupt = true
+      var i = 2
+      while (!corrupt && eoiAt < 0) {
+        if (i + 2 > p.length || (p(i) & 0xFF) != 0xFF) corrupt = true
+        else (p(i + 1) & 0xFF) match {
+          case 0xD9 => eoiAt = i + 2
+          case 0xDA => // SOS: sized header, then entropy data to next marker
+            if (i + 4 > p.length || i + 2 + u16(i + 2) > p.length) corrupt = true
+            else {
+              var j = i + 2 + u16(i + 2)
+              var done = false
+              while (!corrupt && !done) {
+                if (j >= p.length) corrupt = true
+                else if ((p(j) & 0xFF) != 0xFF) {
+                  entropyBytes += 1; entropySum += p(j) & 0xFF; j += 1
+                } else if (j + 1 >= p.length) corrupt = true
+                else (p(j + 1) & 0xFF) match {
+                  case 0x00 => entropyBytes += 1; entropySum += 255; j += 2
+                  case rm if rm >= 0xD0 && rm <= 0xD7 => nRestarts += 1; j += 2
+                  case _ => done = true // true marker: resume segment walk
+                }
+              }
+              i = j
+            }
+          case mk => // sized segment: u16 length includes its own 2 bytes
+            if (i + 4 > p.length) corrupt = true
+            else {
+              val len = u16(i + 2)
+              if (len < 2 || i + 2 + len > p.length) corrupt = true
+              else {
+                mk match {
+                  case 0xC0 if len >= 8 + 3 => // SOF0: precision, H, W, Nf
+                    height = u16(i + 5); width = u16(i + 7)
+                    nComp = p(i + 9) & 0xFF; sofSeen = true
+                  case 0xFE => hasComment = true
+                  case 0xDB if len == 67 => // DQT: skip the id byte, sum table
+                    var j = 0
+                    while (j < 64) { qtSum += p(i + 5 + j) & 0xFF; j += 1 }
+                  case _ => () // APP0 / unknown: skip by declared length
+                }
+                i += 2 + len
+              }
+            }
+        }
+      }
+      if (corrupt || !sofSeen || eoiAt != p.length) bad
+      else JpegMeta(r.doc_id, width, height, nComp, hasComment, qtSum,
+        entropyBytes, entropySum, nRestarts, intact = true)
+    }
+  }
 }

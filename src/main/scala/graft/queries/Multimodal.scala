@@ -504,6 +504,81 @@ object MultimodalQueries {
                AS BIGINT) AS mdat_sum,
              p.doc_id % 5 <> 0 AS intact
       FROM params p JOIN ms USING (doc_id)
-      ORDER BY p.doc_id"""))
+      ORDER BY p.doc_id""")),
+
+    // ---- mm14: JPEG/JFIF marker walk — the FOURTH container triage
+    // next to RIFF (mm10), PNG (mm12), and BMFF (mm13), and the only one
+    // whose payload is NOT size-prefixed: after SOS the entropy-coded
+    // data can only be traversed by honoring the FF00 byte-stuffing and
+    // FFD0-7 restart-marker escapes until the next true marker — a
+    // size-prefix walker structurally cannot parse it. Real JFIF streams
+    // (SOI/APP0/COM/DQT/SOF0/SOS/EOI), SOF0 frame fields + DQT byte-sum
+    // from real header bytes, logical entropy byte count/sum/restart
+    // count from the escape-aware scan. The gate INJECTS corruption (one
+    // bit of SOF0's declared length flipped for doc_id % 5 == 0) that
+    // the walker must catch via the next-segment-lands-on-FF check —
+    // intact flips false, fields zero out. Clean rows' fields are
+    // arithmetic (the syntheticJpeg generator contract), so the oracle
+    // predicts every row without parsing JPEG. Partition-local map, no
+    // shuffle — scan-bound at 100 TB.
+    QueryDef("mm14_jpeg_walk", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 19 === 0)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map { id =>
+        val p = graft.ops.Multimodal.syntheticJpeg(id)
+        if (id % 5 == 0) {
+          // flip one bit of SOF0's declared length (first FFC0 marker;
+          // no earlier byte pair can alias it: COM is lowercase ASCII,
+          // DQT values <= 99, APP0 fixed)
+          val sof = (0 until p.length - 1).find(j =>
+            (p(j) & 0xFF) == 0xFF && (p(j + 1) & 0xFF) == 0xC0).get
+          p(sof + 3) = (p(sof + 3) ^ 0x01).toByte
+        }
+        graft.ops.Multimodal.MediaRow(id, p)
+      }
+      graft.ops.Multimodal.parseJpegBatch(rows).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_components"), col("has_comment"), col("qt_sum"),
+          col("entropy_bytes"), col("entropy_sum"), col("n_restarts"),
+          col("intact"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 19 = 0),
+      qt AS (
+        SELECT doc_id, SUM(1 + (doc_id + 3*j) % 99) AS qt_sum
+        FROM (SELECT doc_id, unnest(generate_series(0, 63)) AS j FROM ids)
+        GROUP BY 1),
+      es AS (
+        SELECT doc_id,
+               SUM(CASE WHEN k % 7 = 0 THEN 255
+                        ELSE (doc_id*31 + k*17) % 251 END) AS entropy_sum
+        FROM (SELECT doc_id,
+                     unnest(generate_series(0, 64 + doc_id % 64 - 1)) AS k
+              FROM ids)
+        GROUP BY 1)
+      SELECT i.doc_id,
+             CAST(CASE WHEN i.doc_id % 5 = 0 THEN 0
+                  ELSE 1 + i.doc_id % 16 END AS INTEGER) AS width,
+             CAST(CASE WHEN i.doc_id % 5 = 0 THEN 0
+                  ELSE 1 + i.doc_id % 12 END AS INTEGER) AS height,
+             CAST(CASE WHEN i.doc_id % 5 = 0 THEN 0
+                  WHEN i.doc_id % 2 = 0 THEN 3 ELSE 1 END
+               AS INTEGER) AS n_components,
+             CASE WHEN i.doc_id % 5 = 0 THEN FALSE
+                  ELSE i.doc_id % 3 = 0 END AS has_comment,
+             CAST(CASE WHEN i.doc_id % 5 = 0 THEN 0 ELSE q.qt_sum END
+               AS BIGINT) AS qt_sum,
+             CAST(CASE WHEN i.doc_id % 5 = 0 THEN 0
+                  ELSE 64 + i.doc_id % 64 END AS BIGINT) AS entropy_bytes,
+             CAST(CASE WHEN i.doc_id % 5 = 0 THEN 0 ELSE e.entropy_sum END
+               AS BIGINT) AS entropy_sum,
+             CAST(CASE WHEN i.doc_id % 5 = 0 THEN 0
+                  WHEN i.doc_id % 4 = 0 THEN (64 + i.doc_id % 64 - 1) // 16
+                  ELSE 0 END AS BIGINT) AS n_restarts,
+             i.doc_id % 5 <> 0 AS intact
+      FROM ids i JOIN qt q USING (doc_id) JOIN es e USING (doc_id)
+      ORDER BY i.doc_id"""))
   )
 }

@@ -2057,6 +2057,63 @@ object TextDedup {
       FROM labeled l JOIN rs USING (root)
       GROUP BY 1 ORDER BY split""")),
 
+    // ---- dd27: N-GRAM OVERLAP-FRACTION decontamination — the graded
+    // tier between dd10 (flag on ANY shared 3-shingle — high recall,
+    // noisy on short boilerplate) and dd13 (same semantics, bloom-pruned):
+    // the production method (GPT-3/PaLM-style) scores each training doc
+    // by the FRACTION of its distinct 13-token windows that collide with
+    // the benchmark side, and flags only docs above a threshold (>= 5%
+    // here), so incidental phrase overlap survives while real benchmark
+    // leakage is removed. Shape: window fingerprints come from the native
+    // substring_run_fps scan expression with DOC-LOCAL dedup
+    // (array_distinct — distinctness never costs an exchange), the
+    // benchmark fp set is small by construction (real benchmark suites
+    // are ~MBs against a 100 TB corpus) and broadcasts, so the ONLY
+    // exchange is the per-doc hit aggregate, partially aggregated
+    // map-side to ~one row per doc per partition. The 20·n_hit >= n_grams
+    // flag is integer arithmetic — no float threshold to diverge on.
+    QueryDef("dd27_ngram_decontaminate", (s, d) => {
+      val W = 13
+      val doc = docs(s, d)
+      val bucket = h28(col("doc_id").cast("string")) % 20
+      val fps = graft.functions.SubstringRunFps
+        .substring_run_fps(col("text"), W)
+      val bw = doc.filter(bucket === 0)
+        .select(explode(array_distinct(fps)).as("fp")).distinct()
+      // no isNotNull filter on the computed array (the pushdown
+      // double-eval class): explode structurally drops NULL (sub-W) docs
+      val tw = doc.filter(bucket =!= 0)
+        .select(col("doc_id"), array_distinct(fps).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_grams"),
+          explode(col("fps")).as("fp"))
+      tw.join(broadcast(bw.withColumn("hit", lit(1))), Seq("fp"), "left")
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(col("hit")).as("n_hit"))
+        .filter(lit(20) * col("n_hit") >= col("n_grams"))
+        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+          col("n_hit"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH bench AS (SELECT doc_id, text FROM documents
+                     WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 20 = 0),
+      train AS (SELECT doc_id, text FROM documents
+                WHERE (('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,7))::BIGINT) % 20 <> 0),
+      bw AS (SELECT DISTINCT md5(array_to_string(ws[i+1:i+13], ' ')) AS fp
+             FROM (SELECT ws, unnest(generate_series(0, len(ws) - 13)) AS i
+                   FROM (SELECT string_split(text, ' ') AS ws FROM bench)
+                   WHERE len(ws) >= 13)),
+      tw AS (SELECT DISTINCT doc_id,
+                    md5(array_to_string(ws[i+1:i+13], ' ')) AS fp
+             FROM (SELECT doc_id, ws,
+                          unnest(generate_series(0, len(ws) - 13)) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                         FROM train)
+                   WHERE len(ws) >= 13)),
+      sc AS (SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(b.fp) AS n_hit
+             FROM tw t LEFT JOIN bw b USING (fp) GROUP BY 1)
+      SELECT doc_id, n_grams, n_hit FROM sc
+      WHERE 20 * n_hit >= n_grams ORDER BY doc_id""")),
+
     // ---- tx26: Count-Min-Sketch heavy hitters — the third sketch next
     // to HLL (q34) and KLL quantiles (q37), and unlike those, CUSTOM and
     // fully oracle-checkable: cms_agg (functions/CmsAgg.scala, the 9th

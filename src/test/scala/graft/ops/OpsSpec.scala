@@ -500,6 +500,53 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: parseJpegBatch honors stuffing/restart escapes and sentinels corruption") {
+    import spark.implicits._
+    // clean fixtures covering every generator regime: restarts (id%4==0),
+    // comment (id%3==0), 1 vs 3 components (id%2), min/max entropy sizes
+    val cleanIds = Seq(0L, 1L, 2L, 3L, 4L, 12L, 63L, 64L)
+    val clean = cleanIds.map(id => Multimodal.MediaRow(id, Multimodal.syntheticJpeg(id)))
+    def sofAt(p: Array[Byte]): Int = (0 until p.length - 1).find(j =>
+      (p(j) & 0xFF) == 0xFF && (p(j + 1) & 0xFF) == 0xC0).get
+    // the mm14 gate flip: SOF0 length bit -> next segment misses FF
+    val lenFlip = Multimodal.syntheticJpeg(5L)
+    lenFlip(sofAt(lenFlip) + 3) = (lenFlip(sofAt(lenFlip) + 3) ^ 0x01).toByte
+    // truncation inside entropy data (EOI never lands exactly at end)
+    val truncated = Multimodal.syntheticJpeg(6L).dropRight(5)
+    // trailing junk after EOI
+    val trailing = Multimodal.syntheticJpeg(7L) ++ Array[Byte](9, 9)
+    // a bare FF terminating the payload mid-entropy must not read past end
+    val danglingFf = Multimodal.syntheticJpeg(8L).dropRight(2) :+ 0xFF.toByte
+    val rows = spark.createDataset(clean ++ Seq(
+      Multimodal.MediaRow(700L, lenFlip),
+      Multimodal.MediaRow(701L, truncated),
+      Multimodal.MediaRow(702L, trailing),
+      Multimodal.MediaRow(703L, danglingFf),
+      Multimodal.MediaRow(704L, "not a jpeg either".getBytes("US-ASCII"))))
+    val got = Multimodal.parseJpegBatch(rows).collect().map(r => r.doc_id -> r).toMap
+    cleanIds.foreach { id =>
+      val r = got(id)
+      assert(r.intact, s"doc $id should walk clean")
+      assert(r.width == 1 + (id % 16).toInt && r.height == 1 + (id % 12).toInt,
+        s"doc $id dims")
+      assert(r.n_components == (if (id % 2 == 0) 3 else 1), s"doc $id comps")
+      assert(r.has_comment == (id % 3 == 0), s"doc $id comment")
+      assert(r.qt_sum == (0 until 64).map(j => 1 + ((id + 3 * j) % 99)).sum,
+        s"doc $id qt sum")
+      val n = 64 + (id % 64).toInt
+      assert(r.entropy_bytes == n.toLong, s"doc $id entropy bytes")
+      assert(r.entropy_sum == (0 until n).map(k =>
+        if (k % 7 == 0) 255L else (id * 31 + k * 17) % 251).sum,
+        s"doc $id entropy sum (stuffed FFs must count as 255-valued data)")
+      assert(r.n_restarts == (if (id % 4 == 0) ((n - 1) / 16).toLong else 0L),
+        s"doc $id restarts")
+    }
+    Seq(700L, 701L, 702L, 703L, 704L).foreach { id =>
+      assert(!got(id).intact && got(id).width == 0 && got(id).entropy_sum == 0,
+        s"doc $id must get the zeroed sentinel")
+    }
+  }
+
   test("graphx: co-purchase pagerank differentiates customers") {
     // top-10 can tie (the max-degree clique); differentiation shows over
     // a wider window — at sf0.001 the projection has ~81 distinct ranks
