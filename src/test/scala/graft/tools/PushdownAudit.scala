@@ -8,7 +8,7 @@ import graft.SparkEntry
   * (query, expensive-fn) pair found in DataFilters. */
 object PushdownAudit {
   val expensive = Seq("minhash_sig", "token_stats", "repetition_stats", "substring_run_fps",
-    "cosine_sim", "band_keys", "simhash", "cms_agg", "age_encrypt",
+    "cdc_chunks", "cosine_sim", "band_keys", "simhash", "cms_agg", "age_encrypt",
     "age_decrypt", "levenshtein", "regexp_replace", "regexp_extract")
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
