@@ -31,14 +31,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * arithmetic itself is inherent to the (engine-portable) fingerprint
   * choice and identical on the oracle side.
   */
-case class SubstringRunFps(child: Expression, w: Int)
+case class SubstringRunFps(child: Expression, w: Int, bin: Boolean = false)
     extends UnaryExpression with Serializable {
   require(w >= 1, "substring_run_fps window must be >= 1")
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType =
+    ArrayType(if (bin) BinaryType else StringType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def prettyName: String = "substring_run_fps"
+  override def prettyName: String =
+    if (bin) "substring_run_fps_bin" else "substring_run_fps"
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (child.dataType == StringType)
@@ -47,12 +49,12 @@ case class SubstringRunFps(child: Expression, w: Int)
       s"substring_run_fps expects a string input, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    SubstringRunFps.compute(input.asInstanceOf[UTF8String], w)
+    SubstringRunFps.compute(input.asInstanceOf[UTF8String], w, bin)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       s"""
-         |${ev.value} = graft.functions.SubstringRunFps$$.MODULE$$.compute($a, $w);
+         |${ev.value} = graft.functions.SubstringRunFps$$.MODULE$$.compute($a, $w, $bin);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin
     })
@@ -68,9 +70,18 @@ object SubstringRunFps {
     ThreadLocal.withInitial(() => new Array[Byte](16))
   private val HEX = "0123456789abcdef".getBytes("US-ASCII")
 
+  /** Hex-output compatibility entry (pre-r16b callers and generated
+    * code compiled against the 2-arg shape). */
+  def compute(s: UTF8String, w: Int): GenericArrayData = compute(s, w, bin = false)
+
   /** One pass over the document bytes; null when the document has fewer
-    * than w words. Called from both interpreted eval and generated code. */
-  def compute(s: UTF8String, w: Int): GenericArrayData = {
+    * than w words. `bin = true` emits the raw 16-byte md5 instead of the
+    * 32-char hex — a BIJECTION of the hex fp, so any grouping/join/
+    * partitioning on it is semantically identical while the exchange
+    * cargo and sort comparators are half the size (measured: dd25's fp
+    * window 1.64 → 1.19 s at sf10m on cargo alone, Dd25Probe variant F).
+    * Called from both interpreted eval and generated code. */
+  def compute(s: UTF8String, w: Int, bin: Boolean): GenericArrayData = {
     val b = s.getBytes
     val n = b.length
     // token start offsets (split-on-space fields, empties included)
@@ -97,14 +108,18 @@ object SubstringRunFps {
       md.reset()
       md.update(b, from, until - from)
       md.digest(out, 0, 16)
-      val hex = new Array[Byte](32)
-      var t = 0
-      while (t < 16) {
-        hex(2 * t) = HEX((out(t) >> 4) & 0xF)
-        hex(2 * t + 1) = HEX(out(t) & 0xF)
-        t += 1
+      if (bin) {
+        fps(j) = java.util.Arrays.copyOf(out, 16)
+      } else {
+        val hex = new Array[Byte](32)
+        var t = 0
+        while (t < 16) {
+          hex(2 * t) = HEX((out(t) >> 4) & 0xF)
+          hex(2 * t + 1) = HEX(out(t) & 0xF)
+          t += 1
+        }
+        fps(j) = UTF8String.fromBytes(hex)
       }
-      fps(j) = UTF8String.fromBytes(hex)
       j += 1
     }
     new GenericArrayData(fps)
@@ -115,5 +130,13 @@ object SubstringRunFps {
   def substring_run_fps(c: Column, w: Int): Column = {
     import org.apache.spark.sql.GraftShims
     GraftShims.columnOf(SubstringRunFps(GraftShims.expressionOf(c), w))
+  }
+
+  /** Binary-fp variant: raw 16-byte md5 per window — use when the fps
+    * stay engine-internal (grouping/joins/exchanges); bijective with the
+    * hex form, half the cargo. */
+  def substring_run_fps_bin(c: Column, w: Int): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.columnOf(SubstringRunFps(GraftShims.expressionOf(c), w, bin = true))
   }
 }

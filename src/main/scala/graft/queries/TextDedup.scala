@@ -1919,10 +1919,15 @@ object TextDedup {
       // aggregate + islands window — BENCH_SCALING r15). NULL (sub-w
       // docs) explodes to nothing, the same structural guard as
       // minhash_sig's consumers.
+      // r16b: BINARY fps through the exchange — raw 16-byte md5 is a
+      // bijection of the hex fp, so the fp window's partitioning is
+      // semantically identical while cargo and sort comparators halve
+      // (1.64 → 1.19 s at sf10m, Dd25Probe F; alternative shapes
+      // re-measured same-sitting and still worse: broadcast-semi 1.74 s)
       val wins = docs(s, d)
         .select(col("doc_id"), col("lang"),
           posexplode(
-            graft.functions.SubstringRunFps.substring_run_fps(col("text"), W))
+            graft.functions.SubstringRunFps.substring_run_fps_bin(col("text"), W))
             .as(Seq("i", "fp")))
       // a run is shared iff its fp spans >= 2 distinct docs: min<max as
       // TWO window aggregates over the fp partition (r16 rework — the
@@ -2076,8 +2081,10 @@ object TextDedup {
       val W = 13
       val doc = docs(s, d)
       val bucket = h28(col("doc_id").cast("string")) % 20
+      // binary fps (bijective with hex): halves the broadcast set and
+      // the probe-side hash cargo — fps never leave the query
       val fps = graft.functions.SubstringRunFps
-        .substring_run_fps(col("text"), W)
+        .substring_run_fps_bin(col("text"), W)
       val bw = doc.filter(bucket === 0)
         .select(explode(array_distinct(fps)).as("fp")).distinct()
       // no isNotNull filter on the computed array (the pushdown

@@ -57,6 +57,19 @@ class SubstringRunFpsSpec extends AnyFunSuite {
     assert(nulls.isNullAt(0))
   }
 
+  test("binary variant is the unhex bijection of the hex fps (real corpus slice)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val paired = docs.select(col("doc_id"),
+        SubstringRunFps.substring_run_fps(col("text"), 50).as("hex"),
+        SubstringRunFps.substring_run_fps_bin(col("text"), 50).as("bin"))
+      .filter(col("hex").isNotNull)
+      .select(posexplode(arrays_zip(col("hex"), col("bin"))).as(Seq("i", "z")))
+      .select(col("z.hex").as("hex"), col("z.bin").as("bin"))
+    assert(paired.filter(unhex(col("hex")) =!= col("bin")).count() === 0L)
+    assert(paired.count() > 0L)
+  }
+
   test("SQL registration: substring_run_fps callable from pure SQL, literal-w enforced") {
     Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
       .createOrReplaceTempView("srf_probe")
