@@ -24,7 +24,10 @@ object Bench {
     // fingerprints, and the multi-round BPE trainer whose materialized
     // per-round state runs 26× faster than the oracle's CTE re-inlining
     // at sf10 (BENCH_SCALING r15)
-    "dd25_substring_spans", "tx31_bpe_train3")
+    "dd25_substring_spans", "tx31_bpe_train3",
+    // r16b: the graded overlap-fraction decontamination tier (binary
+    // window fps + broadcast benchmark set, 2.2× vs oracle at sf10m)
+    "dd27_ngram_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
