@@ -2488,7 +2488,75 @@ object TextDedup {
       SELECT round, pair, pair_total, n_tokens, cksum
       FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2
             UNION ALL SELECT * FROM m3)
-      ORDER BY round"""))
+      ORDER BY round""")),
+
+    // ---- tx32: TRAINED-TOKENIZER SERVE — the composition the
+    // mine/encode/train trio still lacked: tx31's trainer LEARNS the
+    // merges, and this query APPLIES that learned vocabulary back to the
+    // corpus (train → serve, the sim17 build/serve split for the
+    // tokenizer story). The per-language ledger certifies the trained
+    // tokenizer actually tokenizes: word occurrences, pre-encode symbol
+    // count (characters), post-encode token count under the 3 learned
+    // merges, and the occurrence-weighted segmentation checksum
+    // (Σ h28(symbol)) that pins the EXACT per-word token sequences —
+    // a serve-side greedy bug or a wrong merge order cannot hash-match.
+    //
+    // 100 TB shape: training collapses the corpus to distinct words at
+    // the first exchange (tx31's argument); the serve side is one
+    // vocabulary-sized build relation (word → ntok/cksum) joined to the
+    // corpus word stream — AQE broadcasts it when small, exactly like a
+    // production word→ids tokenizer cache — and the only corpus-sized
+    // exchange is the per-lang aggregate's map-side-combined rollup.
+    //
+    // Oracle: tx31's 3-round CTE chain (bpeRoundSql) re-derives the
+    // identical merges and final segmentation relationally, then joins
+    // it back to the language-tagged word stream — both engines train
+    // AND serve independently and must agree on the ledger.
+    QueryDef("tx32_trained_encode", (s, d) => {
+      val cksumOf =
+        "aggregate(seg, CAST(0 AS BIGINT), (acc, x) -> acc + " +
+          "CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 7), 16, 10) AS BIGINT))"
+      // the trained segmentation stays checkpointed until this query's
+      // consumer executes (vocabulary-bounded blocks; see bpeTrain)
+      val (_, seg) = bpeTrain(docs(s, d), 3)
+      val enc = seg.select(col("word"),
+        size(col("seg")).cast("long").as("ntok"), expr(cksumOf).as("cksum"))
+      val dw = docs(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+      dw.join(enc, "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("word")).cast("long")).as("n_chars"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("cksum")).as("tok_cksum"))
+        .orderBy("lang")
+    }, Some(s"""
+      WITH wc AS (
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE len(word) >= 1 GROUP BY 1),
+      seg1 AS (
+        SELECT word, n, i AS j, substr(word, i, 1) AS sym
+        FROM (SELECT word, n, unnest(generate_series(1, len(word))) AS i
+              FROM wc)),
+      ${bpeRoundSql(1)},
+      ${bpeRoundSql(2)},
+      ${bpeRoundSql(3)},
+      enc AS (
+        SELECT word, COUNT(*) AS ntok,
+               SUM(('0x' || substr(md5(sym), 1, 7))::BIGINT) AS cksum
+        FROM seg4 GROUP BY 1),
+      dwl AS (
+        SELECT lang, w AS word FROM (
+          SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) >= 1)
+      SELECT dwl.lang, COUNT(*) AS n_words,
+             CAST(SUM(len(dwl.word)) AS BIGINT) AS n_chars,
+             CAST(SUM(e.ntok) AS BIGINT) AS n_tokens,
+             CAST(SUM(e.cksum) AS BIGINT) AS tok_cksum
+      FROM dwl JOIN enc e ON dwl.word = e.word
+      GROUP BY 1 ORDER BY lang"""))
   )
 
   /** The tx31 training loop, parameterized by round count so the scale
@@ -2505,6 +2573,21 @@ object TextDedup {
     * construction, the DDL-materialization class); everything
     * corpus- or vocab-sized stays distributed. */
   private[graft] def bpeTrainRounds(docsDf: DataFrame, nRounds: Int): DataFrame = {
+    val (certs, seg) = bpeTrain(docsDf, nRounds)
+    seg.unpersist(blocking = false) // the certs carry the result; drop the state
+    val s = docsDf.sparkSession
+    import s.implicits._
+    certs.toDF("round", "pair", "pair_total", "n_tokens", "cksum")
+      .orderBy("round")
+  }
+
+  /** The trainer core, returning BOTH the per-round certificates and the
+    * FINAL segmentation (word, n, seg) — tx31 consumes the certificates;
+    * tx32 consumes the trained segmentation as its serve-side vocabulary
+    * (the caller that keeps the seg must not unpersist it before its
+    * consuming query executes; the state is vocabulary-bounded). */
+  private[graft] def bpeTrain(docsDf: DataFrame, nRounds: Int)
+      : (Seq[(Int, String, Long, Long, Long)], DataFrame) = {
     val s = docsDf.sparkSession
     val cksumOf = // Σ h28(symbol) over one segmentation, as a fold
       "aggregate(seg, CAST(0 AS BIGINT), (acc, x) -> acc + " +
@@ -2582,10 +2665,7 @@ object TextDedup {
       certs += ((r, a + b, total, st.getLong(0), st.getLong(1)))
       }
     }
-    seg.unpersist(blocking = false) // the certs carry the result; drop the state
-    import s.implicits._
-    certs.toSeq.toDF("round", "pair", "pair_total", "n_tokens", "cksum")
-      .orderBy("round")
+    (certs.toSeq, seg)
   }
 
   /** One BPE training round as DuckDB CTEs (tx31's oracle): from the

@@ -101,4 +101,55 @@ class Tx31Spec extends AnyFunSuite {
     // the adopted merges fully reduce this vocabulary
     assert(got.map(_._2).toSet == Set("ab", "abc"), s"unexpected merges: $got")
   }
+
+  test("tx32 serve ledger equals the reference trainer's final segmentation") {
+    // the trained-encode ledger must be EXACTLY what the reference
+    // trainer's round-3 segmentation implies, per language, occurrence-
+    // weighted — pins the train→serve composition, not just the trainer
+    val fixture = Seq(
+      (1L, "aaaaaa aaaaaa banana", "en"), (2L, "aaaaaa banana cabana", "de"),
+      (3L, "aaaaa abab banana", "en"), (4L, "abab banana cabana", "de"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tx32_")
+    fixture.toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val words = fixture.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    // reference: re-run the merges, keep the final segmentation
+    var segs: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    for (_ <- 1 to 3) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((w, seg) <- segs; i <- 0 until seg.length - 1)
+        counts((seg(i), seg(i + 1))) =
+          counts.getOrElse((seg(i), seg(i + 1)), 0L) + words(w)
+      val ((a, b), _) =
+        counts.toSeq.minBy { case ((pa, pb), t) => (-t, pa, pb) }
+      segs = segs.map { case (w, seg) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < seg.length) {
+          if (i < seg.length - 1 && seg(i) == a && seg(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += seg(i); i += 1 }
+        }
+        w -> out.result()
+      }
+    }
+    val want = fixture.flatMap { case (_, t, l) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (l, w)) }
+      .groupBy(_._1).map { case (l, ws) =>
+        (l, ws.size.toLong, ws.map(_._2.length.toLong).sum,
+          ws.map { case (_, w) => segs(w).length.toLong }.sum,
+          ws.map { case (_, w) => segs(w).map(h28).sum }.sum)
+      }.toSeq.sortBy(_._1)
+
+    val q = TextDedup.defs.find(_.name == "tx32_trained_encode").get
+    val got = q.run(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+    TempDirs.deleteRecursively(dir)
+  }
 }
