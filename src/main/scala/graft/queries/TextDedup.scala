@@ -2093,7 +2093,12 @@ object TextDedup {
         .select(col("doc_id"), array_distinct(fps).as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_grams"),
           explode(col("fps")).as("fp"))
-      tw.join(broadcast(bw.withColumn("hit", lit(1))), Seq("fp"), "left")
+      // no broadcast HINT (dd10's discipline): a real benchmark suite is
+      // ≪ the corpus and AQE broadcasts it from runtime stats; the
+      // synthetic bench side here scales WITH the corpus (5% bucket), so
+      // an unconditional hint would force an unbounded broadcast at
+      // extreme sf — let the planner pick from measured sizes
+      tw.join(bw.withColumn("hit", lit(1)), Seq("fp"), "left")
         .groupBy(col("doc_id"), col("n_grams"))
         .agg(count(col("hit")).as("n_hit"))
         .filter(lit(20) * col("n_hit") >= col("n_grams"))
