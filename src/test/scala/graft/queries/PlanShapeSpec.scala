@@ -519,4 +519,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       "tx29 offsets join is no longer broadcast")
   }
+
+  test("dd24 chunk ledger comes from the native cdc_chunks scan (one Generate, no word window)") {
+    val plan = physicalPlan("dd24_cdc_chunk_dedup")
+    assert(plan.contains("cdc_chunks"), "dd24 lost the native cdc_chunks expression")
+    // exactly one Generate: the CHUNK-ledger explode — the word-level
+    // posexplode and its doc_id prefix-sum window must not return
+    assert("Generate".r.findAllIn(plan).size == 1,
+      "dd24 re-grew the word-level explode")
+    // the fp row_number window and the lang agg (partial+final +
+    // ORDER BY range) are the only exchanges; the doc_id word window
+    // and the (doc_id, chunk) groupBy exchanges must not return
+    assert("Exchange".r.findAllIn(plan).size <= 3,
+      "dd24 re-grew a word-level corpus exchange")
+  }
+
+  test("dd25/dd27 window fps ride the binary variant (half-cargo exchanges)") {
+    for (name <- Seq("dd25_substring_spans", "dd27_ngram_decontaminate")) {
+      val plan = physicalPlan(name)
+      assert(plan.contains("substring_run_fps_bin"),
+        s"$name lost the binary fp variant — exchange cargo doubled")
+    }
+  }
+
+  test("dd27 benchmark join carries no broadcast HINT (size-based like dd02/dd10)") {
+    val analyzed = SparkEntry.queries("dd27_ngram_decontaminate")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      "dd27 re-grew an unconditional broadcast hint — the bench side must stay size-based")
+  }
 }
