@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.graph.GraphOps
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** GraphX-backed queries with relational oracles: the graph result must
@@ -295,6 +296,97 @@ object GraphQueries {
                CAST(FLOOR(CAST(c AS DOUBLE) / (sa.n + sb.n - c) * 10000) AS BIGINT) AS jac_x1e4
         FROM common JOIN sz sa ON ca = sa.node JOIN sz sb ON cb = sb.node)
       SELECT ca, cb, c, jac_x1e4 FROM scored
-      WHERE jac_x1e4 >= 1000 ORDER BY ca, cb"""))
+      WHERE jac_x1e4 >= 1000 ORDER BY ca, cb""")),
+
+    // ---- graph09: connected components WITHOUT GraphX — alternating
+    // large-star/small-star rounds over pure DataFrames (the published
+    // MapReduce-scale CC algorithm: Kiveris et al., "Connected Components
+    // in MapReduce and Beyond", SoCC'14). This is the 100 TB posture the
+    // GraphX path (dd09/graph04) can't offer: no RDD vertex/edge caching,
+    // no Pregel vertex program — every round is a hash-partitioned
+    // groupBy + equi-join that AQE can re-plan, skew-split, and spill,
+    // and the edge relation SHRINKS monotonically toward a star forest in
+    // O(log n) rounds. Invariant maintained by both steps: every emitted
+    // edge points strictly downward (src > dst), so the fixpoint is
+    // exactly a disjoint union of stars rooted at component minima —
+    // the same min-label semantics GraphX CC produces. Each round is
+    // localCheckpointed (tx31's lineage-truncation discipline: iterative
+    // plans otherwise grow super-linearly in analysis cost); convergence
+    // is a 2-value (count, hash-sum) fixpoint certificate — a bounded
+    // 1-row collect per round, never corpus-sized. Runs on the SAME
+    // bounded minhash-LSH near-dup edge set as dd09 and emits the SAME
+    // (root, n_docs, max_doc) relation, so GraphX CC (dd09), star CC
+    // (this), and DuckDB's recursive min-label CTE are mutually
+    // oracle-checked three ways.
+    QueryDef("graph09_star_cc", (s, d) => {
+      import s.implicits._
+      val pairs = TextDedup.minhashBandPairs(TextDedup.docsBounded(s, d, 200))
+        .select(col("ida").as("src"), col("idb").as("dst"))
+
+      // large-star: for each u, hang every HIGHER neighbor v > u under
+      // m = min(N(u) ∪ {u}) — long chains collapse toward minima.
+      def largeStar(e: DataFrame): DataFrame = {
+        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        val mins = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        sym.join(mins, col("src") === col("u"))
+          .where(col("dst") > col("src"))
+          .select(col("dst").as("s2"), col("m").as("d2"))
+          .where(col("s2") =!= col("d2"))
+          .select(col("s2").as("src"), col("d2").as("dst"))
+          .distinct()
+      }
+      // small-star: input edges all point downward; re-wire each node's
+      // LOWER neighborhood (parents) onto its minimum parent.
+      def smallStar(e: DataFrame): DataFrame = {
+        val mins = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+        val rewired = e.join(mins, col("src") === col("u"))
+          .where(col("dst") =!= col("m"))
+          .select(col("dst").as("s2"), col("m").as("d2"))
+          .select(col("s2").as("src"), col("d2").as("dst"))
+        rewired.union(mins.select(col("u").as("src"), col("m").as("dst")))
+          .distinct()
+      }
+
+      var e = pairs.localCheckpoint()
+      var prev = (-1L, -1L)
+      var converged = false
+      var it = 0
+      while (!converged && it < 50) { // O(log n) expected; cap is a backstop
+        val next = smallStar(largeStar(e)).localCheckpoint()
+        val chk = next
+          .agg(count(lit(1)), coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)))
+          .as[(Long, Long)].head() // 1-row convergence certificate
+        converged = chk == prev
+        prev = chk
+        e.unpersist()
+        e = next
+        it += 1
+      }
+
+      // star forest → labels: non-roots carry their root edge; roots
+      // (never a src — edges point strictly downward) label themselves.
+      val nodes = pairs.select(col("src").as("node"))
+        .union(pairs.select(col("dst").as("node"))).distinct()
+      val roots = nodes.join(e.select(col("src")), nodes("node") === col("src"), "left_anti")
+        .select(col("node").as("doc_id"), col("node").as("root"))
+      e.select(col("src").as("doc_id"), col("dst").as("root"))
+        .union(roots)
+        .groupBy("root")
+        .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
+        .orderBy("root")
+    }, Some(s"""
+      WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+      ${TextDedup.minhashPairsSql("docs200")},
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
+      SELECT root, COUNT(*) AS n_docs, MAX(node) AS max_doc
+      FROM comp GROUP BY 1 ORDER BY root"""))
   )
 }

@@ -27,7 +27,7 @@ object TextDedup {
     shinglesOf(docs(s, d).filter(col("doc_id") < maxDoc))
 
   /** Bounded (doc_id, text) slice for the pair queries' MinHash feed. */
-  private def docsBounded(s: SparkSession, d: String, maxDoc: Long): DataFrame =
+  private[queries] def docsBounded(s: SparkSession, d: String, maxDoc: Long): DataFrame =
     docs(s, d).filter(col("doc_id") < maxDoc)
 
   private[queries] def shinglesOf(df: DataFrame): DataFrame =
@@ -239,7 +239,7 @@ object TextDedup {
           s"SELECT doc_id, $bi AS band, CAST(m${2 * bi} AS VARCHAR) || '_' || CAST(m${2 * bi + 1} AS VARCHAR) AS key FROM mh")
           .mkString(" UNION ALL ")})"""
 
-  private def minhashPairsSql(docsCte: String): String = s"""
+  private[queries] def minhashPairsSql(docsCte: String): String = s"""
       ${minhashBandsSql(docsCte)},
       pairs AS (
         SELECT x.doc_id AS ida, y.doc_id AS idb, COUNT(*) AS shared_bands
