@@ -168,6 +168,34 @@ object Multimodal {
     out
   }
 
+  /** Deterministic synthetic PCM with SHARED CONTENT across documents —
+    * the near-dup fixture for the audio fingerprint gate (mm15): the
+    * signal depends on the TRACK `g = id % 7` (not the doc), so documents
+    * on the same track are re-encodings of one recording, with a
+    * per-doc loudness offset `(id % 3) * 150` standing in for re-mastering
+    * and a doc-specific tail length standing in for trailing silence
+    * trims. Samples stay well inside int16 (|s| ≤ 2048 + 300). An
+    * arithmetic SQL oracle predicts every sample: for k < 256,
+    * `((g*131 + k*29) % 4096) - 2048 + (id%3)*150`; the tail (k ≥ 256,
+    * `id%5` extra 16-sample blocks) reuses the per-doc [[syntheticPcm]]
+    * formula so tails never collide across docs. */
+  def syntheticTrackPcm(docId: Long): Array[Byte] = {
+    val n = 256 + (docId % 5).toInt * 16
+    val g = docId % 7
+    val off = (docId % 3).toInt * 150
+    val out = new Array[Byte](n * 2)
+    var k = 0
+    while (k < n) {
+      val s =
+        if (k < 256) (((g * 131 + k.toLong * 29) % 4096) - 2048).toInt + off
+        else (((docId * 31 + k.toLong * 17) % 4096) - 2048).toInt
+      out(2 * k) = (s & 0xFF).toByte
+      out(2 * k + 1) = ((s >> 8) & 0xFF).toByte
+      k += 1
+    }
+    out
+  }
+
   /** Parse 16-bit little-endian PCM payloads and emit per-frame energy
     * (exact long sum of squared samples) for fixed frames of
     * `frameSamples` samples; a trailing partial frame is dropped. Runs as

@@ -579,6 +579,77 @@ object MultimodalQueries {
                   ELSE 0 END AS BIGINT) AS n_restarts,
              i.doc_id % 5 <> 0 AS intact
       FROM ids i JOIN qt q USING (doc_id) JOIN es e USING (doc_id)
-      ORDER BY i.doc_id"""))
+      ORDER BY i.doc_id""")),
+
+    // ---- mm15: audio-fingerprint near-dup — the AUDIO leg of the
+    // modality-symmetric dedup family (text: dd03 minhash / dd04 simhash;
+    // image: mm08 pHash; video frames: mm03). Chromaprint-style pipeline
+    // over REAL decoded PCM: 32 energy frames (8 samples each) from the
+    // byte-parsing frameEnergy decoder are quantized against a fixed
+    // threshold into a 32-bit fingerprint, candidate pairs come from
+    // BANDED equality on the fp's four bytes (dd03's LSH discipline —
+    // never all-pairs: at 100 TB the only corpus-sized exchange carries
+    // (band, byte) keys, and same-band buckets are the candidate set),
+    // then the true Hamming distance over the full fp confirms ≤ 6.
+    // Fixtures are syntheticTrackPcm: docs on the same track (doc_id%7)
+    // share the signal with per-doc loudness offsets, so same-track pairs
+    // land at small Hamming distance and cross-track byte collisions are
+    // pruned by the confirm — the decode loop, the banding, and the
+    // confirm are all gate-checked against DuckDB's arithmetic replay of
+    // the generator contract (no bytes on the oracle side).
+    QueryDef("mm15_audio_fp_dedup", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 5)
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map(id =>
+        graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticTrackPcm(id)))
+      val fps = graft.ops.Multimodal.frameEnergy(rows, 8).toDF()
+        .filter(col("frame_idx") < 32) // fp reads the shared 256-sample head
+        .groupBy("doc_id")
+        .agg(sum(when(col("energy") > 11200000L,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_idx AS INT))"))
+          .otherwise(0L)).as("fp"))
+      val bands = fps.select(col("doc_id"), col("fp"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("fp"), 8 * b).bitwiseAND(lit(255L)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("fp"), col("bk.band").as("band"), col("bk.key").as("key"))
+      bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"),
+          col("x.fp").as("fpa"), col("y.fp").as("fpb"))
+        .distinct()
+        .select(col("ida"), col("idb"),
+          bit_count(col("fpa").bitwiseXOR(col("fpb"))).cast("long").as("hamming"),
+          (col("ida") % 7 === col("idb") % 7).as("same_track"))
+        .filter(col("hamming") <= 6)
+        .orderBy("ida", "idb")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+      samples AS (
+        SELECT doc_id, k,
+               ((doc_id % 7)*131 + k*29) % 4096 - 2048 + (doc_id % 3)*150 AS s
+        FROM (SELECT doc_id, unnest(generate_series(0, 255)) AS k FROM ids)),
+      fe AS (
+        SELECT doc_id, k // 8 AS f, SUM(s*s) AS energy
+        FROM samples GROUP BY 1, 2),
+      fps AS (
+        SELECT doc_id,
+               SUM(CASE WHEN energy > 11200000 THEN 1::BIGINT << f ELSE 0 END) AS fp
+        FROM fe GROUP BY 1),
+      bands AS (
+        SELECT doc_id, fp, b.band AS band, (fp >> (8*b.band)) & 255 AS key
+        FROM fps, (SELECT unnest(generate_series(0, 3)) AS band) b),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb, x.fp AS fpa, y.fp AS fpb
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+      SELECT ida, idb, CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming,
+             ida % 7 = idb % 7 AS same_track
+      FROM cand WHERE bit_count(xor(fpa, fpb)) <= 6
+      ORDER BY ida, idb"""))
   )
 }
