@@ -1,0 +1,96 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components WITHOUT GraphX: alternating large-star/small-star
+  * rounds over pure DataFrames — the published MapReduce-scale CC algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14). Every round is a hash-partitioned groupBy + equi-join that AQE
+  * can re-plan, skew-split, and spill (no RDD vertex/edge caching, no Pregel
+  * vertex program), and the edge relation shrinks monotonically toward a
+  * star forest in O(log n) rounds.
+  *
+  * Invariant maintained by both steps: every emitted edge points strictly
+  * downward (src > dst), so the fixpoint is exactly a disjoint union of
+  * stars rooted at component minima — the same min-label semantics GraphX
+  * `connectedComponents()` produces (three-way agreement with GraphX and a
+  * DuckDB recursive min-label CTE is gate-checked by graph09; label-level
+  * equality at scale by Graph09Probe).
+  *
+  * Each round is localCheckpointed (tx31's lineage-truncation discipline:
+  * iterative lazy plans otherwise grow super-linearly in analysis cost);
+  * convergence is a 2-value (count, hash-sum) fixpoint certificate — one
+  * bounded 1-row collect per round, never corpus-sized.
+  */
+object StarCC {
+
+  /** large-star: for each u, hang every HIGHER neighbor v > u under
+    * m = min(N(u) ∪ {u}) — long chains collapse toward minima. */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    sym.join(mins, col("src") === col("u"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("s2"), col("m").as("d2"))
+      .where(col("s2") =!= col("d2"))
+      .select(col("s2").as("src"), col("d2").as("dst"))
+    // no distinct here: duplicates feed smallStar's min aggregate
+    // harmlessly, and the round's single distinct (end of smallStar)
+    // restores set semantics — one exchange per round instead of two.
+  }
+
+  /** small-star: input edges all point downward; re-wire each node's
+    * LOWER neighborhood (parents) onto its minimum parent. */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+    val rewired = e.join(mins, col("src") === col("u"))
+      .where(col("dst") =!= col("m"))
+      .select(col("dst").as("s2"), col("m").as("d2"))
+      .select(col("s2").as("src"), col("d2").as("dst"))
+    rewired.union(mins.select(col("u").as("src"), col("m").as("dst")))
+      .distinct()
+  }
+
+  /** Component labels for an undirected edge list `(src, dst)` (long ids,
+    * orientation irrelevant, self-loops ignored): returns `(node, root)`
+    * with one row per vertex incident to an edge, `root` = the minimum
+    * vertex id reachable from `node`. Isolated vertices (absent from the
+    * edge list) are the caller's concern, matching GraphX `fromEdges`. */
+  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+
+    var e = pairs.localCheckpoint()
+    var prev = (-1L, -1L)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) { // O(log n) expected; cap = backstop
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // (count, xor-of-hashes) set certificate: bit_xor is order-
+      // independent and cannot overflow under ANSI mode (edges are
+      // distinct, so set semantics are exact up to hash collision; a
+      // false "converged" would surface as an oracle mismatch).
+      val chk = next
+        .agg(count(lit(1)),
+          coalesce(expr("bit_xor(xxhash64(src, dst))"), lit(0L)))
+        .as[(Long, Long)].head() // 1-row convergence certificate
+      converged = chk == prev
+      prev = chk
+      e.unpersist()
+      e = next
+      it += 1
+    }
+
+    // star forest → labels: non-roots carry their root edge; roots (never
+    // a src — edges point strictly downward) label themselves.
+    val nodes = pairs.select(col("src").as("node"))
+      .union(pairs.select(col("dst").as("node"))).distinct()
+    val roots = nodes.join(e.select(col("src")), nodes("node") === col("src"), "left_anti")
+      .select(col("node"), col("node").as("root"))
+    e.select(col("src").as("node"), col("dst").as("root")).union(roots)
+  }
+}

@@ -317,61 +317,13 @@ object GraphQueries {
     // bounded minhash-LSH near-dup edge set as dd09 and emits the SAME
     // (root, n_docs, max_doc) relation, so GraphX CC (dd09), star CC
     // (this), and DuckDB's recursive min-label CTE are mutually
-    // oracle-checked three ways.
+    // oracle-checked three ways. Algorithm lives in graft.graph.StarCC
+    // (shared with Graph09Probe's full-graph sf1 lane and GraphCcSpec).
     QueryDef("graph09_star_cc", (s, d) => {
-      import s.implicits._
       val pairs = TextDedup.minhashBandPairs(TextDedup.docsBounded(s, d, 200))
         .select(col("ida").as("src"), col("idb").as("dst"))
-
-      // large-star: for each u, hang every HIGHER neighbor v > u under
-      // m = min(N(u) ∪ {u}) — long chains collapse toward minima.
-      def largeStar(e: DataFrame): DataFrame = {
-        val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        val mins = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
-          .select(col("u"), least(col("mn"), col("u")).as("m"))
-        sym.join(mins, col("src") === col("u"))
-          .where(col("dst") > col("src"))
-          .select(col("dst").as("s2"), col("m").as("d2"))
-          .where(col("s2") =!= col("d2"))
-          .select(col("s2").as("src"), col("d2").as("dst"))
-          .distinct()
-      }
-      // small-star: input edges all point downward; re-wire each node's
-      // LOWER neighborhood (parents) onto its minimum parent.
-      def smallStar(e: DataFrame): DataFrame = {
-        val mins = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
-        val rewired = e.join(mins, col("src") === col("u"))
-          .where(col("dst") =!= col("m"))
-          .select(col("dst").as("s2"), col("m").as("d2"))
-          .select(col("s2").as("src"), col("d2").as("dst"))
-        rewired.union(mins.select(col("u").as("src"), col("m").as("dst")))
-          .distinct()
-      }
-
-      var e = pairs.localCheckpoint()
-      var prev = (-1L, -1L)
-      var converged = false
-      var it = 0
-      while (!converged && it < 50) { // O(log n) expected; cap is a backstop
-        val next = smallStar(largeStar(e)).localCheckpoint()
-        val chk = next
-          .agg(count(lit(1)), coalesce(sum(xxhash64(col("src"), col("dst"))), lit(0L)))
-          .as[(Long, Long)].head() // 1-row convergence certificate
-        converged = chk == prev
-        prev = chk
-        e.unpersist()
-        e = next
-        it += 1
-      }
-
-      // star forest → labels: non-roots carry their root edge; roots
-      // (never a src — edges point strictly downward) label themselves.
-      val nodes = pairs.select(col("src").as("node"))
-        .union(pairs.select(col("dst").as("node"))).distinct()
-      val roots = nodes.join(e.select(col("src")), nodes("node") === col("src"), "left_anti")
-        .select(col("node").as("doc_id"), col("node").as("root"))
-      e.select(col("src").as("doc_id"), col("dst").as("root"))
-        .union(roots)
+      graft.graph.StarCC.labels(pairs)
+        .select(col("node").as("doc_id"), col("root"))
         .groupBy("root")
         .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc"))
         .orderBy("root")

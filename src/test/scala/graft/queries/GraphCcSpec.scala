@@ -75,41 +75,14 @@ class GraphCcSpec extends AnyFunSuite {
   }
 
   test("alternating-star CC handles a chain + isolated-pair topology") {
-    // hand graph: chain 5-4-3-2-1, pair (10,11), self-contained star (20,21)
-    // exercised through the same largeStar/smallStar rounds graph09 runs by
-    // pushing a synthetic edge frame through the identical loop body.
+    // hand graph: chain 5-4-3-2-1 (reverse-oriented edges), pair (10,11),
+    // star (20,21) — StarCC.labels must root every chain node at 1.
     import spark.implicits._
-    import org.apache.spark.sql.functions._
     val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 21L))
       .toDF("src", "dst")
-    def largeStar(e: org.apache.spark.sql.DataFrame) = {
-      val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      val mins = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
-        .select(col("u"), least(col("mn"), col("u")).as("m"))
-      sym.join(mins, col("src") === col("u"))
-        .where(col("dst") > col("src"))
-        .select(col("dst").as("s2"), col("m").as("d2"))
-        .where(col("s2") =!= col("d2"))
-        .select(col("s2").as("src"), col("d2").as("dst")).distinct()
-    }
-    def smallStar(e: org.apache.spark.sql.DataFrame) = {
-      val mins = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
-      val rewired = e.join(mins, col("src") === col("u"))
-        .where(col("dst") =!= col("m"))
-        .select(col("dst").as("s2"), col("m").as("d2"))
-        .select(col("s2").as("src"), col("d2").as("dst"))
-      rewired.union(mins.select(col("u").as("src"), col("m").as("dst"))).distinct()
-    }
-    var e = e0
-    var prev = Set.empty[(Long, Long)]
-    var done = false
-    var it = 0
-    while (!done && it < 20) {
-      val next = smallStar(largeStar(e))
-      val set = next.as[(Long, Long)].collect().toSet
-      done = set == prev; prev = set; e = next; it += 1
-    }
-    assert(prev == Set((2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L), (11L, 10L), (21L, 20L)),
-      s"star fixpoint wrong: $prev")
+    val got = graft.graph.StarCC.labels(e0).as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 1L),
+      (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)),
+      s"star labels wrong: $got")
   }
 }
