@@ -12,7 +12,8 @@ for m in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$m=ALL-UNNAMED"
 done
+# optional 5th arg: comma-separated query-name filter (Verify's 3rd arg)
 exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$MEM" \
   -cp /root/repo/target/scala-2.13/duckdbagespark_2.13-0.1.0.jar:'/opt/spark/jars/*' \
-  "$MAIN" "$SF" "$OUT"
+  "$MAIN" "$SF" "$OUT" ${5:+"$5"}
