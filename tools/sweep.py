@@ -31,11 +31,17 @@ def norm(df):
 
 
 def run_oracle(name, sql, q):
+    import os
     con = duckdb.connect()
     con.sql("SET threads TO 16")
+    con.sql("SET memory_limit='60GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_sweep_spill'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # multi-file twin layout (tools/split_corpus.py): table is a DIRECTORY
+        src = f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     try:
         q.put(("ok", con.sql(sql).df()))
     except Exception as e:
