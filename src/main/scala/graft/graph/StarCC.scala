@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * iterative lazy plans otherwise grow super-linearly in analysis cost);
   * convergence is a 2-value (count, hash-sum) fixpoint certificate — one
   * bounded 1-row collect per round, never corpus-sized.
+  *
+  * Fault stance: localCheckpoint stores round state in executor blocks
+  * with truncated lineage, so an executor loss mid-run fails the job and
+  * the caller re-runs from the edge list — the standard stance for
+  * in-memory iterative graph jobs (GraphX's cached vertex/edge RDDs share
+  * it). If partial-progress restart matters at extreme graph sizes, swap
+  * localCheckpoint for a reliable `checkpoint` against cluster storage —
+  * the algorithm is unchanged; only durability of per-round state moves.
   */
 object StarCC {
 
