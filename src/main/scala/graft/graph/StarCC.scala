@@ -23,13 +23,18 @@ import org.apache.spark.sql.functions._
   * convergence is a 2-value (count, hash-sum) fixpoint certificate — one
   * bounded 1-row collect per round, never corpus-sized.
   *
-  * Fault stance: localCheckpoint stores round state in executor blocks
-  * with truncated lineage, so an executor loss mid-run fails the job and
-  * the caller re-runs from the edge list — the standard stance for
-  * in-memory iterative graph jobs (GraphX's cached vertex/edge RDDs share
-  * it). If partial-progress restart matters at extreme graph sizes, swap
-  * localCheckpoint for a reliable `checkpoint` against cluster storage —
-  * the algorithm is unchanged; only durability of per-round state moves.
+  * Fault stance: by default round state is localCheckpointed — executor
+  * blocks with truncated lineage, persisted at 2× replication, so
+  * single-executor loss is usually absorbed (StarCcFaultLane measured
+  * byte-identical survival through 1- and even 2-of-4-executor SIGKILLs
+  * on the real cluster), but survival is PROBABILISTIC: lose both
+  * replicas of a live round block and the job fails loudly (never a
+  * wrong answer — lineage is truncated, nothing silently recomputes
+  * differently). Pass `reliable = true` (with `sc.setCheckpointDir` on
+  * cluster storage) to make survival deterministic: each round is in the
+  * checkpoint dir and retried tasks re-read it — proven byte-identical
+  * under mid-fixpoint executor SIGKILL by StarCcFaultLane (CLUSTER.md
+  * r16d). Same algorithm; only durability of per-round state moves.
   */
 object StarCC {
 
@@ -66,18 +71,24 @@ object StarCC {
     * with one row per vertex incident to an edge, `root` = the minimum
     * vertex id reachable from `node`. Isolated vertices (absent from the
     * edge list) are the caller's concern, matching GraphX `fromEdges`. */
-  def labels(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def labels(edges: DataFrame, maxIter: Int = 50,
+             reliable: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
+      "StarCC.labels(reliable = true) needs spark.sparkContext.setCheckpointDir " +
+        "pointing at storage every executor can read")
+    def ckpt(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val pairs = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
 
-    var e = pairs.localCheckpoint()
+    var e = ckpt(pairs)
     var prev = (-1L, -1L)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) { // O(log n) expected; cap = backstop
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = ckpt(smallStar(largeStar(e)))
       // (count, xor-of-hashes) set certificate: bit_xor is order-
       // independent and cannot overflow under ANSI mode (edges are
       // distinct, so set semantics are exact up to hash collision; a
