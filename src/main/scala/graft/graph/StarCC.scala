@@ -35,6 +35,9 @@ import org.apache.spark.sql.functions._
   * checkpoint dir and retried tasks re-read it — proven byte-identical
   * under mid-fixpoint executor SIGKILL by StarCcFaultLane (CLUSTER.md
   * r16d). Same algorithm; only durability of per-round state moves.
+  * Reliable-mode round files stay in the checkpoint dir until application
+  * end unless `spark.cleaner.referenceTracking.cleanCheckpoints=true`,
+  * which lets the ContextCleaner delete superseded rounds on GC.
   */
 object StarCC {
 
@@ -80,10 +83,14 @@ object StarCC {
         "pointing at storage every executor can read")
     def ckpt(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val pairs = edges.select(col("src"), col("dst"))
-      .where(col("src") =!= col("dst"))
+    // materialized ONCE: both the fixpoint's round 0 and the final vertex
+    // set read this frame, so the (possibly expensive) upstream edge
+    // pipeline — graph09's minhash-LSH self-join, the probe's co-purchase
+    // projection — never re-executes after the loop
+    val pairs = ckpt(edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst")))
 
-    var e = ckpt(pairs)
+    var e = pairs
     var prev = (-1L, -1L)
     var converged = false
     var it = 0
@@ -99,10 +106,16 @@ object StarCC {
         .as[(Long, Long)].head() // 1-row convergence certificate
       converged = chk == prev
       prev = chk
-      e.unpersist()
+      // superseded rounds: the driver drops its reference here and the
+      // ContextCleaner releases the blocks/files on GC (Dataset.unpersist
+      // would be a no-op — checkpointed frames aren't cacheManager
+      // entries); peak concurrent state is therefore ~2 rounds of edges
       e = next
       it += 1
     }
+    require(converged,
+      s"StarCC did not reach the star-forest fixpoint in $maxIter rounds " +
+        "— raise maxIter; emitting a non-converged edge set would mislabel")
 
     // star forest → labels: non-roots carry their root edge; roots (never
     // a src — edges point strictly downward) label themselves.

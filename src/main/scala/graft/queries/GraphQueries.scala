@@ -330,14 +330,7 @@ object GraphQueries {
     }, Some(s"""
       WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       ${TextDedup.minhashPairsSql("docs200")},
-      edges AS (SELECT ida AS src, idb AS dst FROM pairs
-                UNION SELECT idb, ida FROM pairs),
-      verts AS (SELECT DISTINCT src AS node FROM edges),
-      reach(node, lbl) AS (
-        SELECT node, node FROM verts
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
+      ${TextDedup.ccFixpointSql}
       SELECT root, COUNT(*) AS n_docs, MAX(node) AS max_doc
       FROM comp GROUP BY 1 ORDER BY root"""))
   )

@@ -247,6 +247,21 @@ object TextDedup {
           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
         GROUP BY 1, 2)"""
 
+  /** Recursive min-label connected-components oracle block over a
+    * `pairs(ida, idb)` CTE (dd09/dd19/graph09 share it — one definition,
+    * so the three-way GraphX/StarCC/DuckDB agreement can't silently
+    * diverge on the oracle side): emits edges/verts/reach/comp; callers
+    * SELECT from `comp(node, root)`. */
+  private[queries] val ccFixpointSql: String = """
+      edges AS (SELECT ida AS src, idb AS dst FROM pairs
+                UNION SELECT idb, ida FROM pairs),
+      verts AS (SELECT DISTINCT src AS node FROM edges),
+      reach(node, lbl) AS (
+        SELECT node, node FROM verts
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- tx01: token counting (whitespace + BPE-ish length/4 subwords)
@@ -425,14 +440,7 @@ object TextDedup {
     }, Some(s"""
       WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       ${minhashPairsSql("docs200")},
-      edges AS (SELECT ida AS src, idb AS dst FROM pairs
-                UNION SELECT idb, ida FROM pairs),
-      verts AS (SELECT DISTINCT src AS node FROM edges),
-      reach(node, lbl) AS (
-        SELECT node, node FROM verts
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node)
+      $ccFixpointSql
       SELECT root, COUNT(*) AS n_docs, MAX(node) AS max_doc
       FROM comp GROUP BY 1 ORDER BY root""")),
 
@@ -464,14 +472,7 @@ object TextDedup {
     }, Some(s"""
       WITH RECURSIVE docs200 AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
       ${minhashPairsSql("docs200")},
-      edges AS (SELECT ida AS src, idb AS dst FROM pairs
-                UNION SELECT idb, ida FROM pairs),
-      verts AS (SELECT DISTINCT src AS node FROM edges),
-      reach(node, lbl) AS (
-        SELECT node, node FROM verts
-        UNION
-        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
-      comp AS (SELECT node, MIN(lbl) AS root FROM reach GROUP BY node),
+      $ccFixpointSql,
       scored AS (
         SELECT c.root, c.node AS doc_id, d.n_chars,
                ROW_NUMBER() OVER (PARTITION BY c.root

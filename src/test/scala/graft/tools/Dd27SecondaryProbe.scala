@@ -33,12 +33,17 @@ object Dd27SecondaryProbe {
     def runOnce(tag: String, dir: String): Unit = {
       val df = q(spark, dir)
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      // drive THIS DataFrame's own QueryExecution (collect, not write —
+      // write plans a separate QueryExecution, and with AQE on the plan
+      // printed below would then be the un-executed initial one, hiding
+      // exactly the runtime join flip this probe exists to rule out);
+      // dd27's output is the flagged-doc slice, bounded
+      val n = df.collect().length
       val sec = (System.nanoTime() - t0) / 1e9
-      val plan = df.queryExecution.executedPlan.toString
+      val plan = df.queryExecution.executedPlan.toString // final AQE plan now
       val join = plan.linesIterator.find(l =>
         l.contains("Join") && !l.contains("BroadcastExchange")).getOrElse("?").trim
-      println(f"[dd27probe] $tag%-28s $sec%6.2f s  join=${join.take(90)}")
+      println(f"[dd27probe] $tag%-28s $sec%6.2f s rows=$n join=${join.take(90)}")
     }
 
     runOnce("sf0.1 warm (aqe off)", sf01)

@@ -61,28 +61,9 @@ object FaultLane {
         if (s.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
     })
 
-    // order-insensitive result fingerprint: row count + sum of xxhash64
-    // over every column — any lost, duplicated, or corrupted row flips it
-    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
-      // sum the hashes as decimal(38,0): full-range xxhash64 longs can
-      // overflow a BIGINT sum under ANSI mode (hit by tx31's 3-row
-      // certificate result); decimal keeps the fingerprint exact
-      val r = df
-        .select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
-      (r.getLong(0),
-        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
-    }
-
-    // pgrep exits 1 on no match (`.!!` would throw) — an empty set is the
-    // meaningful answer, both for the pre-spawn window and for the killer
-    // thread racing executor churn
-    def executorPids(): Set[Long] = {
-      import scala.sys.process._
-      scala.util.Try(Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!)
-        .map(_.split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSet)
-        .getOrElse(Set.empty) - ProcessHandle.current().pid()
-    }
+    // fingerprint + kill-target discovery shared with StarCcFaultLane
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = graft.tools.LaneKit.fingerprint(df)
+    def executorPids(): Set[Long] = graft.tools.LaneKit.executorPids()
 
     val mk = () => SparkEntry.queries(qname)(spark, sfDir)
     val baseline = fingerprint(mk()) // warm pass doubles as the baseline

@@ -47,10 +47,12 @@ object SpillLane {
 
     val qs = graft.SparkEntry.queries
     names.foreach { n =>
-      val (m0, d0) = (memSpilled.get, diskSpilled.get)
-      val t0 = System.nanoTime()
+      Thread.sleep(1500) // drain the async listener bus: late TaskEnd
+      val (m0, d0) = (memSpilled.get, diskSpilled.get) // events stay with
+      val t0 = System.nanoTime() //                       their own query
       qs(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // and the tail of THIS query's events lands too
       println(f"""{"lane":"spill","query":"$n","sec":$sec%.2f,""" +
         f""""mem_spilled_mb":${(memSpilled.get - m0) / 1048576},""" +
         f""""disk_spilled_mb":${(diskSpilled.get - d0) / 1048576},""" +

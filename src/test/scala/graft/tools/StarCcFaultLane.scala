@@ -52,19 +52,8 @@ object StarCcFaultLane {
         if (s.stageInfo.attemptNumber() > 0) stageRetries.incrementAndGet()
     })
 
-    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
-      val r = df
-        .select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)"))).collect()(0)
-      (r.getLong(0),
-        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
-    }
-    def executorPids(): Set[Long] = {
-      import scala.sys.process._
-      scala.util.Try(Seq("pgrep", "-f", "CoarseGrainedExecutorBackend").!!)
-        .map(_.split("\n").filter(_.nonEmpty).map(_.trim.toLong).toSet)
-        .getOrElse(Set.empty) - ProcessHandle.current().pid()
-    }
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = LaneKit.fingerprint(df)
+    def executorPids(): Set[Long] = LaneKit.executorPids()
 
     // the expensive projection once; both runs consume the same relation
     val pairs = graft.graph.GraphOps.coPurchasePairs(spark, sfDir)
@@ -112,12 +101,15 @@ object StarCcFaultLane {
     // failure (lineage truncated — no silent wrong answer).
     Thread.sleep(3000) // replacement executor registers
     @volatile var killedPid2 = -1L
+    @volatile var killedAtNs2 = -1L
+    val t1 = System.nanoTime()
     val killer2 = new Thread(() => {
       Thread.sleep(killAtMs)
       val pids = executorPids()
       if (pids.nonEmpty) {
         val victims = pids.toSeq.sorted.takeRight(2)
         killedPid2 = victims.max
+        killedAtNs2 = System.nanoTime()
         victims.foreach(p =>
           Runtime.getRuntime.exec(Array("kill", "-9", p.toString)).waitFor())
         println(s"[starcc-fault] SIGKILL executors ${victims.mkString(",")} (local mode run)")
@@ -130,9 +122,14 @@ object StarCcFaultLane {
         val fp = fingerprint(graft.graph.StarCC.labels(pairs)) // localCheckpoint
         if (fp == baseline) "survived_byte_identical" else "WRONG_ANSWER"
       } catch { case e: Throwable => s"failed_loudly(${e.getClass.getSimpleName})" }
+    val wall2 = System.nanoTime() - t1
     killer2.join(1000)
+    // a survival claim is only evidence if the kill actually landed inside
+    // the run — otherwise record it as such (phase-1's `landed` discipline)
+    val landed2 = killedPid2 > 0 && killedAtNs2 > t1 && killedAtNs2 < t1 + wall2
+    val outcome2 = if (landed2) localOutcome else s"kill_not_landed($localOutcome)"
     println(s"""{"lane":"starcc-fault-localckpt","killed_pid":$killedPid2,""" +
-      s""""outcome":"$localOutcome"}""")
+      s""""kill_landed_mid_run":$landed2,"outcome":"$outcome2"}""")
     spark.stop()
     if (!ok || localOutcome == "WRONG_ANSWER") sys.exit(1)
   }

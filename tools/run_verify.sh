@@ -1,6 +1,8 @@
 #!/bin/bash
 # Run graft.Verify (or another main) from the packaged jar without the sbt
-# lock. Usage: run_verify.sh <sf_dir> <out_dir> [mem] [main-class]
+# lock. Usage: run_verify.sh <sf_dir> <out_dir> [mem] [main-class] [filter]
+#   filter: comma-separated query names, forwarded as the main's 3rd arg
+#   (graft.Verify runs only those queries — local iteration)
 set -e
 SF=${1:?sf_dir}
 OUT=${2:?out_dir}

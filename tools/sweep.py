@@ -34,8 +34,10 @@ def run_oracle(name, sql, q):
     import os
     con = duckdb.connect()
     con.sql("SET threads TO 16")
-    con.sql("SET memory_limit='60GB'")
-    con.sql("SET temp_directory='/tmp/duckdb_sweep_spill'")
+    con.sql(f"SET memory_limit='{os.environ.get('SWEEP_DUCKDB_MEM', '60GB')}'")
+    # per-query spill subdir: the parent removes it after the child exits
+    # (a budget-killed child can't clean up after itself)
+    con.sql(f"SET temp_directory='/tmp/duckdb_sweep_spill/{name}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sf_dir}/{t}.parquet"
@@ -48,8 +50,14 @@ def run_oracle(name, sql, q):
         q.put(("err", str(e)[:500]))
 
 
+import shutil
+
 report, n_pass, n_fail, n_skip = {}, 0, 0, 0
 for name in sorted(oracle):
+    # oracle children run serially: sweep the previous child's spill dir
+    # here (and once after the loop) so a budget-killed child — which
+    # cannot clean up after itself — never accumulates stale temp files
+    shutil.rmtree("/tmp/duckdb_sweep_spill", ignore_errors=True)
     sql = oracle[name]
     try:
         spark_df = pd.read_parquet(f"{out_dir}/{name}")
@@ -127,6 +135,7 @@ for name in sorted(oracle):
         n_pass += 1
         print(f"PASS {name} ({len(a)} rows, oracle {elapsed}s)", flush=True)
 
+shutil.rmtree("/tmp/duckdb_sweep_spill", ignore_errors=True)
 summary = {"sf_dir": sf_dir, "budget_sec": budget, "pass": n_pass,
            "fail": n_fail, "oracle_excluded": n_skip,
            "total": len(oracle), "queries": report}
