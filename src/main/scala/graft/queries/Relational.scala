@@ -1722,7 +1722,49 @@ object Relational {
              CAST(t.nk + 1 AS INTEGER) AS n_keys,
              t.germany AS germany_cnt
       FROM entries e JOIN tot t USING (segment)
-      ORDER BY segment, key"""))
+      ORDER BY segment, key""")),
+
+    // ---- q69: running COUNT(DISTINCT) OVER — a window shape Spark has
+    // no native form for (DISTINCT inside window aggregates is rejected
+    // by the analyzer); the Spark-idiomatic composition is
+    // size(collect_set() OVER (... ROWS UNBOUNDED PRECEDING)) — still
+    // ONE shuffle on the partition key, running state bounded by the
+    // distinct-value count per partition (event types here: ≤4), never
+    // the frame length. The oracle deliberately uses a DIFFERENT,
+    // engine-portable formulation (first-occurrence marking: ROW_NUMBER
+    // per (user, type), running SUM of the rn=1 markers), so the
+    // composition is checked against independent arithmetic rather than
+    // DuckDB's native DISTINCT windows. Ties broken by event_id in both
+    // engines — frames are deterministic.
+    QueryDef("q69_window_distinct", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+          col("event_type"))
+        .withColumn("n_distinct_types",
+          size(collect_set(col("event_type")).over(w)).cast("long"))
+        .filter(col("event_id") % 50 === 0) // bounded projection, full window math
+        .select(col("user_id"), col("event_id"), col("n_distinct_types"))
+        .orderBy("user_id", "event_id")
+    }, Some("""
+      WITH marked AS (
+        SELECT user_id, event_id, epoch_ms(ts) AS tms, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_ms(ts), event_id) AS occ
+        FROM events),
+      running AS (
+        SELECT user_id, event_id,
+               SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY tms, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS n_distinct_types
+        FROM marked)
+      SELECT user_id, event_id, CAST(n_distinct_types AS BIGINT) AS n_distinct_types
+      FROM running WHERE event_id % 50 = 0
+      ORDER BY user_id, event_id"""))
   )
 
   /** Session for the bucketed-layout queries (r16): the layout writes
