@@ -35,8 +35,10 @@ def run_oracle(name, sql, q):
     con = duckdb.connect()
     con.sql("SET threads TO 16")
     con.sql(f"SET memory_limit='{os.environ.get('SWEEP_DUCKDB_MEM', '60GB')}'")
-    # per-query spill subdir: the parent removes it after the child exits
-    # (a budget-killed child can't clean up after itself)
+    # per-query spill subdir: the parent sweeps the tree between queries
+    # (a budget-killed child can't clean up after itself). DuckDB creates
+    # only the leaf, not missing ancestors — make the subdir here.
+    os.makedirs(f"/tmp/duckdb_sweep_spill/{name}", exist_ok=True)
     con.sql(f"SET temp_directory='/tmp/duckdb_sweep_spill/{name}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
