@@ -23,7 +23,12 @@ final class AgeInvalidInputException(msg: String) extends RuntimeException(msg)
 object AgeFormat {
   private val V1Line = "age-encryption.org/v1"
   private val X25519Label = "age-encryption.org/v1/X25519"
-  private val ScryptSaltLabel = "age-encryption.org/v1/scrypt"
+  // Spec: the scrypt salt label has NO /v1 — it is the literal
+  // "age-encryption.org/scrypt" (unlike the X25519 HKDF info label above,
+  // which does carry /v1). r16d: the original /v1 label was caught by the
+  // independent Python implementation (tools/age_interop.py) — the golden
+  // passphrase fixture was regenerated; X25519 fixtures were unaffected.
+  private val ScryptSaltLabel = "age-encryption.org/scrypt"
   private val ChunkSize = 64 * 1024
   private val TagLen = 16
 

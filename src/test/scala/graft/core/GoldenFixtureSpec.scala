@@ -61,6 +61,32 @@ class GoldenFixtureSpec extends AnyFunSuite {
       smallPt))
   }
 
+  // Cross-IMPLEMENTATION fixtures (r16d): ciphertexts produced by the
+  // independent Python age-v1 implementation (tools/age_interop.py —
+  // OpenSSL-backed primitives, written from the public spec, zero shared
+  // code) and committed here. Every round the JDK-stack decryptor must
+  // read them byte-exactly — the standing two-stack wire-format lock that
+  // caught the scrypt salt-label bug (AgeFormat.scala r16d). Plaintexts
+  // are AgeInteropLane's deterministic `pt(n, seed)` ladder.
+  private def interopPt(n: Int, seed: Int) =
+    Array.tabulate[Byte](n)(i => ((i * 31 + seed * 17 + 7) % 256).toByte)
+
+  test("python-encrypted multi-recipient ciphertext decrypts (both identities)") {
+    val ct = res("python_multi.age")
+    val want = interopPt(200001, 5)
+    val kp1 = AgeKeys.fromSeed("interop-seed-1".getBytes("UTF-8"))
+    val kp2 = AgeKeys.fromSeed("interop-seed-2".getBytes("UTF-8"))
+    assert(java.util.Arrays.equals(AgeFormat.decrypt(ct, id(kp1.privateKey)), want))
+    assert(java.util.Arrays.equals(AgeFormat.decrypt(ct, id(kp2.privateKey)), want))
+  }
+
+  test("python-encrypted scrypt-passphrase ciphertext decrypts") {
+    val ct = res("python_pass.age")
+    assert(java.util.Arrays.equals(
+      AgeFormat.decryptWithPassphrase(ct, "interop pass-phrase"),
+      interopPt(70000, 7)))
+  }
+
   test("golden header structure: v1 magic, X25519 stanzas, mac line") {
     val header = new String(res("small.age").takeWhile(_ != 0).take(200), "UTF-8")
     assert(header.startsWith("age-encryption.org/v1\n"))
