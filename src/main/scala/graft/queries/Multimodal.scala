@@ -604,12 +604,14 @@ object MultimodalQueries {
         .select(col("doc_id").cast("long")).as[Long]
       val rows = ids.map(id =>
         graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticTrackPcm(id)))
-      val fps = graft.ops.Multimodal.frameEnergy(rows, 8).toDF()
-        .filter(col("frame_idx") < 32) // fp reads the shared 256-sample head
-        .groupBy("doc_id")
-        .agg(sum(when(col("energy") > 11200000L,
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(frame_idx AS INT))"))
-          .otherwise(0L)).as("fp"))
+        .toDF("doc_id", "payload")
+      // fingerprint via the native audio_fp expression (r16d, 16th
+      // SQL-registered): byte-parse + per-frame energy + threshold bits
+      // in one codegen pass — no per-frame row fan-out, no groupBy
+      // exchange before the per-doc fp exists (AudioFpSpec pins
+      // bit-equality with the staged frameEnergy derivation)
+      val fps = rows.select(col("doc_id"),
+        graft.functions.AudioFp.audio_fp(col("payload"), 8, 32, 11200000L).as("fp"))
       val bands = fps.select(col("doc_id"), col("fp"),
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"),

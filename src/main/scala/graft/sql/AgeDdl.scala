@@ -297,6 +297,34 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SubstringRunFps(args.head, w)
       }))
     extensions.injectFunction((
+      FunctionIdentifier("audio_fp"),
+      new ExpressionInfo(classOf[graft.functions.AudioFp].getName,
+        "audio_fp",
+        "audio_fp(pcm, frame_samples, n_frames, threshold) - packed-bits " +
+          "LONG fingerprint of a 16-bit LE PCM binary payload (bit f set " +
+          "iff frame f's integer energy exceeds threshold), one byte " +
+          "pass; the three parameters must be integer literals"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        if (args.length != 4)
+          throw new graft.core.AgeInvalidInputException(
+            "audio_fp(pcm, frame_samples, n_frames, threshold) takes exactly 4 arguments")
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Int = e match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+          case _ => throw new graft.core.AgeInvalidInputException(
+            s"audio_fp: $what must be an integer literal")
+        }
+        val thr = args(3) match {
+          case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v.toLong
+          case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+          case _ => throw new graft.core.AgeInvalidInputException(
+            "audio_fp: threshold must be an integer literal")
+        }
+        graft.functions.AudioFp(args.head,
+          intLit(args(1), "frame_samples"), intLit(args(2), "n_frames"), thr)
+      }))
+    extensions.injectFunction((
       FunctionIdentifier("cdc_chunks"),
       new ExpressionInfo(classOf[graft.functions.CdcChunks].getName,
         "cdc_chunks",
