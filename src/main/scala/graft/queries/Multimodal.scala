@@ -599,8 +599,16 @@ object MultimodalQueries {
     // the generator contract (no bytes on the oracle side).
     QueryDef("mm15_audio_fp_dedup", (s, d) => {
       import s.implicits._
+      // doc_id bound: the PAIR-emitting gate form is bounded like the
+      // dd-family pair queries (dd02/dd03's docsBounded discipline) — the
+      // synthetic fixture set has only 21 distinct signals (7 tracks × 3
+      // loudness offsets), so an unbounded slice makes same-fp groups
+      // grow linearly with sf and the pair relation QUADRATICALLY
+      // (measured: 4.5M pairs at sf1). The production shape at scale is
+      // the per-group ledger (group by fp), not all pairs; the gate
+      // checks the banding/confirm arithmetic on a fixed-size slice.
       val ids = Tables.load(s, d, "documents")
-        .filter(col("doc_id") % 10 === 5)
+        .filter(col("doc_id") % 10 === 5 && col("doc_id") < 2000)
         .select(col("doc_id").cast("long")).as[Long]
       val rows = ids.map(id =>
         graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticTrackPcm(id)))
@@ -630,7 +638,7 @@ object MultimodalQueries {
         .orderBy("ida", "idb")
     }, Some("""
       WITH ids AS (
-        SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 5 AND doc_id < 2000),
       samples AS (
         SELECT doc_id, k,
                ((doc_id % 7)*131 + k*29) % 4096 - 2048 + (doc_id % 3)*150 AS s
