@@ -23,12 +23,17 @@ final class AgeInvalidInputException(msg: String) extends RuntimeException(msg)
 object AgeFormat {
   private val V1Line = "age-encryption.org/v1"
   private val X25519Label = "age-encryption.org/v1/X25519"
-  // Spec: the scrypt salt label has NO /v1 — it is the literal
-  // "age-encryption.org/scrypt" (unlike the X25519 HKDF info label above,
-  // which does carry /v1). r16d: the original /v1 label was caught by the
-  // independent Python implementation (tools/age_interop.py) — the golden
-  // passphrase fixture was regenerated; X25519 fixtures were unaffected.
-  private val ScryptSaltLabel = "age-encryption.org/scrypt"
+  // The scrypt salt label carries the full v1 namespace, exactly like the
+  // X25519 HKDF info label above: upstream age (scrypt.go) and rage both
+  // define `"age-encryption.org/v1/scrypt"` next to
+  // `"age-encryption.org/v1/X25519"`. r16d adjudication: a session first
+  // flipped this to the un-namespaced form from a spec recollection, the
+  // review pass matched it against the upstream source pattern, and the
+  // /v1 form was restored in BOTH implementations (tools/age_interop.py
+  // mirrors it); this constant is the one byte-level spec detail the
+  // cross-implementation lane cannot arbitrate (both sides share it), so
+  // it is pinned here with its provenance.
+  private val ScryptSaltLabel = "age-encryption.org/v1/scrypt"
   private val ChunkSize = 64 * 1024
   private val TagLen = 16
 

@@ -63,7 +63,10 @@ object AudioFp {
     * (boxed) so codegen can branch on null. */
   def compute(b: Array[Byte], frameSamples: Int, nFrames: Int,
               threshold: Long): java.lang.Long = {
-    val need = frameSamples * nFrames
+    // long math: frameSamples has no upper bound, so an Int product could
+    // overflow, skip the short-payload guard, and run the loop off the
+    // array (AIOOBE) instead of returning the contract NULL
+    val need = frameSamples.toLong * nFrames
     if (b == null || b.length / 2 < need) return null
     var fp = 0L
     var f = 0

@@ -1729,7 +1729,7 @@ object Relational {
     // by the analyzer); the Spark-idiomatic composition is
     // size(collect_set() OVER (... ROWS UNBOUNDED PRECEDING)) — still
     // ONE shuffle on the partition key, running state bounded by the
-    // distinct-value count per partition (event types here: ≤4), never
+    // distinct-value count per partition (event types here: ≤5), never
     // the frame length. The oracle deliberately uses a DIFFERENT,
     // engine-portable formulation (first-occurrence marking: ROW_NUMBER
     // per (user, type), running SUM of the rn=1 markers), so the

@@ -67,9 +67,9 @@ class GoldenFixtureSpec extends AnyFunSuite {
   // code) and committed here. Every round the JDK-stack decryptor must
   // read them byte-exactly — the standing two-stack wire-format lock that
   // caught the scrypt salt-label bug (AgeFormat.scala r16d). Plaintexts
-  // are AgeInteropLane's deterministic `pt(n, seed)` ladder.
-  private def interopPt(n: Int, seed: Int) =
-    Array.tabulate[Byte](n)(i => ((i * 31 + seed * 17 + 7) % 256).toByte)
+  // are AgeInteropLane's deterministic `pt(n, seed)` ladder (shared
+  // definition — a ladder change + fixture regen can't silently drift).
+  private def interopPt(n: Int, seed: Int) = graft.tools.AgeInteropLane.pt(n, seed)
 
   test("python-encrypted multi-recipient ciphertext decrypts (both identities)") {
     val ct = res("python_multi.age")

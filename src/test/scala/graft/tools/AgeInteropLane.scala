@@ -19,6 +19,11 @@ import graft.core.{AgeFormat, AgeKeys}
   * Between the two, run: age_interop.py decrypt <dir> && encrypt <dir>.
   */
 object AgeInteropLane {
+  /** The deterministic fixture plaintext ladder — single definition,
+    * shared with GoldenFixtureSpec's committed python_*.age tests. */
+  def pt(n: Int, seed: Int): Array[Byte] =
+    Array.tabulate[Byte](n)(i => ((i * 31 + seed * 17 + 7) % 256).toByte)
+
   private def sha256(b: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
 
@@ -36,8 +41,7 @@ object AgeInteropLane {
 
     // size ladder exercising every chunking edge: empty file (one empty
     // final chunk), sub-chunk, exact 64K boundary, boundary+1, multi-chunk
-    def pt(n: Int, seed: Int): Array[Byte] =
-      Array.tabulate[Byte](n)(i => ((i * 31 + seed * 17 + 7) % 256).toByte)
+    def pt(n: Int, seed: Int): Array[Byte] = AgeInteropLane.pt(n, seed)
     case class Case(file: String, ptBytes: Array[Byte], ids: Seq[String],
                     recips: Seq[Array[Byte]], armor: Boolean = false,
                     passphrase: Option[String] = None)

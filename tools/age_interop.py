@@ -28,7 +28,10 @@ from cryptography.hazmat.primitives import hashes, hmac as chmac
 
 V1 = b"age-encryption.org/v1"
 X25519_INFO = b"age-encryption.org/v1/X25519"
-SCRYPT_LABEL = b"age-encryption.org/scrypt"  # NO /v1 (spec)
+# Full v1 namespace, like the X25519 label: upstream age scrypt.go / rage
+# define "age-encryption.org/v1/scrypt" (r16d adjudication — see
+# AgeFormat.scala's ScryptSaltLabel note).
+SCRYPT_LABEL = b"age-encryption.org/v1/scrypt"
 CHUNK = 64 * 1024
 
 b64e = lambda b: base64.b64encode(b).decode().rstrip("=")
