@@ -1100,6 +1100,102 @@ object StreamingQueries {
              CAST(COUNT(*) - SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
                AS BIGINT) AS n_admitted
       FROM arrivals a LEFT JOIN rej r ON a.doc_id = r.doc_id
+      GROUP BY 1 ORDER BY 1""")),
+
+    // ---- stream21: streaming MEDIA-FINGERPRINT admission — stream16's
+    // sequential-admission discipline at mm15's granularity, the media
+    // leg of the streaming ingest-boundary family (text bands stream16,
+    // substring runs stream20, audio fps HERE): each micro-batch of
+    // arriving media docs is fingerprinted by the native `audio_fp`
+    // codegen expression (byte-parse + frame energies + threshold bits,
+    // one pass — the binary payload never fans out to frame rows), the
+    // persisted admitted-fp index is equi-probed (left_semi on fp, never
+    // all-pairs), exact-fp repeats of ANY earlier batch are rejected,
+    // and survivors' distinct fps land as an append-only parquet delta
+    // (the FpIndex LSM shape: per-batch I/O scales with the batch, not
+    // the index). Semantics are order-dependent (a fingerprint admits
+    // only its FIRST batch's arrivals; same-batch repeats are all
+    // admitted and collapse to one delta fp) — unlike stream16's banded
+    // near-dup chain this has an exact closed form (rejected iff an
+    // earlier batch contains the same fp), which the oracle states
+    // directly from mm15's generator-contract arithmetic.
+    QueryDef("stream21_media_admission", (s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val idxRoot = TempDirs.create("graft-audiofp-idx")
+      val feed = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 5 && col("doc_id") < 2000)
+        .select(col("doc_id").cast("long")).as[Long]
+        .collect() // bounded feed plumbing (≤200 ids), not the operator
+        .sorted.toSeq
+      val mem = MemoryStream[Long]
+      val idxPaths = scala.collection.mutable.ArrayBuffer[String]()
+      val ledger = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+      val committed = scala.collection.mutable.Set[Long]() // at-least-once replay guard
+      val q = mem.toDS()
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], batchId: Long) =>
+          if (committed.contains(batchId)) ()
+          else {
+            val fps = batch
+              .map(id => graft.ops.Multimodal.MediaRow(id,
+                graft.ops.Multimodal.syntheticTrackPcm(id)))
+              .toDF("doc_id", "payload")
+              .select(col("doc_id"),
+                graft.functions.AudioFp.audio_fp(col("payload"), 8, 32, 11200000L).as("fp"))
+              .persist()
+            val hits = // fp equi-probe of the admitted index, never all-pairs
+              if (idxPaths.isEmpty) fps.filter(lit(false)).select("doc_id")
+              else fps.join(s.read.parquet(idxPaths.toSeq: _*), Seq("fp"), "left_semi")
+                .select("doc_id").distinct()
+            val nArrived = batch.count()
+            val nRejected = hits.count()
+            val dout = s"$idxRoot/b$batchId" // append-only delta
+            val delta = fps.join(hits, Seq("doc_id"), "left_anti")
+              .select("fp").distinct()
+            delta.write.mode("overwrite").parquet(dout)
+            val nNewFps = s.read.parquet(dout).count()
+            if (!idxPaths.contains(dout)) idxPaths += dout
+            ledger += ((batchId, nArrived, nRejected, nNewFps))
+            committed += batchId
+            fps.unpersist()
+            ()
+          }
+        }.start()
+      try {
+        // batch k = (doc_id/10) % 4 == k, in order — the slice is
+        // doc_id ≡ 5 (mod 10), so doc_id % 4 would leave two batches
+        // EMPTY (and an empty ledger row has no oracle twin); dividing
+        // first spreads the slice across all four batches
+        (0 until 4).foreach { k =>
+          mem.addData(feed.filter(id => (id / 10) % 4 == k)); q.processAllAvailable()
+        }
+      } finally q.stop()
+      ledger.toSeq.toDF("batch", "n_arrived", "n_rejected", "n_new_fps")
+        .withColumn("n_admitted", col("n_arrived") - col("n_rejected"))
+        .select("batch", "n_arrived", "n_rejected", "n_admitted", "n_new_fps")
+        .orderBy("batch")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 5 AND doc_id < 2000),
+      samples AS (
+        SELECT doc_id, k,
+               ((doc_id % 7)*131 + k*29) % 4096 - 2048 + (doc_id % 3)*150 AS s
+        FROM (SELECT doc_id, unnest(generate_series(0, 255)) AS k FROM ids)),
+      fe AS (
+        SELECT doc_id, k // 8 AS f, SUM(s*s) AS energy
+        FROM samples GROUP BY 1, 2),
+      fps AS (
+        SELECT doc_id, (doc_id // 10) % 4 AS batch,
+               SUM(CASE WHEN energy > 11200000 THEN 1::BIGINT << f ELSE 0 END) AS fp
+        FROM fe GROUP BY 1, 2),
+      firstb AS (SELECT fp, MIN(batch) AS b0 FROM fps GROUP BY 1)
+      SELECT CAST(f.batch AS BIGINT) AS batch,
+             COUNT(*) AS n_arrived,
+             CAST(SUM(CASE WHEN f.batch > fb.b0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+             CAST(SUM(CASE WHEN f.batch = fb.b0 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+             CAST(COUNT(DISTINCT CASE WHEN f.batch = fb.b0 THEN f.fp END) AS BIGINT) AS n_new_fps
+      FROM fps f JOIN firstb fb ON f.fp = fb.fp
       GROUP BY 1 ORDER BY 1"""))
   )
 }
