@@ -1,7 +1,6 @@
 package graft.queries
 
 import graft.graph.GraphOps
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** GraphX-backed queries with relational oracles: the graph result must

@@ -1729,13 +1729,22 @@ object Relational {
     // by the analyzer); the Spark-idiomatic composition is
     // size(collect_set() OVER (... ROWS UNBOUNDED PRECEDING)) — still
     // ONE shuffle on the partition key, running state bounded by the
-    // distinct-value count per partition (event types here: ≤5), never
-    // the frame length. The oracle deliberately uses a DIFFERENT,
-    // engine-portable formulation (first-occurrence marking: ROW_NUMBER
-    // per (user, type), running SUM of the rn=1 markers), so the
-    // composition is checked against independent arithmetic rather than
-    // DuckDB's native DISTINCT windows. Ties broken by event_id in both
-    // engines — frames are deterministic.
+    // distinct-value count per partition, never the frame length.
+    // STATE-CARDINALITY BOUND (r17): collect_set keeps EVERY distinct
+    // value in one window buffer, so this shape is only safe when the
+    // counted column is low-cardinality (event types here: ≤5). For a
+    // high-cardinality column (user ids, urls) use q69b's
+    // first-occurrence-marker formulation below — O(1) running state per
+    // frame, the tx21→tx23 exact→sketch pattern. Null semantics (r17,
+    // ADVICE r16): collect_set drops NULLs while the oracle's
+    // ROW_NUMBER-per-(user,type) would count NULL as a type, so both
+    // sides now exclude null event_type explicitly rather than leaning
+    // on the fixture's no-null invariant. The oracle deliberately uses a
+    // DIFFERENT, engine-portable formulation (first-occurrence marking:
+    // ROW_NUMBER per (user, type), running SUM of the rn=1 markers), so
+    // the composition is checked against independent arithmetic rather
+    // than DuckDB's native DISTINCT windows. Ties broken by event_id in
+    // both engines — frames are deterministic.
     QueryDef("q69_window_distinct", (s, d) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id"))
@@ -1744,6 +1753,7 @@ object Relational {
       Tables.load(s, d, "events")
         .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
           col("event_type"))
+        .filter(col("event_type").isNotNull)
         .withColumn("n_distinct_types",
           size(collect_set(col("event_type")).over(w)).cast("long"))
         .filter(col("event_id") % 50 === 0) // bounded projection, full window math
@@ -1754,7 +1764,7 @@ object Relational {
         SELECT user_id, event_id, epoch_ms(ts) AS tms, event_type,
                ROW_NUMBER() OVER (PARTITION BY user_id, event_type
                                   ORDER BY epoch_ms(ts), event_id) AS occ
-        FROM events),
+        FROM events WHERE event_type IS NOT NULL),
       running AS (
         SELECT user_id, event_id,
                SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
@@ -1764,6 +1774,48 @@ object Relational {
         FROM marked)
       SELECT user_id, event_id, CAST(n_distinct_types AS BIGINT) AS n_distinct_types
       FROM running WHERE event_id % 50 = 0
+      ORDER BY user_id, event_id""")),
+
+    // ---- q69b: the SCALE path for running COUNT(DISTINCT) — q69's
+    // collect_set buffer is O(distinct values) per frame, fine for ≤5
+    // event types, hostile for a high-cardinality column. The marker
+    // formulation is O(1) state: ROW_NUMBER over (user, type) marks each
+    // type's FIRST occurrence, then a plain running SUM of the markers
+    // counts distincts seen so far. Cost shape: two sort-windows on
+    // different keys, hence two exchanges — but each window buffer is a
+    // single counter, never a set. One extra exchange for bounded memory
+    // is the right trade at 100 TB, where a frame can hold millions of
+    // distincts. The oracle
+    // is DuckDB's NATIVE windowed COUNT(DISTINCT ...) — a third
+    // independent formulation (q69 checks composition-vs-markers; q69b
+    // checks markers-vs-native), closing the triangle.
+    QueryDef("q69b_window_distinct_marker", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wOcc = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("tms"), col("event_id"))
+      val wRun = Window.partitionBy(col("user_id"))
+        .orderBy(col("tms"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, d, "events")
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("tms"),
+          col("event_type"))
+        .filter(col("event_type").isNotNull)
+        .withColumn("first_occ",
+          when(row_number().over(wOcc) === 1, 1L).otherwise(0L))
+        .withColumn("n_distinct_types", sum(col("first_occ")).over(wRun))
+        .filter(col("event_id") % 50 === 0)
+        .select(col("user_id"), col("event_id"), col("n_distinct_types"))
+        .orderBy("user_id", "event_id")
+    }, Some("""
+      SELECT user_id, event_id, CAST(n_distinct_types AS BIGINT) AS n_distinct_types
+      FROM (
+        SELECT user_id, event_id,
+               COUNT(DISTINCT event_type)
+                 OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS n_distinct_types
+        FROM events WHERE event_type IS NOT NULL)
+      WHERE event_id % 50 = 0
       ORDER BY user_id, event_id"""))
   )
 

@@ -1137,6 +1137,14 @@ object StreamingQueries {
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], batchId: Long) =>
           if (committed.contains(batchId)) ()
           else {
+            // The oracle keys its ledger on (doc_id/10)%4 == batchId; if the
+            // engine ever splits/replays/injects a micro-batch the ids shift
+            // silently and the gate fails confusingly downstream (ADVICE
+            // r16). Fail HERE, loudly, on the first misaligned id instead.
+            val misaligned = batch.filter(id => (id / 10) % 4 != batchId).take(1)
+            require(misaligned.isEmpty,
+              s"stream21 batch/slice misalignment: doc_id ${misaligned.head} " +
+                s"landed in batchId $batchId, expected ${(misaligned.headOption.getOrElse(0L) / 10) % 4}")
             val fps = batch
               .map(id => graft.ops.Multimodal.MediaRow(id,
                 graft.ops.Multimodal.syntheticTrackPcm(id)))

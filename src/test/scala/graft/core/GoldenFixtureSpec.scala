@@ -87,6 +87,34 @@ class GoldenFixtureSpec extends AnyFunSuite {
       interopPt(70000, 7)))
   }
 
+  // Grease fixtures (r17, VERDICT r16 #6): python-emitted ciphertexts whose
+  // headers carry UNKNOWN stanza types before the real X25519 stanza — what
+  // real `rage` output contains. The decryptor must skip them (AgeFormat
+  // stanza loop) while still MACing every header byte. python_grease_wrap
+  // additionally pins the two body-framing edges: a >64-char wrapped body
+  // (64+64+6) and a body whose base64 is an exact multiple of 64 columns,
+  // forcing the EMPTY terminator line the spec requires.
+  test("grease: unknown stanza type is skipped, header still MACs") {
+    assert(java.util.Arrays.equals(
+      AgeFormat.decrypt(res("python_grease.age"),
+        id(AgeKeys.fromSeed("interop-seed-1".getBytes("UTF-8")).privateKey)),
+      interopPt(12345, 8)))
+    val hdr = new String(res("python_grease.age").take(300), "UTF-8")
+    assert(hdr.contains("-> grease-")) // the unknown stanza really is there
+  }
+
+  test("grease: wrapped >64-char and exact-64-multiple stanza bodies parse") {
+    val ct = res("python_grease_wrap.age")
+    assert(java.util.Arrays.equals(
+      AgeFormat.decrypt(ct,
+        id(AgeKeys.fromSeed("interop-seed-1".getBytes("UTF-8")).privateKey)),
+      interopPt(65537, 9)))
+    val hdr = new String(ct.take(600), "UTF-8")
+    assert(hdr.contains("-> grease2") && hdr.contains("-> grease3"))
+    // the exact-multiple body must carry its empty terminator line
+    assert(hdr.contains("\n\n"), "missing empty body-terminator line")
+  }
+
   test("golden header structure: v1 magic, X25519 stanzas, mac line") {
     val header = new String(res("small.age").takeWhile(_ != 0).take(200), "UTF-8")
     assert(header.startsWith("age-encryption.org/v1\n"))

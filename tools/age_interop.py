@@ -142,9 +142,27 @@ def stream_decrypt(file_key, payload):
     return bytes(out)
 
 
-def encrypt_x25519(plaintext, recipients):
+def wrap_body(b):
+    """Spec 64-column stanza-body wrapping: full 64-char lines, terminated
+    by a line strictly shorter than 64 — an EMPTY line when the base64
+    length is an exact multiple of 64 (the edge the grease fixtures pin)."""
+    s = b64e(b).encode()
+    lines = [s[i:i + 64] for i in range(0, len(s), 64)]
+    if not lines or len(lines[-1]) == 64:
+        lines.append(b"")
+    return b"\n".join(lines) + b"\n"
+
+
+def encrypt_x25519(plaintext, recipients, grease=()):
+    """`grease` — extra (args, body) stanzas of types no recipient knows,
+    interleaved before the real stanzas, exactly like upstream age's
+    grease injection: decryptors MUST skip unknown stanza types and still
+    MAC the whole header."""
     file_key = secrets.token_bytes(16)
     header = V1 + b"\n"
+    for gargs, gbody in grease:
+        header += b"-> " + " ".join(gargs).encode() + b"\n"
+        header += wrap_body(gbody)
     for rec in recipients:
         eph = X25519PrivateKey.generate()
         eph_pub = eph.public_key().public_bytes_raw()
@@ -174,29 +192,41 @@ def encrypt_scrypt(plaintext, passphrase, log_n=10):
 
 def parse_header(data):
     # returns (stanzas, mac_b64, macged_bytes, payload_offset)
+    # Spec-strict body framing (age-encryption.org/v1): a stanza body is
+    # base64 wrapped at exactly 64 columns and TERMINATED by the first
+    # line strictly shorter than 64 (possibly empty). Anything else —
+    # an over-long line, or EOF mid-body — is a malformed header the
+    # real age CLI rejects, so we reject it too (the lane's value is
+    # strictness: a lenient parser here would mask Scala-side framing
+    # bugs instead of catching them).
     end = 0
-    lines = []
-    while True:
+
+    def next_line():
+        nonlocal end
         nl = data.index(b"\n", end)
-        line = data[end:nl]
-        lines.append((end, line))
+        line, off = data[end:nl], end
         end = nl + 1
-        if line.startswith(b"--- "):
-            break
-    assert lines[0][1] == V1, "bad version line"
+        return off, line
+
+    _, v = next_line()
+    assert v == V1, "bad version line"
     stanzas = []
-    i = 1
-    while i < len(lines) - 1:
-        off, line = lines[i]
+    off, line = next_line()
+    while not line.startswith(b"--- "):
         assert line.startswith(b"-> "), f"bad stanza line {line!r}"
         args = line[3:].decode().split(" ")
+        assert all(args), f"empty stanza argument in {line!r}"
         body = b""
-        i += 1
-        while i < len(lines) - 1 and not lines[i][1].startswith(b"-> "):
-            body += lines[i][1]
-            i += 1
+        while True:
+            _, bl = next_line()
+            assert len(bl) <= 64, \
+                f"stanza body line over 64 chars ({len(bl)}) — unwrapped body"
+            body += bl
+            if len(bl) < 64:
+                break  # spec: first short line (possibly empty) ends the body
         stanzas.append((args, b64d(body.decode())))
-    mac_off, mac_line = lines[-1]
+        off, line = next_line()
+    mac_off, mac_line = off, line
     macged = data[:mac_off] + b"---"
     return stanzas, mac_line[4:].decode(), macged, end
 
@@ -216,6 +246,12 @@ def dearmor(data):
 def decrypt(data, identity=None, passphrase=None):
     data = dearmor(data)
     stanzas, mac_b64, macged, off = parse_header(data)
+    # Upstream age rejects a scrypt stanza sharing a header with ANY other
+    # stanza (it would let an attacker smuggle recipients past a passphrase
+    # audit), so the strict lane rejects it regardless of which key material
+    # the caller supplied.
+    if any(a[0] == "scrypt" for a, _ in stanzas):
+        assert len(stanzas) == 1, "scrypt stanza must be the only stanza"
     file_key = None
     for args, body in stanzas:
         if args[0] == "X25519" and identity is not None:
@@ -230,7 +266,15 @@ def decrypt(data, identity=None, passphrase=None):
             except Exception:
                 continue
         if args[0] == "scrypt" and passphrase is not None:
-            salt, log_n = b64d(args[1]), int(args[2])
+            assert len(args) == 3, "malformed scrypt stanza"
+            # Upstream age caps the work factor (scrypt.go: max log N 20 by
+            # default) and requires a canonical decimal — a hostile header
+            # must not be able to DoS the decryptor with n = 1 << 2**31.
+            assert args[2].isdigit() and args[2] == str(int(args[2])), \
+                "non-canonical scrypt work factor"
+            log_n = int(args[2])
+            assert 0 < log_n <= 20, f"scrypt work factor {log_n} out of range"
+            salt = b64d(args[1])
             key = Scrypt(salt=SCRYPT_LABEL + salt, length=32, n=1 << log_n,
                          r=8, p=1).derive(passphrase.encode())
             file_key = ChaCha20Poly1305(key).decrypt(b"\x00" * 12, body, None)
@@ -239,6 +283,37 @@ def decrypt(data, identity=None, passphrase=None):
     mac = hmac_sha256(hkdf(file_key, b"", b"header"), macged)
     assert b64e(mac) == mac_b64, "header MAC mismatch"
     return stream_decrypt(file_key, data[off:])
+
+
+def ladder_pt(n, seed):
+    # AgeInteropLane.pt twin — the shared deterministic plaintext ladder
+    # (GoldenFixtureSpec recomputes the same bytes on the Scala side, so a
+    # ladder drift breaks the fixture test rather than silently diverging).
+    return bytes(((i * 31 + seed * 17 + 7) % 256) for i in range(n))
+
+
+def emit_grease(d, man, ids):
+    """Emit golden fixtures whose headers carry GREASE stanzas — unknown
+    types the decryptor must skip while still MACing every header byte,
+    exactly what real `rage` output contains. Covers the two body-framing
+    edges: a wrapped >64-char body, and a body whose base64 length is an
+    exact multiple of 64 (forcing the empty terminator line)."""
+    import random
+    rng = random.Random(42)  # deterministic grease, stable fixtures
+    recips = {k: parse_recipient(v) for k, v in man["recipients"].items()}
+    r1 = recips["id1"]
+    rnd = lambda n: bytes(rng.randrange(256) for _ in range(n))
+    g_short = ([f"grease-{rng.randrange(1 << 20):x}", "ZXh0cmE", "1"], rnd(20))
+    ct1 = encrypt_x25519(ladder_pt(12345, 8), [r1], grease=[g_short])
+    g_wrap = (["grease2"], rnd(100))  # 134 b64 chars -> 64 + 64 + 6
+    g_exact = (["grease3"], rnd(96))  # 128 b64 chars -> 64 + 64 + empty line
+    ct2 = encrypt_x25519(ladder_pt(65537, 9), [r1], grease=[g_wrap, g_exact])
+    for fn, ct, n, seed in [("python_grease.age", ct1, 12345, 8),
+                            ("python_grease_wrap.age", ct2, 65537, 9)]:
+        # self-check through our own STRICT parser before committing
+        assert decrypt(ct, identity=ids["id1"]) == ladder_pt(n, seed)
+        open(os.path.join(d, fn), "wb").write(ct)
+    print("[age-interop] emitted 2 grease fixtures (strict-parse self-checked)")
 
 
 def main():
@@ -290,6 +365,8 @@ def main():
                 f.write(f"{c['file']}\t{c.get('identity') or ''}\t"
                         f"{c.get('passphrase') or ''}\t{c['sha256']}\n")
         print(f"[age-interop] python emitted {len(out_cases)} ciphertexts")
+    elif mode == "grease":
+        emit_grease(d, man, ids)
     else:
         sys.exit(f"unknown mode {mode}")
 
