@@ -605,8 +605,9 @@ object MultimodalQueries {
       // loudness offsets), so an unbounded slice makes same-fp groups
       // grow linearly with sf and the pair relation QUADRATICALLY
       // (measured: 4.5M pairs at sf1). The production shape at scale is
-      // the per-group ledger (group by fp), not all pairs; the gate
-      // checks the banding/confirm arithmetic on a fixed-size slice.
+      // the per-group ledger (group by fp), not all pairs — that shape
+      // is ITS OWN gate query, mm16 below, run UNBOUNDED at every sf;
+      // this gate checks the banding/confirm arithmetic on a fixed slice.
       val ids = Tables.load(s, d, "documents")
         .filter(col("doc_id") % 10 === 5 && col("doc_id") < 2000)
         .select(col("doc_id").cast("long")).as[Long]
@@ -660,6 +661,59 @@ object MultimodalQueries {
       SELECT ida, idb, CAST(bit_count(xor(fpa, fpb)) AS BIGINT) AS hamming,
              ida % 7 = idb % 7 AS same_track
       FROM cand WHERE bit_count(xor(fpa, fpb)) <= 6
-      ORDER BY ida, idb"""))
+      ORDER BY ida, idb""")),
+
+    // ---- mm16: the 100 TB shape of media-fp dedup, UNBOUNDED (r17,
+    // VERDICT r16 #4) — mm15's pair relation is quadratic in group size,
+    // so the production query is the per-fingerprint GROUP LEDGER: one
+    // row per distinct fp with its population (n_docs), an id checksum
+    // (doc_sum), how many source tracks collide into it (n_tracks), and
+    // the dominant track's share (max_track_cnt — purity numerator,
+    // exact-integer so the oracle hash can't drift on float division).
+    // Input is the FULL doc_id%10=5 slice at every sf — no cap; output
+    // cardinality is |distinct fps| (bounded by the fixture's 21 signals
+    // + loudness variants), never |docs|². Plan shape: scan → native
+    // audio_fp (codegen, no frame fan-out) → two-level aggregate
+    // (fp,track)→(fp), both levels map-side combinable, ONE real
+    // exchange carrying (fp,track) partials — the same shape you'd run
+    // on 100 TB of real audio.
+    QueryDef("mm16_audio_fp_ledger", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .filter(col("doc_id") % 10 === 5) // full slice — deliberately unbounded
+        .select(col("doc_id").cast("long")).as[Long]
+      val rows = ids.map(id =>
+        graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticTrackPcm(id)))
+        .toDF("doc_id", "payload")
+      val fps = rows.select(col("doc_id"),
+        graft.functions.AudioFp.audio_fp(col("payload"), 8, 32, 11200000L).as("fp"))
+      fps.groupBy(col("fp"), (col("doc_id") % 7).as("track"))
+        .agg(count(lit(1)).as("cnt"), sum(col("doc_id")).as("dsum"))
+        .groupBy("fp")
+        .agg(sum("cnt").as("n_docs"), sum("dsum").as("doc_sum"),
+          count(lit(1)).as("n_tracks"), max("cnt").as("max_track_cnt"))
+        .orderBy("fp")
+    }, Some("""
+      WITH ids AS (
+        SELECT doc_id FROM documents WHERE doc_id % 10 = 5),
+      samples AS (
+        SELECT doc_id, k,
+               ((doc_id % 7)*131 + k*29) % 4096 - 2048 + (doc_id % 3)*150 AS s
+        FROM (SELECT doc_id, unnest(generate_series(0, 255)) AS k FROM ids)),
+      fe AS (
+        SELECT doc_id, k // 8 AS f, SUM(s*s) AS energy
+        FROM samples GROUP BY 1, 2),
+      fps AS (
+        SELECT doc_id,
+               SUM(CASE WHEN energy > 11200000 THEN 1::BIGINT << f ELSE 0 END) AS fp
+        FROM fe GROUP BY 1),
+      per_track AS (
+        SELECT fp, doc_id % 7 AS track, COUNT(*) AS cnt, SUM(doc_id) AS dsum
+        FROM fps GROUP BY 1, 2)
+      SELECT fp, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+             CAST(SUM(dsum) AS BIGINT) AS doc_sum,
+             CAST(COUNT(*) AS BIGINT) AS n_tracks,
+             CAST(MAX(cnt) AS BIGINT) AS max_track_cnt
+      FROM per_track GROUP BY 1 ORDER BY 1"""))
   )
 }
