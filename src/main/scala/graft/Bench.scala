@@ -84,6 +84,16 @@ object Bench {
       .config("spark.sql.files.minPartitionNum", minPartitionNum.toString)
       .config("spark.sql.files.openCostInBytes", (256L << 10).toString)
       .config("spark.locality.wait", "0")
+      // Always use the sort-based shuffle writer, never bypass-merge. At
+      // production scale SP > 200, so bypass (one file per reducer per map
+      // task) never runs — a local bench at data-sized SP ≤ 64 was silently
+      // measuring a code path the 100 TB deployment cannot take, and paying
+      // for it: at SP=64 bypass creates 64 files per map task (2048 per
+      // exchange) and the r17 floor probe measured the single-exchange floor
+      // at 1.11 s vs 0.50 s with the sort writer (file-creation syscalls,
+      // not data). Forcing the sort writer makes local measurement ride the
+      // same writer as the cluster.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -143,7 +153,9 @@ object Bench {
       spark.conf.set("spark.sql.adaptive.enabled", (b1 > (256L << 20)).toString)
       headline.filter(qs.contains).foreach(n => exec(n, d1)) // warm
       val r1 = headline.filter(qs.contains).map { name =>
-        val times = (1 to 2).map { _ =>
+        // best-of-3 (was 2): this host shows rare multi-second scheduler
+        // stalls; min-of-3 keeps one stall from defining a query's number
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           val ok = exec(name, d1)
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

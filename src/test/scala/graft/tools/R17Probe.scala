@@ -110,9 +110,15 @@ object R17Probe {
     println(s"""{"probe":"a2_plan_pushed","pushed_count":${v2cnt.queryExecution.executedPlan.toString.contains("PushedAggregation")}}""")
     timed("a3_sum_one_long") { spark.read.parquet(ev).agg(sum("event_id")) }
     timed("a4_q25_input_cols") {
-      spark.read.parquet(ev).agg(
-        sum(unix_micros(col("ts").cast("timestamp"))),
-        count(col("event_type")), sum(col("value")))
+      // same three input columns as q25; hour-bucket before summing (a
+      // straight sum of raw timestamp values overflows long). Handles both
+      // ts encodings (testdata nanos-long / gen_sf micros-NTZ), like q25.
+      val raw = spark.read.parquet(ev)
+      val hb =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          expr("ts div 3600000000000")
+        else expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+      raw.agg(sum(hb), count(col("event_type")), sum(col("value")))
     }
     timed("a5_q25_full", withStages = true) { qs("q25_events_hourly")(spark, sfDir) }
     timed("a6_q08_full", withStages = true) { qs("q08_window_running")(spark, sfDir) }
