@@ -41,12 +41,28 @@ import org.apache.spark.sql.functions._
   */
 object StarCC {
 
+  /** Re-exchange the per-vertex mins relation so the round join's input is
+    * a PLAIN shuffle on the join key. Why: AQE's OptimizeSkewedJoin only
+    * rewrites `SMJ(Sort(ShuffleRead), Sort(ShuffleRead))`; in the direct
+    * composition the mins side has its final HashAggregate BETWEEN the
+    * exchange and the join, so a power-law hub partition on the edge side
+    * can never be skew-split (measured: StarCcSkewProbe's 10%-hub graph,
+    * skew=true absent from every round-1 join). A same-key repartition is
+    * elided as redundant by the optimizer, so the barrier has to be a
+    * materialization: localCheckpoint the vertex-sized mins (O(V) blocks,
+    * vs the O(E) edge relation it unblocks — and the module already
+    * checkpoints per-round state, tx31's discipline). Only paid when the
+    * caller asks for `skewSafe`. */
+  private def reExchange(mins: DataFrame): DataFrame =
+    mins.localCheckpoint()
+
   /** large-star: for each u, hang every HIGHER neighbor v > u under
     * m = min(N(u) ∪ {u}) — long chains collapse toward minima. */
-  private[graft] def largeStar(e: DataFrame): DataFrame = {
+  private[graft] def largeStar(e: DataFrame, skewSafe: Boolean = false): DataFrame = {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-    val mins = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
+    val mins0 = sym.groupBy(col("src").as("u")).agg(min(col("dst")).as("mn"))
       .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val mins = if (skewSafe) reExchange(mins0) else mins0
     sym.join(mins, col("src") === col("u"))
       .where(col("dst") > col("src"))
       .select(col("dst").as("s2"), col("m").as("d2"))
@@ -59,8 +75,9 @@ object StarCC {
 
   /** small-star: input edges all point downward; re-wire each node's
     * LOWER neighborhood (parents) onto its minimum parent. */
-  private[graft] def smallStar(e: DataFrame): DataFrame = {
-    val mins = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+  private[graft] def smallStar(e: DataFrame, skewSafe: Boolean = false): DataFrame = {
+    val mins0 = e.groupBy(col("src").as("u")).agg(min(col("dst")).as("m"))
+    val mins = if (skewSafe) reExchange(mins0) else mins0
     val rewired = e.join(mins, col("src") === col("u"))
       .where(col("dst") =!= col("m"))
       .select(col("dst").as("s2"), col("m").as("d2"))
@@ -73,9 +90,14 @@ object StarCC {
     * orientation irrelevant, self-loops ignored): returns `(node, root)`
     * with one row per vertex incident to an edge, `root` = the minimum
     * vertex id reachable from `node`. Isolated vertices (absent from the
-    * edge list) are the caller's concern, matching GraphX `fromEdges`. */
+    * edge list) are the caller's concern, matching GraphX `fromEdges`.
+    *
+    * `skewSafe`: re-exchange each round's vertex-sized mins relation so
+    * AQE's skew-join rewrite can split a power-law hub partition on the
+    * edge side (see [[reExchange]]). Off by default — uniform graphs pay
+    * nothing; turn on for graphs with heavy-hub degree distributions. */
   def labels(edges: DataFrame, maxIter: Int = 50,
-             reliable: Boolean = false): DataFrame = {
+             reliable: Boolean = false, skewSafe: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     if (reliable) require(spark.sparkContext.getCheckpointDir.isDefined,
@@ -95,7 +117,7 @@ object StarCC {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) { // O(log n) expected; cap = backstop
-      val next = ckpt(smallStar(largeStar(e)))
+      val next = ckpt(smallStar(largeStar(e, skewSafe), skewSafe))
       // (count, xor-of-hashes) set certificate: bit_xor is order-
       // independent and cannot overflow under ANSI mode (edges are
       // distinct, so set semantics are exact up to hash collision; a

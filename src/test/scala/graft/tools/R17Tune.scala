@@ -134,9 +134,17 @@ object R17Tune {
       case "q05" =>
         println(s"""{"lane":"q05","codec":"${spark.conf.get("spark.io.compression.codec", "lz4")}","local_dir":"${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp")}"}""")
         val sb = bloomSession()
+        // AQE advisory partition size (VERDICT r16 #1b's second lever):
+        // smaller advisory → more post-shuffle reducers on the big probe
+        val sAdv16 = spark.newSession()
+        sAdv16.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
+        val sAdv128 = spark.newSession()
+        sAdv128.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         val shapes: Seq[(String, () => DataFrame)] = Seq(
           "q05_shipped" -> (() => qs("q05_join5_agg")(spark, sfDir)),
           "q05_bloom" -> (() => qs("q05_join5_agg")(sb, sfDir)),
+          "q05_adv16m" -> (() => qs("q05_join5_agg")(sAdv16, sfDir)),
+          "q05_adv128m" -> (() => qs("q05_join5_agg")(sAdv128, sfDir)),
           "q03_shipped" -> (() => qs("q03_join_topn")(spark, sfDir)),
           "q03_bloom" -> (() => qs("q03_join_topn")(sb, sfDir)))
         shapes.foreach { case (_, mk) => noop(mk()) } // warm all

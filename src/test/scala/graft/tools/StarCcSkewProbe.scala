@@ -35,6 +35,17 @@ object StarCcSkewProbe {
       .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2m")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // scale-honest stand-in (q61's discipline): at 100 TB the per-vertex
+      // mins side is vertex-count-sized — NOT broadcastable — so the round
+      // join must stay a shuffled join here too, or AQE just broadcasts the
+      // probe-scale mins and there is no skew to split
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      // the hub side unions a constant-src relation; Union constraint
+      // rewriting trips on the literal alias (key not found: src#N,
+      // Spark 4.1 UnionBase.rewriteConstraints) — constraints buy nothing
+      // in this synthetic build, so turn propagation off for the probe
+      .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -45,22 +56,31 @@ object StarCcSkewProbe {
     val n = nEdgesTarget / 4 // avg degree 8 → a few giant components + tail
     val nHub = nEdgesTarget / 10
     val hub = spark.range(nHub).select(lit(0L).as("src"),
-      pmod(xxhash64(col("id"), lit("hub")), lit(n - 1)) + 1)
+      (pmod(xxhash64(col("id"), lit("hub")), lit(n - 1)) + 1).as("dst"))
     val rest = spark.range(nEdgesTarget - nHub).select(
       pmod(xxhash64(col("id"), lit("a")), lit(n)).as("src"),
       pmod(xxhash64(col("id"), lit("b")), lit(n)).as("dst"))
-    val edges = hub.toDF("src", "dst").union(rest)
+    // both sides alias src/dst BEFORE the union: a post-union toDF rename
+    // trips Union constraint rewriting (key not found: src#N) on Spark 4.1
+    val edges = hub.union(rest)
       .where(col("src") =!= col("dst")).localCheckpoint()
     val nEdges = edges.count()
     val hubDeg = edges.where(col("src") === 0 || col("dst") === 0).count()
 
     // (a) round-1 plan: the exact composition labels() iterates, executed
     // under the skew-tuned session — AQE must mark the join skew-handled
-    val round1 = graft.graph.StarCC.smallStar(graft.graph.StarCC.largeStar(edges))
-    val round1Rows = round1.count() // AQE finalizes plans only on execution
+    val round1 = graft.graph.StarCC.smallStar(
+      graft.graph.StarCC.largeStar(edges, skewSafe = true), skewSafe = true)
+    // AQE finalizes a plan only when THAT QueryExecution runs — count()
+    // plans its own aggregate on top, leaving round1's plan un-finalized;
+    // drive the exact plan via toRdd, then read it back
+    round1.queryExecution.toRdd.foreachPartition(_ => ())
+    val round1Rows = round1.count()
     val plan = round1.queryExecution.executedPlan.toString
     val skewFired = plan.contains("skew=true")
     val aqeRead = plan.contains("AQEShuffleRead")
+    if (!skewFired || sys.env.contains("STARCC_SKEW_DEBUG"))
+      println(s"=== round-1 executed plan ===\n$plan\n===")
     assert(plan.contains("isFinalPlan=true"), "round must run under AQE")
     assert(skewFired, "AQE did not mark any round-1 join skew-handled — " +
       "the hub partition was not classified; check thresholds vs edge count")
@@ -72,7 +92,7 @@ object StarCcSkewProbe {
 
     // (b) full fixpoint, label equality vs GraphX on the same edges
     val (starLabels, tStar) = time {
-      graft.graph.StarCC.labels(edges).localCheckpoint()
+      graft.graph.StarCC.labels(edges, skewSafe = true).localCheckpoint()
     }
     val (gxLabels, tGx) = time {
       val rdd = edges.rdd.flatMap { r =>
