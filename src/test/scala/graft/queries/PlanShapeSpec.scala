@@ -181,6 +181,22 @@ class PlanShapeSpec extends AnyFunSuite {
       "q61's bloom filter build (bloom_filter_agg over the filtered dim) is missing")
   }
 
+  test("q05 injects the runtime bloom filter ahead of the fact exchange (r17)") {
+    // broadcast off: at spec scale every join broadcasts and the bloom has
+    // nothing to do — at bench/cluster scale the fact joins are shuffled
+    // (the regime the lock protects); q05 forwards this conf into its
+    // bloom-enabled inner session
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = SparkEntry.queries("q05_join5_agg")(s2, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      "q05 lost the runtime bloom filter — date-disqualified lineitem rows " +
+        "must die at the scan instead of riding the orderkey exchange")
+    assert(plan.contains("bloom_filter_agg"),
+      "q05's bloom filter build (bloom_filter_agg over date-filtered orders) is missing")
+  }
+
   test("q59 bucketed q03: the whole fact pipeline runs with ZERO shuffle exchanges") {
     val plan = physicalPlan("q59_bucketed_topn")
     assert(plan.contains("Bucketed: true"), "q59 lost the bucketed scans")
