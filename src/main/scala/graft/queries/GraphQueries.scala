@@ -331,6 +331,43 @@ object GraphQueries {
       ${TextDedup.minhashPairsSql("docs200")},
       ${TextDedup.ccFixpointSql}
       SELECT root, COUNT(*) AS n_docs, MAX(node) AS max_doc
-      FROM comp GROUP BY 1 ORDER BY root"""))
+      FROM comp GROUP BY 1 ORDER BY root""")),
+
+    // ---- graph10: StarCC's skewSafe path (r17) gated every round on a
+    // DETERMINISTIC hub graph. Construction from customer keys, scale-
+    // invariant by residue: vertices v = c_custkey % 20000; chain edges
+    // (v, v%50) hang every vertex under its residue-class rep; hub edges
+    // (0, v) for v%50 ∈ {13,27,41} pour ~6% of all edges onto vertex 0 —
+    // the power-law shape StarCcSkewProbe proved AQE can now skew-split
+    // under skewSafe (BENCH_SCALING r17). Components are closed-form:
+    // classes {0,13,27,41} merge under root 0, every other class r roots
+    // at r — so the oracle is pure arithmetic (no recursive CTE, unlike
+    // graph09's), and what the gate checks is that the skewSafe rounds
+    // (mins localCheckpointed each half-round) are label-identical to the
+    // closed form at every sf. src is written pmod(v,1) (= 0 for the
+    // non-negative keys) rather than lit(0): a literal alias under Union
+    // trips Spark 4.1's constraint rewriting (key not found: src#N —
+    // StarCcSkewProbe hit it; probe disables propagation, a gate query
+    // must not need session surgery).
+    QueryDef("graph10_skewsafe_cc", (s, d) => {
+      val verts = Tables.load(s, d, "customer")
+        .select((col("c_custkey") % 20000).as("v")).distinct()
+      val chain = verts.filter(col("v") >= 50)
+        .select(col("v").as("src"), (col("v") % 50).as("dst"))
+      val hub = verts.filter(col("v") % 50 === 13 || col("v") % 50 === 27 ||
+          col("v") % 50 === 41)
+        .select(pmod(col("v"), lit(1L)).as("src"), col("v").as("dst"))
+      val edges = chain.union(hub).filter(col("src") =!= col("dst"))
+      graft.graph.StarCC.labels(edges, skewSafe = true)
+        .groupBy("root")
+        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
+        .orderBy("root")
+    }, Some("""
+      WITH verts AS (SELECT DISTINCT c_custkey % 20000 AS v FROM customer),
+      roots AS (
+        SELECT v, CASE WHEN v % 50 IN (0, 13, 27, 41) THEN 0 ELSE v % 50 END AS root
+        FROM verts)
+      SELECT root, COUNT(*) AS n_nodes, MAX(v) AS max_node
+      FROM roots GROUP BY 1 ORDER BY root"""))
   )
 }
