@@ -710,7 +710,9 @@ object MultimodalQueries {
       per_track AS (
         SELECT fp, doc_id % 7 AS track, COUNT(*) AS cnt, SUM(doc_id) AS dsum
         FROM fps GROUP BY 1, 2)
-      SELECT fp, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      -- fp is a SUM over BIGINTs = HUGEINT; without the cast pandas
+      -- renders it float64 and the sweep's string compare sees "….0"
+      SELECT CAST(fp AS BIGINT) AS fp, CAST(SUM(cnt) AS BIGINT) AS n_docs,
              CAST(SUM(dsum) AS BIGINT) AS doc_sum,
              CAST(COUNT(*) AS BIGINT) AS n_tracks,
              CAST(MAX(cnt) AS BIGINT) AS max_track_cnt
