@@ -25,6 +25,19 @@ object Relational {
     * a few-MB broadcast wins outright — exactly the size-based choice a
     * cost-based planner makes, keyed on the same statistic Catalyst's
     * own broadcast threshold uses (file size on disk). */
+  /** q05's bloom-enabled child session, one per root session (see the q05
+    * banner): keyed on the root so Tables.load's per-session DataFrame
+    * cache stays warm across invocations; entries for stopped contexts are
+    * dropped opportunistically like Tables.loadCache's. */
+  private val bloomSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]() {
+      override def computeIfAbsent(k: SparkSession,
+          f: java.util.function.Function[_ >: SparkSession, _ <: SparkSession]): SparkSession = {
+        if (size() > 16) keySet.removeIf(s => s.sparkContext.isStopped)
+        super.computeIfAbsent(k, f)
+      }
+    }
+
   private def shuffleHashIfBig(s: SparkSession, d: String, n: String): DataFrame = {
     val df = t(s, d, n)
     val thr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
@@ -159,18 +172,34 @@ object Relational {
     // way it would see the 100 TB scan). The date filter on orders kills
     // ~70% of orderkeys, so might_contain at the lineitem scan drops those
     // rows BEFORE the fact exchange: measured 831→496 MB shuffled and
-    // best 5.3→4.4 s at sf10m (R17Tune q05 lane, interleaved).
+    // best 5.3→4.4 s at sf10m (R17Tune q05 lane, interleaved). The
+    // application-side gate is recalibrated (10 GB → 256 MB), not
+    // disabled: below ~256 MB of probe-side scan the per-row
+    // might_contain + the bloom-build subquery cost more than the bytes
+    // they save (measured at sf1: 1.16 → 1.74 s with the filter forced),
+    // so Spark's own sizing logic keeps the filter off at gate scale and
+    // on for sf10m/cluster facts — the same crossover discipline as
+    // Bench's AQE-above-256MB rule.
     QueryDef("q05_join5_agg", (s0, d) => {
-      val s = s0.newSession()
-      // newSession starts from CONTEXT defaults — the caller's RUNTIME
-      // sizing (Bench's sf1 pass re-sizes these per-corpus) must ride along
+      // ONE bloom session per root session, not per invocation: Tables.load
+      // caches per session, so a fresh newSession each call re-reads every
+      // parquet footer and re-analyzes (~0.4 s/invocation at sf0.1 —
+      // measured as a 0.31→1.05 s q05 regression before memoizing)
+      val s = bloomSessions.computeIfAbsent(s0, (root: SparkSession) => root.newSession())
+      // the caller's RUNTIME sizing (Bench's sf1 pass re-sizes these
+      // per-corpus) must ride along — re-copied every call, cheap
       Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
         "spark.sql.files.maxPartitionBytes", "spark.sql.files.minPartitionNum",
         "spark.sql.autoBroadcastJoinThreshold").foreach { k =>
         s0.conf.getOption(k).foreach(v => s.conf.set(k, v))
       }
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      // recalibrate Spark's cluster-sized 10 GB default to the measured
+      // 256 MB crossover — but honor a caller-pinned value (PlanShapeSpec
+      // pins 1KB to lock the mechanism at spec scale)
+      val appThrKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      s.conf.set(appThrKey,
+        if (s0.conf.get(appThrKey) == "10GB") "256MB" else s0.conf.get(appThrKey))
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "5000000")
       s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "134217728")

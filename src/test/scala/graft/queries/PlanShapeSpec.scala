@@ -188,6 +188,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // bloom-enabled inner session
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // pin the application-side gate below spec scale: the queryDef's own
+    // 256 MB crossover (scan-size-honest) would keep the bloom off on the
+    // few-KB spec corpus; the lock is about the MECHANISM being wired
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
     val plan = SparkEntry.queries("q05_join5_agg")(s2, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
