@@ -29,7 +29,21 @@ object Bench {
     // window fps + broadcast benchmark set, 2.2× vs oracle at sf10m)
     "dd27_ngram_decontaminate")
 
+  /** Cumulative hypervisor CPU-steal jiffies (field 9 of /proc/stat's cpu
+    * line); -1 where unreadable (non-Linux). Emitted as a delta in the
+    * bench JSON so a round artifact carries its own noise context: steal
+    * storms on shared hosts measured 3-4× wall inflation on exchange-heavy
+    * queries with zero local load (BENCH_SCALING r17). */
+  private def stealJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Exception => -1L }
+
   def main(args: Array[String]): Unit = {
+    val steal0 = stealJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
@@ -167,8 +181,12 @@ object Bench {
       f""","sf1_value":$t1%.3f,"sf1_queries":$q1,"sf1_dir":"$d1""""
     }.getOrElse("")
 
+    val stealPart = {
+      val s1 = stealJiffies()
+      if (steal0 >= 0 && s1 >= 0) s""","steal_jiffies":${s1 - steal0}""" else ""
+    }
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"$sf1Part}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"$sf1Part$stealPart}"""
     println(line)
     // Also land the JSON as a file so round tooling reads a parsed artifact
     // instead of re-scraping the stdout tail (VERDICT r11 #8). Optional
