@@ -90,9 +90,14 @@ object StarCcSkewProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // (b) full fixpoint, label equality vs GraphX on the same edges
+    // (b) full fixpoint, label equality vs GraphX on the same edges —
+    // and the mode's own A/B: default (agg-fed join, skew split blocked)
+    // vs skewSafe (mins re-exchanged, split fires) on the SAME hub graph
     val (starLabels, tStar) = time {
       graft.graph.StarCC.labels(edges, skewSafe = true).localCheckpoint()
+    }
+    val (_, tStarDefault) = time {
+      graft.graph.StarCC.labels(edges).localCheckpoint()
     }
     val (gxLabels, tGx) = time {
       val rdd = edges.rdd.flatMap { r =>
@@ -114,7 +119,7 @@ object StarCcSkewProbe {
       s""""round1_rows":$round1Rows,"skew_split_fired":$skewFired,"aqe_shuffle_read":$aqeRead,""" +
       s""""n_nodes":${stats.getLong(0)},"n_components":${stats.getLong(2)},""" +
       s""""n_label_mismatch":${stats.getLong(1)},""" +
-      f""""star_sec":$tStar%.2f,"graphx_sec":$tGx%.2f}"""
+      f""""star_sec":$tStar%.2f,"star_default_sec":$tStarDefault%.2f,"graphx_sec":$tGx%.2f}"""
     println(out)
     sys.env.get("SPARK_GRAFT_OUT").foreach(p =>
       java.nio.file.Files.write(java.nio.file.Paths.get(p), out.getBytes("UTF-8")))
