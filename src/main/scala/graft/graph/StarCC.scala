@@ -94,8 +94,13 @@ object StarCC {
     *
     * `skewSafe`: re-exchange each round's vertex-sized mins relation so
     * AQE's skew-join rewrite can split a power-law hub partition on the
-    * edge side (see [[reExchange]]). Off by default — uniform graphs pay
-    * nothing; turn on for graphs with heavy-hub degree distributions. */
+    * edge side (see [[reExchange]]). Off by default, and deliberately so:
+    * the materialization barrier also breaks the round's ReusedExchange
+    * sharing, measured at 23.4 → 62.7 s on a UNIFORM 8M-edge graph
+    * (pure overhead, no straggler to save) vs 23.5 → 21.5 s on the
+    * 10%-hub graph (StarCcSkewProbe r17). Turn on only for heavy-hub
+    * degree distributions, where the default path's hub partition is an
+    * unbounded straggler no config can split. */
   def labels(edges: DataFrame, maxIter: Int = 50,
              reliable: Boolean = false, skewSafe: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
