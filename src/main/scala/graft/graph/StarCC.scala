@@ -54,7 +54,14 @@ object StarCC {
     * checkpoints per-round state, tx31's discipline). Only paid when the
     * caller asks for `skewSafe`. */
   private def reExchange(mins: DataFrame): DataFrame =
-    mins.localCheckpoint()
+    // LAZY partitioning break: greatest(u,u) is value-identical for every
+    // long but is an expression, not an attribute, so the aggregate's
+    // hash(u) output partitioning does not propagate through the project
+    // and EnsureRequirements plans a FRESH exchange under the join's Sort
+    // — the shape OptimizeSkewedJoin matches — without materializing
+    // anything or breaking upstream ReusedExchange sharing (the earlier
+    // localCheckpoint barrier cost 23.4→62.7 s on a uniform 8M-edge graph)
+    mins.select(greatest(col("u"), col("u")).as("u"), col("m"))
 
   /** large-star: for each u, hang every HIGHER neighbor v > u under
     * m = min(N(u) ∪ {u}) — long chains collapse toward minima. */
@@ -94,13 +101,14 @@ object StarCC {
     *
     * `skewSafe`: re-exchange each round's vertex-sized mins relation so
     * AQE's skew-join rewrite can split a power-law hub partition on the
-    * edge side (see [[reExchange]]). Off by default, and deliberately so:
-    * the materialization barrier also breaks the round's ReusedExchange
-    * sharing, measured at 23.4 → 62.7 s on a UNIFORM 8M-edge graph
-    * (pure overhead, no straggler to save) vs 23.5 → 21.5 s on the
-    * 10%-hub graph (StarCcSkewProbe r17). Turn on only for heavy-hub
-    * degree distributions, where the default path's hub partition is an
-    * unbounded straggler no config can split. */
+    * edge side (see [[reExchange]]). The lazy partitioning-break barrier
+    * costs ~3% on a UNIFORM 8M-edge graph (27.2 → 28.1 s — one extra
+    * vertex-sized exchange per half-round; the rejected localCheckpoint
+    * variant cost 2.7× by breaking ReusedExchange sharing) and on the
+    * 10%-hub graph it unblocks the split (23.5 → 21.5 s, and at 100 TB
+    * the default path's hub partition is an unbounded straggler no
+    * config can split). Still off by default: the flag should follow
+    * the graph's degree profile, not a blanket setting. */
   def labels(edges: DataFrame, maxIter: Int = 50,
              reliable: Boolean = false, skewSafe: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
