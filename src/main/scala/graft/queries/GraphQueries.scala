@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.graph.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GraphX-backed queries with relational oracles: the graph result must
@@ -343,31 +344,78 @@ object GraphQueries {
     // classes {0,13,27,41} merge under root 0, every other class r roots
     // at r — so the oracle is pure arithmetic (no recursive CTE, unlike
     // graph09's), and what the gate checks is that the skewSafe rounds
-    // (mins localCheckpointed each half-round) are label-identical to the
-    // closed form at every sf. src is written pmod(v,1) (= 0 for the
-    // non-negative keys) rather than lit(0): a literal alias under Union
-    // trips Spark 4.1's constraint rewriting (key not found: src#N —
-    // StarCcSkewProbe hit it; probe disables propagation, a gate query
-    // must not need session surgery).
+    // (mins re-exchanged through the lazy greatest(u,u) partitioning
+    // break each half-round) are label-identical to the closed form at
+    // every sf. src is written pmod(v,1) (= 0 for the non-negative keys)
+    // rather than lit(0): a literal alias under Union trips Spark 4.1's
+    // constraint rewriting (key not found: src#N — StarCcSkewProbe hit
+    // it; probe disables propagation, a gate query must not need session
+    // surgery). r18 (ADVICE r17): the hub root 0 is a graph vertex BY
+    // CONSTRUCTION (verts ∪ {0}, mirrored in the oracle) instead of
+    // relying on 0-based custkeys, and the result counts over VERTS with
+    // isolated vertices rooting at themselves — so the gate holds on
+    // 1-based dbgen data and sparse key sets too.
     QueryDef("graph10_skewsafe_cc", (s, d) => {
-      val verts = Tables.load(s, d, "customer")
-        .select((col("c_custkey") % 20000).as("v")).distinct()
-      val chain = verts.filter(col("v") >= 50)
-        .select(col("v").as("src"), (col("v") % 50).as("dst"))
-      val hub = verts.filter(col("v") % 50 === 13 || col("v") % 50 === 27 ||
-          col("v") % 50 === 41)
-        .select(pmod(col("v"), lit(1L)).as("src"), col("v").as("dst"))
-      val edges = chain.union(hub).filter(col("src") =!= col("dst"))
-      graft.graph.StarCC.labels(edges, skewSafe = true)
-        .groupBy("root")
-        .agg(count(lit(1)).as("n_nodes"), max(col("node")).as("max_node"))
-        .orderBy("root")
-    }, Some("""
-      WITH verts AS (SELECT DISTINCT c_custkey % 20000 AS v FROM customer),
+      val (verts, edges) = hubGraph(s, d)
+      hubGraphRoots(verts, graft.graph.StarCC.labels(edges, skewSafe = true))
+    }, Some(hubGraphOracleSql)),
+
+    // ---- graph11: skewSafe AUTO (VERDICT r17 #5) — the barrier decision
+    // comes from the graph's own degree profile, not a caller flag: one
+    // cheap endpoint-degree pre-agg (StarCC.skewDecision — max single-
+    // vertex share of edge endpoints, a scale-invariant statistic) picks
+    // the lazy re-exchange barrier when a hub concentrates > 2% of
+    // endpoints. On this graph the hub carries ~4% (decision: safe); on
+    // a uniform graph the share is ~1/V (decision: default) — both
+    // directions probe-asserted in StarCcSkewProbe. Oracle: the same
+    // closed form as graph10, so auto-mode label-exactness is gated at
+    // every sf alongside the explicit-flag path.
+    QueryDef("graph11_auto_skew_cc", (s, d) => {
+      val (verts, edges) = hubGraph(s, d)
+      hubGraphRoots(verts, graft.graph.StarCC.labelsAuto(edges))
+    }, Some(hubGraphOracleSql))
+  )
+
+  /** The deterministic power-law gate graph shared by graph10/graph11:
+    * vertices v = c_custkey % 20000 ∪ {0} (the hub root is a member by
+    * construction — both the 0-row and the hub-edge src are written as
+    * arithmetic on data, pmod(v,1), never lit(0), see graph10's banner);
+    * chain edges (v, v%50) hang every vertex under its residue-class rep;
+    * hub edges (0, v) for v%50 ∈ {13,27,41} pour ~6% of all edges onto
+    * vertex 0. */
+  private def hubGraph(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val vraw = Tables.load(s, d, "customer")
+      .select((col("c_custkey") % 20000).as("v"))
+    val verts = vraw
+      .union(vraw.limit(1).select(pmod(col("v"), lit(1L)).as("v")))
+      .distinct()
+    val chain = verts.filter(col("v") >= 50)
+      .select(col("v").as("src"), (col("v") % 50).as("dst"))
+    val hub = verts.filter(col("v") % 50 === 13 || col("v") % 50 === 27 ||
+        col("v") % 50 === 41)
+      .select(pmod(col("v"), lit(1L)).as("src"), col("v").as("dst"))
+    (verts, chain.union(hub).filter(col("src") =!= col("dst")))
+  }
+
+  /** Count components over VERTS (not over labeled nodes): labels covers
+    * only edge-incident vertices, so a vertex isolated on sparse key sets
+    * roots at itself via the coalesce — matching the closed-form oracle,
+    * which enumerates verts. */
+  private def hubGraphRoots(verts: DataFrame, labels: DataFrame): DataFrame =
+    verts.join(labels, verts("v") === labels("node"), "left")
+      .select(col("v"), coalesce(col("root"), col("v")).as("root"))
+      .groupBy("root")
+      .agg(count(lit(1)).as("n_nodes"), max(col("v")).as("max_node"))
+      .orderBy("root")
+
+  // def, not val: `defs` above initializes first (object init order)
+  private def hubGraphOracleSql = """
+      WITH verts AS (
+        SELECT DISTINCT c_custkey % 20000 AS v FROM customer
+        UNION SELECT 0),
       roots AS (
         SELECT v, CASE WHEN v % 50 IN (0, 13, 27, 41) THEN 0 ELSE v % 50 END AS root
         FROM verts)
       SELECT root, COUNT(*) AS n_nodes, MAX(v) AS max_node
-      FROM roots GROUP BY 1 ORDER BY root"""))
-  )
+      FROM roots GROUP BY 1 ORDER BY root"""
 }

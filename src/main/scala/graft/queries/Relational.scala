@@ -25,18 +25,49 @@ object Relational {
     * a few-MB broadcast wins outright — exactly the size-based choice a
     * cost-based planner makes, keyed on the same statistic Catalyst's
     * own broadcast threshold uses (file size on disk). */
-  /** q05's bloom-enabled child session, one per root session (see the q05
-    * banner): keyed on the root so Tables.load's per-session DataFrame
-    * cache stays warm across invocations; entries for stopped contexts are
-    * dropped opportunistically like Tables.loadCache's. */
+  /** Bloom-enabled child sessions for q05/q61, one per root session (see
+    * the q05 banner): keyed on the root so Tables.load's per-session
+    * DataFrame cache stays warm across invocations. WEAK-keyed (r18): a
+    * child session does not reference its parent, so when an embedding app
+    * drops a root session the entry — and the child's Tables.load cache —
+    * becomes collectable instead of accumulating for the context's
+    * lifetime (the old ConcurrentHashMap only evicted stopped contexts). */
   private val bloomSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]() {
-      override def computeIfAbsent(k: SparkSession,
-          f: java.util.function.Function[_ >: SparkSession, _ <: SparkSession]): SparkSession = {
-        if (size() > 16) keySet.removeIf(s => s.sparkContext.isStopped)
-        super.computeIfAbsent(k, f)
-      }
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  /** Runtime sizing confs that must ride from the root session into the
+    * memoized bloom child on EVERY call (Bench re-sizes these per-corpus;
+    * advisoryPartitionSizeInBytes added r18 — tune lanes set it on the
+    * root and silently measured the default before). */
+  private val bloomChildRideAlong = Seq(
+    "spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    "spark.sql.files.maxPartitionBytes", "spark.sql.files.minPartitionNum",
+    "spark.sql.autoBroadcastJoinThreshold")
+
+  /** The shared bloom-enabled child session for q05/q61: runtime
+    * bloom-filter injection ON with the application-side scan gate
+    * recalibrated from Spark's cluster-sized 10 GB default to the measured
+    * 256 MB crossover (below ~256 MB of probe-side scan the per-row
+    * might_contain + the bloom-build subquery cost more than the bytes they
+    * save — measured at sf1: 1.16 → 1.74 s with the filter forced). A
+    * caller-pinned non-default value is honored (PlanShapeSpec pins 1KB to
+    * lock the mechanism at spec scale; tune lanes pin 9GB to force it OFF). */
+  private[graft] def bloomChildSession(s0: SparkSession): SparkSession = {
+    val s = bloomSessions.computeIfAbsent(s0, (root: SparkSession) => root.newSession())
+    bloomChildRideAlong.foreach { k =>
+      s0.conf.getOption(k).foreach(v => s.conf.set(k, v))
     }
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    val appThrKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    s.conf.set(appThrKey,
+      if (s0.conf.get(appThrKey) == "10GB") "256MB" else s0.conf.get(appThrKey))
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "5000000")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "134217728")
+    s
+  }
 
   private def shuffleHashIfBig(s: SparkSession, d: String, n: String): DataFrame = {
     val df = t(s, d, n)
@@ -184,25 +215,9 @@ object Relational {
       // ONE bloom session per root session, not per invocation: Tables.load
       // caches per session, so a fresh newSession each call re-reads every
       // parquet footer and re-analyzes (~0.4 s/invocation at sf0.1 —
-      // measured as a 0.31→1.05 s q05 regression before memoizing)
-      val s = bloomSessions.computeIfAbsent(s0, (root: SparkSession) => root.newSession())
-      // the caller's RUNTIME sizing (Bench's sf1 pass re-sizes these
-      // per-corpus) must ride along — re-copied every call, cheap
-      Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled",
-        "spark.sql.files.maxPartitionBytes", "spark.sql.files.minPartitionNum",
-        "spark.sql.autoBroadcastJoinThreshold").foreach { k =>
-        s0.conf.getOption(k).foreach(v => s.conf.set(k, v))
-      }
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      // recalibrate Spark's cluster-sized 10 GB default to the measured
-      // 256 MB crossover — but honor a caller-pinned value (PlanShapeSpec
-      // pins 1KB to lock the mechanism at spec scale)
-      val appThrKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-      s.conf.set(appThrKey,
-        if (s0.conf.get(appThrKey) == "10GB") "256MB" else s0.conf.get(appThrKey))
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "5000000")
-      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "134217728")
+      // measured as a 0.31→1.05 s q05 regression before memoizing).
+      // Session setup shared with q61 (bloomChildSession).
+      val s = bloomChildSession(s0)
       val r = t(s, d, "region"); val n = t(s, d, "nation")
       val c = shuffleHashIfBig(s, d, "customer")
       val o = shuffleHashIfBig(s, d, "orders")
@@ -1524,22 +1539,21 @@ object Relational {
     // THE SCAN instead of riding the exchange. At 100 TB this is the
     // difference between shuffling the whole fact table and shuffling the
     // ~1% that survives the dim filter — the same reduction DPP gives
-    // partitioned keys, but for arbitrary join keys. Gate-scale stand-ins
-    // (q54's pattern): broadcast is disabled (at real scale supplier is
-    // itself too big to broadcast — a broadcast join would make the bloom
-    // filter redundant) and the application-side size threshold is
-    // lowered (defaults gate on a 10 GB scan). Plan-locked: PlanShapeSpec
-    // asserts might_contain/bloom_filter_agg in the physical plan.
+    // partitioned keys, but for arbitrary join keys.
     QueryDef("q61_runtime_bloom_join", (s, d) => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
-      s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "64MB")
-      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val su = s2.read.parquet(s"$d/supplier.parquet")
+      // r18 (VERDICT r17 #4): the registered row rides the NATURAL config —
+      // bloom enabled with the measured 256 MB application-side crossover
+      // (bloomChildSession, shared with q05), broadcast left to the planner
+      // — so the benched number is the production plan (2.8x, not the old
+      // 1KB-threshold demo's 13x). The mechanism lock lives ONLY in
+      // PlanShapeSpec, which pins appThreshold=1KB + broadcast=-1 on the
+      // root session (bloomChildSession honors caller-pinned values) and
+      // asserts might_contain/bloom_filter_agg in the physical plan.
+      val s2 = bloomChildSession(s)
+      val su = t(s2, d, "supplier")
         .filter(col("s_acctbal") >= 6000) // selective dim predicate, non-empty at every sf
         .select(col("s_suppkey"), col("s_nationkey"))
-      s2.read.parquet(s"$d/lineitem.parquet")
+      t(s2, d, "lineitem")
         .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
         .join(su, col("l_suppkey") === su("s_suppkey"))
         .groupBy(col("s_nationkey"))

@@ -85,4 +85,21 @@ class GraphCcSpec extends AnyFunSuite {
       (10L, 10L), (11L, 10L), (20L, 20L), (21L, 20L)),
       s"star labels wrong: $got")
   }
+
+  test("skewDecision: hub graph -> barrier, uniform chain -> default (r18)") {
+    import spark.implicits._
+    // star: vertex 0 carries every edge — endpoint share 1/2 > 2%
+    val star = (1L to 100L).map(v => (0L, v)).toDF("src", "dst")
+    assert(graft.graph.StarCC.skewDecision(star),
+      "skewDecision declined the barrier on a pure star")
+    // path: every vertex has degree <= 2 — share 2/200 = 1%, below 2%
+    val path = (1L until 100L).map(v => (v, v + 1)).toDF("src", "dst")
+    assert(!graft.graph.StarCC.skewDecision(path),
+      "skewDecision picked the barrier on a uniform path")
+    // labelsAuto must label exactly like labels on both topologies
+    val viaAuto = graft.graph.StarCC.labelsAuto(star).as[(Long, Long)].collect().toSet
+    val viaFlag = graft.graph.StarCC.labels(star, skewSafe = true)
+      .as[(Long, Long)].collect().toSet
+    assert(viaAuto == viaFlag, "labelsAuto diverges from labels on the star")
+  }
 }

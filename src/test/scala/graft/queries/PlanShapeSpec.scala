@@ -173,7 +173,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q61 injects the runtime bloom filter into the fact side's scan stage") {
-    val plan = physicalPlan("q61_runtime_bloom_join")
+    // r18: the registered q61 rides the natural config (256 MB crossover,
+    // planner-chosen broadcast) — the MECHANISM lock lives here, and only
+    // here: pin the application-side gate below spec scale and disable
+    // broadcast (at real scale supplier is itself too big to broadcast; a
+    // broadcast join would make the bloom redundant). q61 forwards both
+    // pinned confs into its memoized bloom child session.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    val plan = SparkEntry.queries("q61_runtime_bloom_join")(s2, sf)
+      .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"),
       "q61 lost the injected runtime bloom filter — fact rows that cannot " +
         "join must die at the scan, not ride the exchange")

@@ -134,6 +134,19 @@ object R17Tune {
       case "q05" =>
         println(s"""{"lane":"q05","codec":"${spark.conf.get("spark.io.compression.codec", "lz4")}","local_dir":"${sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp")}"}""")
         val sb = bloomSession()
+        // r18 (ADVICE r17): the shipped q05 now SELF-enables the bloom at
+        // the 256 MB crossover, so the old q05_bloom lane measured the same
+        // plan as shipped; the A/B control is now q05_nobloom, which pins
+        // the application-side gate to a non-default value ABOVE any probe
+        // scan (bloomChildSession honors caller-pinned values — "10GB"
+        // would be rewritten to 256MB, so pin 9GB). The advisory lanes set
+        // the conf on the ROOT session; q05's memoized child copies it on
+        // every call (advisoryPartitionSizeInBytes is in the ride-along
+        // list since r18 — before that these lanes silently measured the
+        // default advisory size).
+        val sNoBloom = spark.newSession()
+        sNoBloom.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "9GB")
         // AQE advisory partition size (VERDICT r16 #1b's second lever):
         // smaller advisory → more post-shuffle reducers on the big probe
         val sAdv16 = spark.newSession()
@@ -142,7 +155,7 @@ object R17Tune {
         sAdv128.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128m")
         val shapes: Seq[(String, () => DataFrame)] = Seq(
           "q05_shipped" -> (() => qs("q05_join5_agg")(spark, sfDir)),
-          "q05_bloom" -> (() => qs("q05_join5_agg")(sb, sfDir)),
+          "q05_nobloom" -> (() => qs("q05_join5_agg")(sNoBloom, sfDir)),
           "q05_adv16m" -> (() => qs("q05_join5_agg")(sAdv16, sfDir)),
           "q05_adv128m" -> (() => qs("q05_join5_agg")(sAdv128, sfDir)),
           "q03_shipped" -> (() => qs("q03_join_topn")(spark, sfDir)),
@@ -160,9 +173,10 @@ object R17Tune {
         acc.toSeq.sortBy(_._1).foreach { case (k, ts) =>
           println(f"""{"q":"$k","best":${ts.min}%.3f,"med":${ts.sorted.apply(ts.size / 2)}%.3f,"reps":${ts.size}}""")
         }
-        val p5 = qs("q05_join5_agg")(sb, sfDir).queryExecution.executedPlan.toString
+        val p5 = qs("q05_join5_agg")(spark, sfDir).queryExecution.executedPlan.toString
+        val p5n = qs("q05_join5_agg")(sNoBloom, sfDir).queryExecution.executedPlan.toString
         val p3 = qs("q03_join_topn")(sb, sfDir).queryExecution.executedPlan.toString
-        println(s"""{"check":"bloom_in_plan","q05":${p5.contains("might_contain")},"q03":${p3.contains("might_contain")}}""")
+        println(s"""{"check":"bloom_in_plan","q05_shipped":${p5.contains("might_contain")},"q05_nobloom":${p5n.contains("might_contain")},"q03":${p3.contains("might_contain")}}""")
 
       case "repair" =>
         // shipped controls first (same sitting as the duckdb pair)

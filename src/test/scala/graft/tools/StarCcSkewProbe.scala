@@ -90,6 +90,18 @@ object StarCcSkewProbe {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // (a2) r18, VERDICT r17 #5 — skewSafe AUTO: the degree-profile
+    // decision must pick the barrier on this 10%-hub graph and decline it
+    // on a uniform graph of the same size (max endpoint share ~1/V).
+    val autoHub = graft.graph.StarCC.skewDecision(edges)
+    val uniform = spark.range(nEdgesTarget).select(
+      pmod(xxhash64(col("id"), lit("u1")), lit(n)).as("src"),
+      pmod(xxhash64(col("id"), lit("u2")), lit(n)).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val autoUniform = graft.graph.StarCC.skewDecision(uniform)
+    assert(autoHub, "skewDecision declined the barrier on the 10%-hub graph")
+    assert(!autoUniform, "skewDecision picked the barrier on a uniform graph")
+
     // (b) full fixpoint, label equality vs GraphX on the same edges —
     // and the mode's own A/B: default (agg-fed join, skew split blocked)
     // vs skewSafe (mins re-exchanged, split fires) on the SAME hub graph
@@ -117,6 +129,7 @@ object StarCcSkewProbe {
     val out = s"""{"probe":"starcc-skew","n_edges":$nEdges,"n_vertices_target":$n,""" +
       s""""hub_degree":$hubDeg,"hub_share":${"%.3f".format(hubDeg.toDouble / nEdges)},""" +
       s""""round1_rows":$round1Rows,"skew_split_fired":$skewFired,"aqe_shuffle_read":$aqeRead,""" +
+      s""""auto_decision_hub":$autoHub,"auto_decision_uniform":$autoUniform,""" +
       s""""n_nodes":${stats.getLong(0)},"n_components":${stats.getLong(2)},""" +
       s""""n_label_mismatch":${stats.getLong(1)},""" +
       f""""star_sec":$tStar%.2f,"star_default_sec":$tStarDefault%.2f,"graphx_sec":$tGx%.2f}"""
