@@ -46,8 +46,15 @@ object AgeFormat {
 
   // Cipher instances are reused per thread: executor task threads run the
   // per-row kernels millions of times, and Cipher.getInstance dominates
-  // small-payload cost. Safe because each init uses a fresh (key, nonce)
-  // pair (the JDK only rejects re-init with an identical key+nonce).
+  // small-payload cost. The JDK's ChaCha20 provider REJECTS re-initializing
+  // one Cipher object with the identical (key, nonce) as its previous init
+  // — in decrypt mode too — so two consecutive inits with the same pair
+  // (a decrypt that failed AFTER key-unwrap, e.g. a header-MAC mismatch,
+  // followed by any decrypt of the same stanza on the same thread) would
+  // spuriously throw and surface as "no matching key found" on a VALID
+  // ciphertext. Caught by the r18 testkit suite (payload_* vectors share
+  // x25519_base's stanza); on the rejection we fall back to a fresh Cipher
+  // once — a genuinely bad key fails again from the fresh instance.
   private val cipherTL = ThreadLocal.withInitial[Cipher](
     () => Cipher.getInstance("ChaCha20-Poly1305"))
   private val rngTL = ThreadLocal.withInitial[java.security.SecureRandom](
@@ -55,8 +62,18 @@ object AgeFormat {
 
   private def chacha(mode: Int, key: Array[Byte], nonce: Array[Byte],
                      data: Array[Byte]): Array[Byte] = {
-    val c = cipherTL.get()
-    c.init(mode, new SecretKeySpec(key, "ChaCha20"), new IvParameterSpec(nonce))
+    val ks = new SecretKeySpec(key, "ChaCha20")
+    val iv = new IvParameterSpec(nonce)
+    val c0 = cipherTL.get()
+    val c =
+      try { c0.init(mode, ks, iv); c0 }
+      catch {
+        case _: java.security.InvalidKeyException =>
+          val fresh = Cipher.getInstance("ChaCha20-Poly1305")
+          fresh.init(mode, ks, iv)
+          cipherTL.set(fresh)
+          fresh
+      }
     c.doFinal(data)
   }
 

@@ -182,6 +182,26 @@ class CryptoCoreSpec extends AnyFunSuite {
       AgeFormat.decrypt("not an age file at all".getBytes, id))
       .getMessage.startsWith("Decryption failed"))
   }
+  test("valid ciphertext decrypts after a MAC-mismatch attempt on the same thread (r18)") {
+    // Regression for the thread-cached JDK ChaCha20 Cipher rejecting
+    // re-init with its previous (key, nonce): a decrypt failing AFTER
+    // key-unwrap (MAC mismatch) parks the cipher on the unwrap's
+    // (wrap key, zero nonce); the next decrypt of the SAME stanza then
+    // re-inits with the identical pair and — before the fix — threw
+    // spuriously, surfacing as "no matching key found" on a valid file.
+    val kp = AgeKeys.fromSeed("cipher-reuse-regression".getBytes)
+    val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
+    val Right(id) = AgeKeys.parseIdentity(kp.privateKey)
+    val ct = AgeFormat.encrypt("reuse regression".getBytes, Seq(rec))
+    val macAt = new String(ct, "ISO-8859-1").indexOf("\n--- ") + 5
+    val bad = ct.clone()
+    bad(macAt + 2) = (if (bad(macAt + 2) == 'A') 'B' else 'A').toByte
+    for (_ <- 1 to 3) {
+      assert(intercept[AgeInvalidInputException](AgeFormat.decrypt(bad, id))
+        .getMessage == "Decryption failed: header MAC mismatch")
+      assert(new String(AgeFormat.decrypt(ct, id)) == "reuse regression")
+    }
+  }
   test("armor: strict PEM roundtrip, auto-detect, malformed rejection") {
     val kp = AgeKeys.generate()
     val Right(rec) = AgeKeys.parseRecipient(kp.publicKey)
