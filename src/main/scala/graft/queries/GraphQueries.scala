@@ -320,7 +320,7 @@ object GraphQueries {
     // oracle-checked three ways. Algorithm lives in graft.graph.StarCC
     // (shared with Graph09Probe's full-graph sf1 lane and GraphCcSpec).
     QueryDef("graph09_star_cc", (s, d) => {
-      val pairs = TextDedup.minhashBandPairs(TextDedup.docsBounded(s, d, 200))
+      val pairs = TextDedup.minhashBandPairs(TextDedup.docsBounded(s, d, 200), broadcastBands = true)
         .select(col("ida").as("src"), col("idb").as("dst"))
       graft.graph.StarCC.labels(pairs)
         .select(col("node").as("doc_id"), col("root"))
