@@ -567,13 +567,19 @@ object Relational {
     // 100 TB cardinalities where exact count-distinct's expand+shuffle is
     // the bottleneck (q23's cost). Engines use different sketches, so the
     // oracle is the accuracy INVARIANT both must satisfy (relative error
-    // < 5% vs exact), not the sketch value itself.
+    // < 5% vs exact), not the sketch value itself. The Spark sketch is
+    // requested at rsd=0.01 (r18): the DEFAULT rsd is exactly 0.05, so at
+    // sf10 cardinality (~2M distinct partkeys) the default sketch's own
+    // 1-sigma band crosses the 5% gate — caught by the first full sf10
+    // sweep (the only sf where it fires; sf0.01/sf1 cardinalities sit in
+    // HLL++'s near-exact regime). Requesting 5× the precision of the
+    // asserted tolerance is the production posture, not a gate tweak.
     QueryDef("q34_approx_distinct", (s, d) => {
       Tables.registerViews(s, d)
       s.sql("""
-        SELECT ABS(approx_count_distinct(l_partkey) - COUNT(DISTINCT l_partkey))
+        SELECT ABS(approx_count_distinct(l_partkey, 0.01D) - COUNT(DISTINCT l_partkey))
                  / CAST(COUNT(DISTINCT l_partkey) AS DOUBLE) < 0.05 AS part_ok,
-               ABS(approx_count_distinct(l_suppkey) - COUNT(DISTINCT l_suppkey))
+               ABS(approx_count_distinct(l_suppkey, 0.01D) - COUNT(DISTINCT l_suppkey))
                  / CAST(COUNT(DISTINCT l_suppkey) AS DOUBLE) < 0.05 AS supp_ok
         FROM lineitem""")
     }, Some("""

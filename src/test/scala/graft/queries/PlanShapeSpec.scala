@@ -65,6 +65,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dd03's bounded band self-join rides a broadcast, not a two-sided exchange (r18)") {
+    // the bounded 200-doc slice's band frame is ~4 rows/doc; the shuffle
+    // self-join was an avoidable exchange (interleaved sf1 A/B: best
+    // 0.296 -> 0.256 s). Whole-corpus dd08 must KEEP the shuffle join.
+    val dd03 = physicalPlan("dd03_minhash_lsh_pairs")
+    assert(dd03.contains("BroadcastHashJoin"),
+      "dd03 lost the broadcast band join — the bounded slice is paying a shuffle")
+    val dd08 = physicalPlan("dd08_minhash_all")
+    assert(!dd08.contains("BroadcastHashJoin") || dd08.contains("SortMergeJoin") ||
+      dd08.contains("ShuffledHashJoin"),
+      "dd08's whole-corpus band join must stay a scale-honest shuffle join")
+  }
+
   test("LSH band keys are computed per row (no explode/aggregate before the bucket join)") {
     // sim02: scan -> project(band_keys) -> self equi-join. The round-2
     // shape (64x posexplode + broadcast weight join + two hash aggregates

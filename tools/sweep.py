@@ -54,8 +54,24 @@ def run_oracle(name, sql, q):
 
 import shutil
 
+# SWEEP_EXCLUDE=name:reason,name:reason — NAMED exclusions recorded in the
+# report (r18, VERDICT r17 #3): some oracles must not even START at large
+# sf (graph06's recursive-CTE re-inlining spilled >77 GB at sf10 before
+# any budget kill could fire — disk exhaustion, not timeout). A named
+# exclusion is honest where a timeout kill is roulette with the disk.
+named_excl = {}
+import os as _os
+for tok in filter(None, _os.environ.get("SWEEP_EXCLUDE", "").split(",")):
+    n_, _, why = tok.partition(":")
+    named_excl[n_] = why or "excluded by operator"
+
 report, n_pass, n_fail, n_skip = {}, 0, 0, 0
 for name in sorted(oracle):
+    if name in named_excl:
+        report[name] = {"status": "named_exclusion", "reason": named_excl[name]}
+        n_skip += 1
+        print(f"SKIP {name}: named exclusion — {named_excl[name]}", flush=True)
+        continue
     # oracle children run serially: sweep the previous child's spill dir
     # here (and once after the loop) so a budget-killed child — which
     # cannot clean up after itself — never accumulates stale temp files
