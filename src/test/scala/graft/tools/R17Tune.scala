@@ -147,6 +147,14 @@ object R17Tune {
         val sNoBloom = spark.newSession()
         sNoBloom.conf.set(
           "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "9GB")
+        // bloom-FORCED lane (appThr honored at 1 byte): at sf10m the
+        // natural 256MB gate stays off because the application-side
+        // estimate is the PRUNED projection (~4/16 of lineitem's 1.2GB),
+        // so shipped == nobloom there; this lane measures what the bloom
+        // would buy if the gate opened
+        val sBloom = spark.newSession()
+        sBloom.conf.set(
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1")
         // AQE advisory partition size (VERDICT r16 #1b's second lever):
         // smaller advisory → more post-shuffle reducers on the big probe
         val sAdv16 = spark.newSession()
@@ -156,6 +164,7 @@ object R17Tune {
         val shapes: Seq[(String, () => DataFrame)] = Seq(
           "q05_shipped" -> (() => qs("q05_join5_agg")(spark, sfDir)),
           "q05_nobloom" -> (() => qs("q05_join5_agg")(sNoBloom, sfDir)),
+          "q05_bloom" -> (() => qs("q05_join5_agg")(sBloom, sfDir)),
           "q05_adv16m" -> (() => qs("q05_join5_agg")(sAdv16, sfDir)),
           "q05_adv128m" -> (() => qs("q05_join5_agg")(sAdv128, sfDir)),
           "q03_shipped" -> (() => qs("q03_join_topn")(spark, sfDir)),
@@ -175,8 +184,9 @@ object R17Tune {
         }
         val p5 = qs("q05_join5_agg")(spark, sfDir).queryExecution.executedPlan.toString
         val p5n = qs("q05_join5_agg")(sNoBloom, sfDir).queryExecution.executedPlan.toString
+        val p5b = qs("q05_join5_agg")(sBloom, sfDir).queryExecution.executedPlan.toString
         val p3 = qs("q03_join_topn")(sb, sfDir).queryExecution.executedPlan.toString
-        println(s"""{"check":"bloom_in_plan","q05_shipped":${p5.contains("might_contain")},"q05_nobloom":${p5n.contains("might_contain")},"q03":${p3.contains("might_contain")}}""")
+        println(s"""{"check":"bloom_in_plan","q05_shipped":${p5.contains("might_contain")},"q05_nobloom":${p5n.contains("might_contain")},"q05_bloom":${p5b.contains("might_contain")},"q03":${p3.contains("might_contain")}}""")
 
       case "repair" =>
         // shipped controls first (same sitting as the duckdb pair)
