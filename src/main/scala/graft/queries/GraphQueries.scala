@@ -373,7 +373,51 @@ object GraphQueries {
     QueryDef("graph11_auto_skew_cc", (s, d) => {
       val (verts, edges) = hubGraph(s, d)
       hubGraphRoots(verts, graft.graph.StarCC.labelsAuto(edges))
-    }, Some(hubGraphOracleSql))
+    }, Some(hubGraphOracleSql)),
+
+    // ---- graph12: DataFrame-native BFS (r18) — the scale tier the first
+    // full sf10 sweep proved graph07's Pregel BFS cannot offer (GraphX
+    // caches the vertex+edge RDDs; OOM at sf10 even in a 100 GB JVM).
+    // FrontierBfs walks frontier ⨝ edges + anti-join rounds with nothing
+    // resident. Gate graph: the HALVING TREE over v = custkey % 20000 —
+    // every vertex's full ancestor chain u → u>>1 → … → 1 → 0 is
+    // materialized as edges (intermediate halving values are graph nodes
+    // even when absent from the key set, so the gate holds on sparse /
+    // 1-based key sets — graph10's r18 lesson applied from the start).
+    // Closed-form oracle: depth(u) = bit_length(u) (min k with u>>k = 0),
+    // pure integer arithmetic, valid at every sf; depth is O(log V), the
+    // regime where the per-round join shape matters and a recursive-CTE
+    // oracle would not scale.
+    QueryDef("graph12_frontier_bfs", (s, d) => {
+      val verts = Tables.load(s, d, "customer")
+        .select((col("c_custkey") % 20000).cast("long").as("v")).distinct()
+      val edges = verts.filter(col("v") >= 1)
+        .select(explode(expr("sequence(0, 20)")).as("k"), col("v"))
+        .select(expr("shiftright(v, k)").as("src"))
+        .filter(col("src") >= 1)
+        .select(col("src"), expr("shiftright(src, 1)").as("dst"))
+        .distinct()
+      graft.graph.FrontierBfs.depths(edges, source = 0L)
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_nodes"), sum(col("v")).as("sum_v"))
+        .orderBy("depth")
+    }, Some("""
+      WITH verts AS (SELECT DISTINCT CAST(c_custkey % 20000 AS BIGINT) AS v
+                     FROM customer),
+      nodes AS (
+        SELECT DISTINCT (v >> k) AS u
+        FROM verts, generate_series(0, 20) t(k)
+        WHERE (v >> k) >= 1
+        UNION SELECT 0),
+      d AS (
+        SELECT u, CASE WHEN u = 0 THEN 0
+                       ELSE (SELECT MIN(k) FROM generate_series(1, 40) s(k)
+                             WHERE (u >> k) = 0) END AS depth
+        FROM nodes)
+      SELECT CAST(depth AS INTEGER) AS depth,
+             CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(u) AS BIGINT) AS sum_v
+      FROM d GROUP BY 1 ORDER BY 1"""))
   )
 
   /** The deterministic power-law gate graph shared by graph10/graph11:

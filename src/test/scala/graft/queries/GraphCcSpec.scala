@@ -86,6 +86,18 @@ class GraphCcSpec extends AnyFunSuite {
       s"star labels wrong: $got")
   }
 
+  test("FrontierBfs: min-depths on a hand graph match first principles (r18)") {
+    import spark.implicits._
+    // path 0-1-2-3, branch 1-10, isolated pair (20,21), plus a shortcut
+    // 0-3 that must WIN over the path (min-depth, not any-depth)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (1L, 10L), (20L, 21L), (0L, 3L))
+      .toDF("src", "dst")
+    val got = graft.graph.FrontierBfs.depths(e, source = 0L)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(0L -> 0, 1L -> 1, 3L -> 1, 2L -> 2, 10L -> 2),
+      s"bfs depths wrong: $got") // 20/21 unreachable: absent, not depth-labeled
+  }
+
   test("skewDecision: hub graph -> barrier, uniform chain -> default (r18)") {
     import spark.implicits._
     // star: vertex 0 carries every edge — endpoint share 1/2 > 2%
