@@ -68,7 +68,12 @@ object AgeFormat {
     val c =
       try { c0.init(mode, ks, iv); c0 }
       catch {
-        case _: java.security.InvalidKeyException =>
+        // DECRYPT only (ADVICE r18): the reuse rejection is spurious on the
+        // decrypt path (re-opening the same stanza is legitimate), but on
+        // ENCRYPT it is the JDK's last-line defense against a (key, nonce)
+        // pair actually repeating — an RNG/derivation bug must keep
+        // throwing there, never be silently retried into a nonce reuse.
+        case _: java.security.InvalidKeyException if mode == Cipher.DECRYPT_MODE =>
           val fresh = Cipher.getInstance("ChaCha20-Poly1305")
           fresh.init(mode, ks, iv)
           cipherTL.set(fresh)

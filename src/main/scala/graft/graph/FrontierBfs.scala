@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object FrontierBfs {
 
+  /** @param maxDepth iteration backstop, NOT a radius parameter: if the
+    *   walk still has a live frontier when the cap is hit, vertices beyond
+    *   it would be silently indistinguishable from unreachable ones, so
+    *   depths() THROWS instead of returning a truncated labeling (ADVICE
+    *   r18). Size it above the graph's diameter from `source`; callers
+    *   that genuinely want bounded-radius layers should filter the result
+    *   of a large-enough cap (graph07's Pregel tier has the radius form).
+    */
   def depths(edges: DataFrame, source: Long, maxDepth: Int = 50): DataFrame = {
     val spark = edges.sparkSession
     // undirected walk; checkpointed ONCE so the (possibly expensive)
@@ -54,6 +62,10 @@ object FrontierBfs {
         frontier = next.select(col("v"))
       }
     }
+    require(frontierSize == 0,
+      s"FrontierBfs hit maxDepth=$maxDepth with a live frontier of " +
+        s"$frontierSize vertices — the labeling would be truncated, not " +
+        "complete; raise maxDepth above the graph's diameter from the source")
     depths
   }
 }

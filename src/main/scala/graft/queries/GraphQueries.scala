@@ -17,9 +17,46 @@ object GraphQueries {
       FROM orders GROUP BY 1 ORDER BY c_custkey""")),
 
     // the co-purchase projection (hot parts capped at 40 buyers) the
-    // GraphX PageRank runs on — the scale-critical relational step,
-    // verified cell-for-cell against DuckDB
-    QueryDef("graph02_copurchase_edges", (s, d) => {
+    // GraphX PageRank runs on — the scale-critical relational step. Gated
+    // at EVERY sf by a bounded per-bucket certificate (r19, VERDICT r18
+    // #2): the relation itself is ~1e9 rows at sf10, where the harness's
+    // cell-for-cell pandas compare — not either engine — was the sweep
+    // bottleneck (sweep_sf10_r18's named exclusion). 512 buckets of
+    // (count, Σw, Σsrc, Σdst, Σ modular-fingerprint) pin the relation
+    // order-independently in exact integer arithmetic both engines share;
+    // the per-row fp term stays < 1e9 and per-bucket sums < 1e15, far
+    // inside int64 even at sf10. The full relation remains verified
+    // cell-for-cell by graph02b at the sf0.01 gate / sf1 sweep.
+    QueryDef("graph02_copurchase_cert", (s, d) => {
+      GraphOps.coPurchasePairs(s, d)
+        .select(col("src"), col("dst"), col("w").cast("long").as("w"))
+        .groupBy((col("src") % 512).as("bucket"))
+        .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("sum_w"),
+          sum(col("src")).as("sum_src"), sum(col("dst")).as("sum_dst"),
+          sum((col("src") * 131071L + col("dst") * 31L + col("w")) % 1000000007L)
+            .as("fp"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                WHERE c <= 40),
+      bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+      pairs AS (
+        SELECT a.cust AS src, b.cust AS dst, CAST(COUNT(*) AS BIGINT) AS w
+        FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust
+        GROUP BY 1, 2)
+      SELECT src % 512 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_edges,
+             SUM(w) AS sum_w, SUM(src) AS sum_src, SUM(dst) AS sum_dst,
+             SUM((src * 131071 + dst * 31 + w) % 1000000007) AS fp
+      FROM pairs GROUP BY 1 ORDER BY bucket""")),
+
+    // the SAME projection cell-for-cell — the strongest possible gate,
+    // kept where the harness compare is feasible (sf0.01 gate, sf1 sweep);
+    // at sf10 the certificate twin above carries the tier.
+    QueryDef("graph02b_copurchase_edges_full", (s, d) => {
       GraphOps.coPurchasePairs(s, d).orderBy("src", "dst")
     }, Some("""
       WITH cp AS (
@@ -56,7 +93,7 @@ object GraphQueries {
     // (n_vertices, n_edges) from the base tables — one join, no
     // recursion, ~10 s at sf1. Over-merging (one label spanning two true
     // components) cannot arise from edge-local propagation, and the edge
-    // relation itself is verified cell-for-cell by graph02; the over-merge
+    // relation itself is verified cell-for-cell by graph02b; the over-merge
     // direction is additionally anchored empirically by GraphCcSpec, which
     // recomputes the full partition with an independent union-find at
     // sf0.001 and requires label-for-label equality.
@@ -417,7 +454,38 @@ object GraphQueries {
       SELECT CAST(depth AS INTEGER) AS depth,
              CAST(COUNT(*) AS BIGINT) AS n_nodes,
              CAST(SUM(u) AS BIGINT) AS sum_v
-      FROM d GROUP BY 1 ORDER BY 1"""))
+      FROM d GROUP BY 1 ORDER BY 1""")),
+
+    // ---- graph13: DataFrame-native triangle counting (r19, VERDICT r18
+    // #1) — the scale tier for the family's largest remaining GraphX
+    // exclusion: graph05's `triangleCount()` needs per-vertex neighbor
+    // sets cached on the heap (OOM at sf10; sweep_sf10_r18). Triangles
+    // re-expressed as the degree-ordered wedge join (graft.graph.
+    // Triangles: orient low-rank → high-rank, wedge equi-join on the
+    // apex, close with an edge equi-join — O(E^1.5) total work, every
+    // step an AQE-replannable shuffle join). Same graph as graph05 (the
+    // cust%10 induced co-purchase subgraph), same oracle, so GraphX,
+    // the wedge join, and DuckDB's triple-join are mutually checked.
+    QueryDef("graph13_triangles_df", (s, d) => {
+      import s.implicits._
+      val pairs = GraphOps.coPurchasePairs(s, d, custMod = 10)
+        .select("src", "dst")
+      Seq(graft.graph.Triangles.count(pairs)).toDF("n_triangles")
+    }, Some("""
+      WITH cp AS (
+        SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_custkey % 10 = 0),
+      small AS (SELECT part FROM (SELECT part, COUNT(*) AS c FROM cp GROUP BY 1)
+                WHERE c <= 40),
+      bounded AS (SELECT cust, cp.part AS part FROM cp JOIN small USING (part)),
+      pairs AS (
+        SELECT DISTINCT a.cust AS src, b.cust AS dst
+        FROM bounded a JOIN bounded b ON a.part = b.part AND a.cust < b.cust)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM pairs p1
+      JOIN pairs p2 ON p2.src = p1.src AND p2.dst > p1.dst
+      JOIN pairs p3 ON p3.src = p1.dst AND p3.dst = p2.dst"""))
   )
 
   /** The deterministic power-law gate graph shared by graph10/graph11:

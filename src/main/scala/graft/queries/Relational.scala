@@ -55,6 +55,11 @@ object Relational {
     * caller-pinned non-default value is honored (PlanShapeSpec pins 1KB to
     * lock the mechanism at spec scale; tune lanes pin 9GB to force it OFF). */
   private[graft] def bloomChildSession(s0: SparkSession): SparkSession = {
+    // stopped-context eviction (ADVICE r18): weak keying only collects the
+    // entry once the embedding app drops the root reference — a stopped
+    // but still-referenced root would otherwise keep its child (and the
+    // child's Tables.load DataFrame cache) alive indefinitely.
+    if (s0.sparkContext.isStopped) bloomSessions.remove(s0)
     val s = bloomSessions.computeIfAbsent(s0, (root: SparkSession) => root.newSession())
     bloomChildRideAlong.foreach { k =>
       s0.conf.getOption(k).foreach(v => s.conf.set(k, v))

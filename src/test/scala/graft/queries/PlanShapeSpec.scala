@@ -72,10 +72,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val dd03 = physicalPlan("dd03_minhash_lsh_pairs")
     assert(dd03.contains("BroadcastHashJoin"),
       "dd03 lost the broadcast band join — the bounded slice is paying a shuffle")
+    // assert on the BAND-JOIN NODE, not whole-plan substrings (ADVICE r18:
+    // the old disjunction was vacuously true whenever any shuffle join
+    // appeared anywhere) — no BroadcastHashJoin may key on the band/key
+    // columns; an unrelated small broadcast elsewhere stays legal.
     val dd08 = physicalPlan("dd08_minhash_all")
-    assert(!dd08.contains("BroadcastHashJoin") || dd08.contains("SortMergeJoin") ||
-      dd08.contains("ShuffledHashJoin"),
-      "dd08's whole-corpus band join must stay a scale-honest shuffle join")
+    val bandBroadcast = """BroadcastHashJoin \[band#\d+""".r
+    assert(bandBroadcast.findFirstIn(dd08).isEmpty,
+      "dd08's whole-corpus band self-join became a broadcast — it must stay " +
+        "a scale-honest shuffle join (the band frame grows with the corpus)")
+    assert("""(SortMergeJoin|ShuffledHashJoin) \[band#\d+""".r.findFirstIn(dd08).nonEmpty,
+      "dd08 lost its shuffle band join entirely")
   }
 
   test("LSH band keys are computed per row (no explode/aggregate before the bucket join)") {
