@@ -212,6 +212,21 @@ object AgeFormat {
   private def fail(cause: String): Nothing =
     throw new AgeInvalidInputException(s"Decryption failed: $cause")
 
+  /** CANONICAL base64 decode (r19): the JDK decoder accepts non-zero
+    * discarded trailing bits ("AB" decodes like "AA"), which upstream age
+    * moved to strict base64 specifically to kill — on the header MAC line
+    * (the one header field NOT covered by the MAC itself) lenient decoding
+    * is real malleability: an attacker can flip trailing bits of the
+    * final MAC character and the file still authenticates. Found by this
+    * round's differential-fuzz lane design; applies to the MAC line and
+    * the final (short) stanza-body line, the only unpadded-tail fields. */
+  private def b64dCanonical(s: String): Array[Byte] = {
+    val bytes = b64d.decode(s) // throws IllegalArgumentException on bad chars
+    if (new String(b64e.encode(bytes), UTF_8) != s)
+      throw new IllegalArgumentException("non-canonical base64")
+    bytes
+  }
+
   /** Parsed header stanza: type args + binary body. */
   private final case class Stanza(args: Seq[String], body: Array[Byte])
 
@@ -242,22 +257,38 @@ object AgeFormat {
       val line = readLine()
       if (line.startsWith("-> ")) {
         headerThroughStanzas.append(line).append('\n')
-        val args = line.drop(3).split(' ').toSeq
+        // limit -1: Java's default split DROPS trailing empty tokens, so a
+        // trailing space would silently vanish instead of tripping the
+        // empty-arg check below (found by the differential-fuzz lane)
+        val args = line.drop(3).split(" ", -1).toSeq
+        // spec grammar: one or more non-empty arguments of printable ASCII
+        // (two adjacent spaces, a trailing space, or a control/high byte is
+        // a malformed header, not a skippable stanza — r19, aligned with
+        // the Python twin for the differential-fuzz lane)
+        if (args.exists(a => a.isEmpty || a.exists(c => c < '!' || c > '~')))
+          fail("malformed header")
         val body = new ByteArrayOutputStream()
         var bodyDone = false
         while (!bodyDone) {
           val bl = readLine()
           headerThroughStanzas.append(bl).append('\n')
-          body.write(try b64d.decode(bl) catch {
+          // full 64-char lines are bijective; the final short line must be
+          // CANONICAL (see b64dCanonical — trailing-bit malleability)
+          body.write(try {
+            if (bl.length < 64) b64dCanonical(bl) else b64d.decode(bl)
+          } catch {
             case _: IllegalArgumentException => fail("malformed stanza body")
           })
           if (bl.length < 64) bodyDone = true
         }
         stanzas += Stanza(args, body.toByteArray)
       } else if (line.startsWith("--- ")) {
-        mac = try b64d.decode(line.drop(4)) catch {
+        // strict: 32 canonical-base64 bytes — the MAC line is the one
+        // header field the MAC itself cannot protect (see b64dCanonical)
+        mac = try b64dCanonical(line.drop(4)) catch {
           case _: IllegalArgumentException => fail("malformed header MAC")
         }
+        if (mac.length != 32) fail("malformed header MAC")
         parsing = false
       } else fail("malformed header")
     }
@@ -306,6 +337,9 @@ object AgeFormat {
     val logN = try st.args(2).toInt catch {
       case _: NumberFormatException => fail("malformed scrypt work factor")
     }
+    // canonical decimal only (upstream age rule): "+10" / "010" / "00"
+    // must not alias a valid work factor (r19, differential-fuzz lane)
+    if (st.args(2) != logN.toString) fail("malformed scrypt work factor")
     if (logN < 1 || logN > MaxScryptLogN) fail("scrypt work factor too large")
     val key = Scrypt.derive(passphrase.getBytes(UTF_8),
       ScryptSaltLabel.getBytes(UTF_8) ++ salt, 1 << logN, 8, 1, 32)

@@ -38,6 +38,33 @@ b64e = lambda b: base64.b64encode(b).decode().rstrip("=")
 b64d = lambda s: base64.b64decode(s + "=" * (-len(s) % 4))
 
 
+def jb64d(s):
+    """Java-decoder-equivalent base64: INVALID CHARACTERS reject (the JDK
+    throws; python's default silently discards them), discarded trailing
+    bits tolerated, and — the fuzz-lane catch — padding is OPTIONAL but
+    when present must COMPLETE the final 4-char unit (the JDK rejects
+    "Aw="; naive re-padding would silently accept it). Header-field
+    decodes must ride this so the two independent implementations
+    classify mutated headers identically (r19 differential-fuzz)."""
+    import binascii
+    if "=" in s:
+        core = s.rstrip("=")
+        pad = len(s) - len(core)
+        if "=" in core or pad > 2 or (-len(core)) % 4 != pad:
+            raise binascii.Error("invalid padding")
+        s = core
+    return base64.b64decode(s + "=" * (-len(s) % 4), validate=True)
+
+
+def b64d_canonical(s):
+    """Strict-char AND canonical (re-encode == input): the header MAC line
+    and the final stanza-body line are the unpadded-tail fields where
+    trailing-bit malleability lives — mirrors AgeFormat.b64dCanonical."""
+    raw = jb64d(s)
+    assert b64e(raw) == s, "non-canonical base64"
+    return raw
+
+
 # ---- bech32 (BIP-173 reference algorithm, public domain spec) ----
 CHARSET = "qpzry9x8gf2tvdw0s3jn54khce6mua7l"
 
@@ -128,6 +155,10 @@ def stream_encrypt(file_key, plaintext):
 
 
 def stream_decrypt(file_key, payload):
+    # truncation + empty-final rules mirror AgeFormat.finishDecrypt (r19:
+    # the differential-fuzz lane needs both implementations to CLASSIFY
+    # malformed payloads identically, not just reject them)
+    assert len(payload) >= 16 + 16, "truncated payload"
     nonce, body = payload[:16], payload[16:]
     key = hkdf(file_key, nonce, b"payload")
     aead = ChaCha20Poly1305(key)
@@ -137,8 +168,16 @@ def stream_decrypt(file_key, payload):
     for i in range(n):
         ch = body[i * step:(i + 1) * step]
         last = i == n - 1
+        if last:
+            assert len(ch) >= 16, "truncated payload"
         cn = i.to_bytes(11, "big") + (b"\x01" if last else b"\x00")
-        out += aead.decrypt(cn, ch, None)
+        try:
+            pt = aead.decrypt(cn, ch, None)
+        except Exception:
+            raise AssertionError("payload chunk authentication failed")
+        if last and i > 0 and not pt:
+            raise AssertionError("empty final chunk in multi-chunk payload")
+        out += pt
     return bytes(out)
 
 
@@ -214,8 +253,14 @@ def parse_header(data):
     off, line = next_line()
     while not line.startswith(b"--- "):
         assert line.startswith(b"-> "), f"bad stanza line {line!r}"
-        args = line[3:].decode().split(" ")
-        assert all(args), f"empty stanza argument in {line!r}"
+        try:
+            args = line[3:].decode("ascii").split(" ")
+        except UnicodeDecodeError:
+            raise AssertionError(f"bad stanza line {line!r}")
+        # spec grammar: non-empty printable-ASCII arguments (mirrors
+        # AgeFormat's r19 check so mutated headers classify identically)
+        assert all(a and all("!" <= c <= "~" for c in a) for a in args), \
+            f"bad stanza line {line!r}"
         body = b""
         while True:
             _, bl = next_line()
@@ -224,43 +269,95 @@ def parse_header(data):
             body += bl
             if len(bl) < 64:
                 break  # spec: first short line (possibly empty) ends the body
-        stanzas.append((args, b64d(body.decode())))
+        # strict chars + canonical tail (full 64-char lines are bijective,
+        # so concat-canonicality == final-short-line canonicality)
+        try:
+            decoded = b64d_canonical(body.decode("ascii"))
+        except Exception:
+            raise AssertionError("malformed stanza body")
+        stanzas.append((args, decoded))
         off, line = next_line()
+    assert stanzas, "no recipient stanzas"
     mac_off, mac_line = off, line
     macged = data[:mac_off] + b"---"
-    return stanzas, mac_line[4:].decode(), macged, end
+    # the MAC line is the one header field the MAC itself cannot protect:
+    # 32 canonical-base64 bytes or reject (mirrors AgeFormat r19)
+    try:
+        mac_b64 = mac_line[4:].decode("ascii")
+        assert len(b64d_canonical(mac_b64)) == 32
+    except Exception:
+        raise AssertionError("malformed header MAC")
+    return stanzas, mac_b64, macged, end
+
+
+ARMOR_BEGIN = "-----BEGIN AGE ENCRYPTED FILE-----"
+ARMOR_END = "-----END AGE ENCRYPTED FILE-----"
+
+
+def _javatrim(s):
+    """java String.trim: strip chars <= U+0020 from both ends."""
+    i, j = 0, len(s)
+    while i < j and s[i] <= " ":
+        i += 1
+    while j > i and s[j - 1] <= " ":
+        j -= 1
+    return s[i:j]
+
+
+def is_armored(data):
+    """Byte-prefix check mirroring AgeFormat.isArmored: skip ' \\n\\r\\t',
+    then expect the BEGIN marker."""
+    i = 0
+    while i < len(data) and data[i:i + 1] in b" \n\r\t":
+        i += 1
+    return data[i:i + len(ARMOR_BEGIN)] == ARMOR_BEGIN.encode()
 
 
 def dearmor(data):
+    """STRICT armor, mirroring AgeFormat.dearmor line for line (r19: the
+    old lenient join-and-decode accepted what the Scala side rejects —
+    the differential-fuzz lane needs one shared reading): replacement-char
+    decode, java-trim, END via last index, per-line trim, 64-column body
+    rule, java-equivalent base64 (bad chars reject)."""
+    txt = _javatrim(data.decode("utf-8", errors="replace"))
+    assert txt.startswith(ARMOR_BEGIN), "not an armored age file"
+    end = txt.rfind(ARMOR_END)
+    assert end >= 0, "armored file missing END marker"
+    body = txt[len(ARMOR_BEGIN):end]
+    lines = [l2 for l2 in (_javatrim(l) for l in body.split("\n")) if l2]
+    assert all(len(l) == 64 for l in lines[:-1]) and \
+        (not lines or len(lines[-1]) <= 64), "malformed armor line length"
     try:
-        txt = data.decode().strip()
-    except UnicodeDecodeError:
-        return data  # binary (non-armored) ciphertext
-    if not txt.startswith("-----BEGIN AGE ENCRYPTED FILE-----"):
-        return data
-    body = "".join(l for l in txt.splitlines()
-                   if l and not l.startswith("-----"))
-    return base64.b64decode(body)
+        return jb64d("".join(lines))
+    except Exception:
+        raise AssertionError("malformed armor base64")
 
 
 def decrypt(data, identity=None, passphrase=None):
-    data = dearmor(data)
+    if is_armored(data):
+        data = dearmor(data)
     stanzas, mac_b64, macged, off = parse_header(data)
     # Upstream age rejects a scrypt stanza sharing a header with ANY other
     # stanza (it would let an attacker smuggle recipients past a passphrase
-    # audit), so the strict lane rejects it regardless of which key material
-    # the caller supplied.
-    if any(a[0] == "scrypt" for a, _ in stanzas):
+    # audit). Passphrase path only — mirroring AgeFormat, whose identity
+    # path never inspects scrypt stanzas (r19 alignment).
+    if passphrase is not None and any(a[0] == "scrypt" for a, _ in stanzas):
         assert len(stanzas) == 1, "scrypt stanza must be the only stanza"
     file_key = None
     for args, body in stanzas:
         if args[0] == "X25519" and identity is not None:
-            eph_pub = b64d(args[1])
-            priv = X25519PrivateKey.from_private_bytes(identity)
-            my_pub = priv.public_key().public_bytes_raw()
-            shared = priv.exchange(X25519PublicKey.from_public_bytes(eph_pub))
-            wrap_key = hkdf(shared, eph_pub + my_pub, X25519_INFO)
+            # skip-unusable-stanza semantics (x25519_bad_share_b64 pins
+            # this reading on BOTH sides): any malformed share — wrong arg
+            # count, undecodable/short base64, bad point — means "not my
+            # stanza", exactly like AgeFormat's per-stanza try/catch.
             try:
+                assert len(args) == 2
+                eph_pub = jb64d(args[1])
+                assert len(eph_pub) == 32 and len(body) == 32
+                priv = X25519PrivateKey.from_private_bytes(identity)
+                my_pub = priv.public_key().public_bytes_raw()
+                shared = priv.exchange(X25519PublicKey.from_public_bytes(eph_pub))
+                wrap_key = hkdf(shared, eph_pub + my_pub, X25519_INFO)
                 file_key = ChaCha20Poly1305(wrap_key).decrypt(b"\x00" * 12, body, None)
                 break
             except Exception:
@@ -274,10 +371,17 @@ def decrypt(data, identity=None, passphrase=None):
                 "non-canonical scrypt work factor"
             log_n = int(args[2])
             assert 0 < log_n <= 20, f"scrypt work factor {log_n} out of range"
-            salt = b64d(args[1])
+            try:
+                salt = jb64d(args[1])
+            except Exception:
+                raise AssertionError("malformed scrypt salt")
+            assert len(salt) == 16, "malformed scrypt salt"
             key = Scrypt(salt=SCRYPT_LABEL + salt, length=32, n=1 << log_n,
                          r=8, p=1).derive(passphrase.encode())
-            file_key = ChaCha20Poly1305(key).decrypt(b"\x00" * 12, body, None)
+            try:
+                file_key = ChaCha20Poly1305(key).decrypt(b"\x00" * 12, body, None)
+            except Exception:
+                raise AssertionError("incorrect passphrase")
             break
     assert file_key is not None, "no stanza matched the provided key material"
     mac = hmac_sha256(hkdf(file_key, b"", b"header"), macged)

@@ -157,8 +157,44 @@ hfail("bad_mac", bytes(flip), "header MAC mismatch",
       "one flipped base64 char in the MAC line")
 short_mac = (base[:mac_at] + age.b64e(_det_bytes(16)).encode() +
              base[header_end(base) - 1:])
-hfail("mac_wrong_length", short_mac, "header MAC mismatch",
-      "16-byte MAC: constant-time compare must fail, not crash")
+hfail("mac_wrong_length", short_mac, "malformed header MAC",
+      "16-byte MAC must be rejected at parse (32 canonical bytes required)")
+
+# --- unpadded-tail canonicality (r19, differential-fuzz lane) -------------
+# The MAC line is the ONE header field the MAC itself cannot protect:
+# lenient decoders (JDK default, python validate=False) accept non-zero
+# discarded trailing bits, so flipping them yields a DIFFERENT base64
+# string that still authenticates — header malleability upstream age
+# killed by moving to strict base64. 32 bytes -> 43 chars -> 2 discarded
+# low bits in the final char; flip one and require rejection.
+B64CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+def flip_trailing_bit(line_b64):
+    last = line_b64[-1:].decode()
+    return line_b64[:-1] + B64CHARS[B64CHARS.index(last) ^ 1].encode()
+
+_mlines = base.split(b"\n")
+_mi = next(i for i, l in enumerate(_mlines) if l.startswith(b"--- "))
+_mlines[_mi] = b"--- " + flip_trailing_bit(_mlines[_mi][4:])
+hfail("mac_noncanonical_b64", b"\n".join(_mlines), "malformed header MAC",
+      "non-zero discarded trailing bits in the MAC base64: same 32 bytes, "
+      "different string — must be rejected, the MAC line is not MACed")
+
+_clines = base.split(b"\n")  # line 2 = 43-char wrapped-key body (short line)
+_clines[2] = flip_trailing_bit(_clines[2])
+hfail("stanza_body_noncanonical", b"\n".join(_clines),
+      "malformed stanza body",
+      "non-canonical trailing bits in the final stanza-body line")
+
+_alines2 = base.split(b"\n")
+_alines2[1] = _alines2[1][:12] + b"\xc3" + _alines2[1][13:]
+hfail("stanza_nonascii_arg", b"\n".join(_alines2), "malformed header",
+      "high byte inside a stanza argument: header grammar is printable ASCII")
+
+hfail("scrypt_workfactor_leading_zero",
+      scry.replace(b" 10\n", b" 010\n", 1),
+      "malformed scrypt work factor",
+      "leading-zero work factor must not alias 10 (canonical decimal rule)",
+      passphrase=PASS)
 # corrupt the stanza BODY line (line 2 of `base`): illegal base64 char
 _blines = base.split(b"\n")
 _blines[2] = b"!" + _blines[2][1:]
