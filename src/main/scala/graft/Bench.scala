@@ -183,7 +183,18 @@ object Bench {
 
     val stealPart = {
       val s1 = stealJiffies()
-      if (steal0 >= 0 && s1 >= 0) s""","steal_jiffies":${s1 - steal0}""" else ""
+      if (steal0 >= 0 && s1 >= 0) {
+        // self-grading noise context (VERDICT r18 #3): a sitting whose
+        // hypervisor steal exceeds the threshold is tagged NOT QUIET in
+        // the artifact itself, so a storm reading can never be mistaken
+        // for a capability number in later rounds' narratives (the
+        // r17/r18 reconciliation cost two rounds). Threshold overridable
+        // via SPARK_GRAFT_STEAL_MAX; 300 jiffies/sitting is ~4x the
+        // measured quiet-window level and ~5x below storm readings.
+        val delta = s1 - steal0
+        val max = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "300").toLong
+        s""","steal_jiffies":$delta,"quiet":${delta <= max}"""
+      } else ""
     }
     val line =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qjson,"sf":"$sfDir"$sf1Part$stealPart}"""

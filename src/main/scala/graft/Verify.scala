@@ -39,7 +39,12 @@ object Verify {
     "sim03_ann_ivf", "sim04_ann_ivf_kmeans", "sim05_quantize_int8",
     "sim06_semantic_dedup", "sim07_topk_operator", "tx03_langid",
     "tx04_fingerprint", "tx06_top_ngrams", "tx07_hash_sample",
-    "tx15_pack_bins", "graph03_components")
+    "tx15_pack_bins", "graph03_components",
+    // r19: the edge-scale graph rows the sf10 sweep runs — a ~1e9-row
+    // join/agg pays minutes for codegen at sf10 vs ~0.1s janino tax at
+    // the sf0.01 gate (graph02_cert 1351s / graph08 1855s interpreted)
+    "graph02_copurchase_cert", "graph08_neighbor_jaccard",
+    "graph13_triangles_df")
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)

@@ -49,8 +49,10 @@ object GraphQueries {
         GROUP BY 1, 2)
       SELECT src % 512 AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n_edges,
-             SUM(w) AS sum_w, SUM(src) AS sum_src, SUM(dst) AS sum_dst,
-             SUM((src * 131071 + dst * 31 + w) % 1000000007) AS fp
+             CAST(SUM(w) AS BIGINT) AS sum_w,
+             CAST(SUM(src) AS BIGINT) AS sum_src,
+             CAST(SUM(dst) AS BIGINT) AS sum_dst,
+             CAST(SUM((src * 131071 + dst * 31 + w) % 1000000007) AS BIGINT) AS fp
       FROM pairs GROUP BY 1 ORDER BY bucket""")),
 
     // the SAME projection cell-for-cell — the strongest possible gate,
