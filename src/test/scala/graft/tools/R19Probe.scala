@@ -101,7 +101,37 @@ object R19Probe {
               sum(col("l_extendedprice")).as("se"),
               sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sd"),
               count(lit(1)).as("n"))),
-          "e_full" -> (() => qs("q01_agg_pricing")(spark, d))))
+          // string group keys disable Spark's vectorized fast hash map
+          // (fixed-width keys only); both columns are single ASCII chars,
+          // so group on the codes and reconstruct
+          "d2_group_ascii" -> (() => used
+            .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+            .groupBy(ascii(col("l_returnflag")).as("rf"),
+              ascii(col("l_linestatus")).as("ls"))
+            .agg(sum(col("l_quantity")).as("sq"),
+              sum(col("l_extendedprice")).as("se"),
+              sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sd"),
+              count(lit(1)).as("n"))),
+          "e_full" -> (() => qs("q01_agg_pricing")(spark, d)),
+          "e2_full_ascii" -> (() => {
+            def cents(c: org.apache.spark.sql.Column) =
+              floor(c * 100).cast("long")
+            used.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+              .groupBy(ascii(col("l_returnflag")).as("rf"),
+                ascii(col("l_linestatus")).as("ls"))
+              .agg(sum(cents(col("l_quantity"))).as("sum_qty_cents"),
+                sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+                sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+                  .as("sum_disc_cents"),
+                count(lit(1)).as("count_order"))
+              .select(char(col("rf")).as("l_returnflag"),
+                char(col("ls")).as("l_linestatus"),
+                col("sum_qty_cents"), col("sum_base_cents"),
+                col("sum_disc_cents"), col("count_order"))
+              .withColumn("avg_qty_cents",
+                floor(col("sum_qty_cents").cast("double") / col("count_order")).cast("long"))
+              .orderBy("l_returnflag", "l_linestatus")
+          })))
 
       case "mm13" =>
         def ids = Tables.load(spark, d, "documents")
@@ -116,7 +146,7 @@ object R19Probe {
           "a_dispatch" -> (() => Tables.load(spark, d, "nation")
             .select(count(lit(1)).as("n"))),
           "b_id_scan" -> (() => ids.toDF()
-            .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))),
+            .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("s"))),
           "c_synth" -> (() => synth.map(r => r.payload.length.toLong).toDF()
             .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))),
           "d_parse" -> (() => graft.ops.Multimodal.parseMp4Batch(synth).toDF()
