@@ -487,7 +487,72 @@ object GraphQueries {
       SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
       FROM pairs p1
       JOIN pairs p2 ON p2.src = p1.src AND p2.dst > p1.dst
-      JOIN pairs p3 ON p3.src = p1.dst AND p3.dst = p2.dst"""))
+      JOIN pairs p3 ON p3.src = p1.dst AND p3.dst = p2.dst""")),
+
+    // ---- graph14: PageRank's sf10 tier (r19) — graph06 is named-excluded
+    // at sf10 because DUCKDB re-inlines its 3-iteration CTE chain over the
+    // co-purchase projection (>77 GB spill), leaving PageRank the one
+    // graph kernel with no scale-gated tier. Same REAL distributed
+    // iteration as graph06 — edges ⨝ ranks on src, groupBy dst, exact
+    // integer fixed-point, 3 rounds, localCheckpointed edge relation —
+    // but on the deterministic RING over the customer keys (v → its
+    // successor in key order, wrap-around; symmetrized = 2-regular).
+    // On a k-regular graph the UNIFORM rank vector is invariant under
+    // the PR update, so every iteration's value is a SCALAR recurrence
+    //   p' = tp + (85 * (k * (p div k))) div 100,   p0 = base div n
+    // and the oracle is pure arithmetic (no recursion, no graph replay)
+    // valid at every sf — the graph10/graph12 closed-form-gate pattern
+    // applied to an iterative kernel. The gate certifies the ITERATION
+    // MACHINERY (per-round exchange, join shape, integer div semantics)
+    // at full vertex scale; skew coverage lives with graph10/graph11.
+    QueryDef("graph14_pagerank_ring", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = 1000000000000L
+      val verts = Tables.load(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("v")).distinct()
+      // ring edges: v -> successor in key order, wrap-around via the
+      // window's null tail coalesced to the minimum key
+      // global-order successor: a single-partition window over the
+      // VERTEX relation (longs — ~12 MB at sf10, paid once under the
+      // localCheckpoint). At a vertex scale where one partition stops
+      // being acceptable, the successor becomes tx29's two-level rank
+      // (bucketed window + broadcast bucket offsets); the gate's point
+      // is the PR iteration downstream, which is fully distributed.
+      val w = Window.orderBy("v")
+      val succ = verts.select(col("v"),
+          lead(col("v"), 1).over(w).as("nxt"))
+        .localCheckpoint()
+      val minV = succ.agg(min(col("v"))).first().getLong(0)
+      val ring = succ.select(col("v").as("src"),
+        coalesce(col("nxt"), lit(minV)).as("dst"))
+      val edges = ring.union(ring.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .localCheckpoint()
+      val nodes = edges.select(col("src").as("node")).distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val n = nodes.count()
+      val init = base / n
+      val teleport = 15L * init / 100L
+      var ranks = nodes.select(col("node"), lit(init).as("pr"))
+      for (_ <- 1 to 3) { // graph06's exact iteration body
+        ranks = edges.join(ranks, col("src") === col("node"))
+          .join(outdeg, "src")
+          .select(col("dst"), expr("pr div deg").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).as("inflow"))
+          .select(col("node"),
+            (lit(teleport) + expr("(85 * inflow) div 100")).as("pr"))
+      }
+      // 2-regular + uniform init ⇒ rank stays uniform: certify as one row
+      ranks.groupBy("pr").agg(count(lit(1)).as("n_nodes")).orderBy("pr")
+    }, Some("""
+      WITH n AS (SELECT COUNT(DISTINCT c_custkey) AS n FROM customer),
+      p0 AS (SELECT n, 1000000000000 // n AS p,
+                    (15 * (1000000000000 // n)) // 100 AS tp FROM n),
+      p1 AS (SELECT n, tp, tp + (85 * (2 * (p // 2))) // 100 AS p FROM p0),
+      p2 AS (SELECT n, tp, tp + (85 * (2 * (p // 2))) // 100 AS p FROM p1),
+      p3 AS (SELECT n, tp, tp + (85 * (2 * (p // 2))) // 100 AS p FROM p2)
+      SELECT CAST(p AS BIGINT) AS pr, CAST(n AS BIGINT) AS n_nodes FROM p3"""))
   )
 
   /** The deterministic power-law gate graph shared by graph10/graph11:
