@@ -192,7 +192,11 @@ object Bench {
         // via SPARK_GRAFT_STEAL_MAX; 300 jiffies/sitting is ~4x the
         // measured quiet-window level and ~5x below storm readings.
         val delta = s1 - steal0
-        val max = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "300").toLong
+        // guarded parse (r19 code review): a malformed override must not
+        // throw at summary time and lose a multi-hour sitting's artifact
+        val max = sys.env.get("SPARK_GRAFT_STEAL_MAX")
+          .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+          .getOrElse(300L)
         s""","steal_jiffies":$delta,"quiet":${delta <= max}"""
       } else ""
     }

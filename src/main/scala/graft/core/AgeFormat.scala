@@ -272,6 +272,12 @@ object AgeFormat {
         while (!bodyDone) {
           val bl = readLine()
           headerThroughStanzas.append(bl).append('\n')
+          // spec wrapping: EXACTLY 64 columns until the first strictly
+          // shorter line — an over-long line is malformed framing (r19
+          // code review: the missing upper bound silently re-admitted
+          // both spec-invalid wrapping and non-canonical trailing bits,
+          // since only exactly-64-char lines are bijective)
+          if (bl.length > 64) fail("malformed stanza body")
           // full 64-char lines are bijective; the final short line must be
           // CANONICAL (see b64dCanonical — trailing-bit malleability)
           body.write(try {
@@ -293,6 +299,14 @@ object AgeFormat {
       } else fail("malformed header")
     }
     if (stanzas.isEmpty) fail("no recipient stanzas")
+    // UNCONDITIONAL header-validity rule (upstream age scrypt.go; r19
+    // code review caught that gating it on the passphrase path let an
+    // identity-path decrypt accept headers upstream rejects — an scrypt
+    // stanza sharing a header with ANY other stanza can smuggle
+    // recipients past a passphrase audit)
+    if (stanzas.length > 1 &&
+        stanzas.exists(_.args.headOption.contains("scrypt")))
+      fail("scrypt stanza must be the only stanza")
     Header(stanzas.toSeq, headerThroughStanzas.toString, mac, pos)
   }
 

@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object FrontierBfs {
 
-  /** @param maxDepth iteration backstop, NOT a radius parameter: if the
-    *   walk still has a live frontier when the cap is hit, vertices beyond
-    *   it would be silently indistinguishable from unreachable ones, so
-    *   depths() THROWS instead of returning a truncated labeling (ADVICE
-    *   r18). Size it above the graph's diameter from `source`; callers
-    *   that genuinely want bounded-radius layers should filter the result
+  /** @param maxDepth iteration backstop, NOT a radius parameter: if a
+    *   NON-EMPTY layer beyond `maxDepth` exists, those vertices would be
+    *   silently indistinguishable from unreachable ones, so depths()
+    *   THROWS instead of returning a truncated labeling (ADVICE r18).
+    *   A labeling whose deepest layer is exactly `maxDepth` is complete
+    *   and returns normally (r19 code review: the first backstop threw
+    *   spuriously when eccentricity == maxDepth — the check now fires
+    *   only after the NEXT layer is computed and found non-empty).
+    *   Callers that want bounded-radius layers should filter the result
     *   of a large-enough cap (graph07's Pregel tier has the radius form).
     */
   def depths(edges: DataFrame, source: Long, maxDepth: Int = 50): DataFrame = {
@@ -46,7 +49,7 @@ object FrontierBfs {
     var frontier = depths.select(col("v"))
     var d = 0
     var frontierSize = 1L
-    while (frontierSize > 0 && d < maxDepth) {
+    while (frontierSize > 0) {
       d += 1
       val next = sym.join(frontier, sym("src") === frontier("v"))
         .select(sym("dst").as("v")).distinct()
@@ -56,16 +59,20 @@ object FrontierBfs {
         .localCheckpoint() // truncate per-round lineage (StarCC/tx31)
       frontierSize = next.count() // 1-row termination certificate
       if (frontierSize > 0) {
+        // truncation check AFTER the layer is known non-empty: a walk
+        // whose deepest layer is exactly maxDepth drains to an empty
+        // next-frontier and exits normally above
+        require(d <= maxDepth,
+          s"FrontierBfs found a non-empty layer at depth $d > maxDepth=" +
+            s"$maxDepth ($frontierSize vertices) — the labeling would be " +
+            "truncated; raise maxDepth above the graph's eccentricity " +
+            "from the source")
         // superseded unions: checkpointed frames release on GC like
         // StarCC's rounds; peak live state is ~2 copies of (v, depth)
         depths = depths.union(next).localCheckpoint()
         frontier = next.select(col("v"))
       }
     }
-    require(frontierSize == 0,
-      s"FrontierBfs hit maxDepth=$maxDepth with a live frontier of " +
-        s"$frontierSize vertices — the labeling would be truncated, not " +
-        "complete; raise maxDepth above the graph's diameter from the source")
     depths
   }
 }

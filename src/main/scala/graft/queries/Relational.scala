@@ -58,9 +58,14 @@ object Relational {
     // stopped-context eviction (ADVICE r18): weak keying only collects the
     // entry once the embedding app drops the root reference — a stopped
     // but still-referenced root would otherwise keep its child (and the
-    // child's Tables.load DataFrame cache) alive indefinitely.
-    if (s0.sparkContext.isStopped) bloomSessions.remove(s0)
-    val s = bloomSessions.computeIfAbsent(s0, (root: SparkSession) => root.newSession())
+    // child's Tables.load DataFrame cache) alive indefinitely. A stopped
+    // root's child is NOT re-memoized (r19 code review: remove followed
+    // by computeIfAbsent put the dead entry straight back) — the
+    // transient child preserves the caller-visible behavior (the query
+    // fails at action on the stopped context) without pinning anything.
+    val s =
+      if (s0.sparkContext.isStopped) { bloomSessions.remove(s0); s0.newSession() }
+      else bloomSessions.computeIfAbsent(s0, (root: SparkSession) => root.newSession())
     bloomChildRideAlong.foreach { k =>
       s0.conf.getOption(k).foreach(v => s.conf.set(k, v))
     }

@@ -70,6 +70,8 @@ class DifferentialFuzzSpec extends AnyFunSuite {
     val kv = new String(raw, 0, sep, "UTF-8").split('\n').map { l =>
       val Array(k, v) = l.split(": ", 2); k -> v
     }.toMap
+    require(kv.contains("identity") || kv.contains("passphrase"),
+      s"$name: vector carries no key material")
     Vec(java.util.Arrays.copyOfRange(raw, sep + 2, raw.length),
       kv.get("identity").map(id => AgeKeys.parseIdentity(id)
         .fold(e => fail(s"bad identity: $e"), identity)),
@@ -78,17 +80,19 @@ class DifferentialFuzzSpec extends AnyFunSuite {
 
   private def classify(v: Vec, mutant: Array[Byte]): String =
     try {
+      // key-material presence is validated in loadVec; this match is total
       val pt = (v.identity, v.passphrase) match {
         case (Some(id), _) => AgeFormat.decrypt(mutant, id)
-        case (_, Some(pw)) => AgeFormat.decryptWithPassphrase(mutant, pw)
-        case _ => fail("vector carries no key material")
+        case (_, pw) => AgeFormat.decryptWithPassphrase(mutant, pw.get)
       }
       if (v.wantSha.exists(_ != sha256hex(pt))) "accept_other" else "accept"
     } catch {
       case e: AgeInvalidInputException =>
         val cause = e.getMessage.stripPrefix("Decryption failed: ")
         msgClass.getOrElse(cause, s"unmapped:$cause")
-      case e: Throwable => s"crash:${e.getClass.getSimpleName}"
+      // NonFatal only (r19 code review): an OOM/StackOverflow mid-run must
+      // abort the suite, not be recorded as a per-mutant classification
+      case scala.util.control.NonFatal(e) => s"crash:${e.getClass.getSimpleName}"
     }
 
   test("every python-classified mutant classifies identically in Scala (~62k)") {

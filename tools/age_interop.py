@@ -278,6 +278,10 @@ def parse_header(data):
         stanzas.append((args, decoded))
         off, line = next_line()
     assert stanzas, "no recipient stanzas"
+    # unconditional header-validity rule (upstream age; mirrors AgeFormat
+    # parseHeader r19): scrypt must not share a header with ANY stanza
+    if len(stanzas) > 1 and any(a[0] == "scrypt" for a, _ in stanzas):
+        raise AssertionError("scrypt stanza must be the only stanza")
     mac_off, mac_line = off, line
     macged = data[:mac_off] + b"---"
     # the MAC line is the one header field the MAC itself cannot protect:
@@ -337,12 +341,8 @@ def decrypt(data, identity=None, passphrase=None):
     if is_armored(data):
         data = dearmor(data)
     stanzas, mac_b64, macged, off = parse_header(data)
-    # Upstream age rejects a scrypt stanza sharing a header with ANY other
-    # stanza (it would let an attacker smuggle recipients past a passphrase
-    # audit). Passphrase path only — mirroring AgeFormat, whose identity
-    # path never inspects scrypt stanzas (r19 alignment).
-    if passphrase is not None and any(a[0] == "scrypt" for a, _ in stanzas):
-        assert len(stanzas) == 1, "scrypt stanza must be the only stanza"
+    # (the scrypt-must-be-sole rule is enforced unconditionally in
+    # parse_header, mirroring AgeFormat — r19 code review)
     file_key = None
     for args, body in stanzas:
         if args[0] == "X25519" and identity is not None:

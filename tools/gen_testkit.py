@@ -195,6 +195,31 @@ hfail("scrypt_workfactor_leading_zero",
       "malformed scrypt work factor",
       "leading-zero work factor must not alias 10 (canonical decimal rule)",
       passphrase=PASS)
+
+# --- r19 code-review rules ------------------------------------------------
+# over-long body line: rewrap base's grease-free 43-char wrapped-key body
+# as a single 66-char line by splicing a second stanza's... simpler: build
+# a synthetic stanza whose body is 66 chars on one line (spec: EXACTLY 64
+# until the first short line — 66 is malformed framing, not a long body)
+_ol = base.split(b"\n")
+_ol.insert(1, b"-> overlong")
+_ol.insert(2, age.b64e(_det_bytes(48)).encode() + b"AB")  # 64+2 = 66 chars
+hfail("stanza_body_overlong_line", b"\n".join(_ol),
+      "malformed stanza body",
+      "66-char body line: wrapping is exactly 64 columns until the first "
+      "short line; an over-long line is malformed framing")
+
+# scrypt stanza sharing a header with an X25519 stanza must be rejected
+# UNCONDITIONALLY (parse-level rule) — here decrypted with an IDENTITY,
+# pinning that the rule does not depend on which key material is supplied
+sc2_lines = scry.split(b"\n", 1)
+x_stanza2 = (b"-> X25519 " + age.b64e(_det_bytes(32)).encode() + b"\n" +
+             age.b64e(_det_bytes(32)).encode() + b"\n")
+hfail("scrypt_not_sole_identity_path",
+      sc2_lines[0] + b"\n" + x_stanza2 + sc2_lines[1],
+      "scrypt stanza must be the only stanza",
+      "sole-scrypt is a header-validity rule, enforced on the identity "
+      "path too (r19)", identity=ID1)
 # corrupt the stanza BODY line (line 2 of `base`): illegal base64 char
 _blines = base.split(b"\n")
 _blines[2] = b"!" + _blines[2][1:]
