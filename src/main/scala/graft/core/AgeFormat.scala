@@ -278,6 +278,14 @@ object AgeFormat {
           // both spec-invalid wrapping and non-canonical trailing bits,
           // since only exactly-64-char lines are bijective)
           if (bl.length > 64) fail("malformed stanza body")
+          // '=' padding is never part of a stanza body: the spec's wrapped
+          // base64 is unpadded, and the JDK's lenient decoder would accept
+          // terminal '='/'==' INSIDE a full 64-char line (decoding it to
+          // 47 bytes and continuing the body loop) where upstream age and
+          // the Python twin's canonical concatenated-body decode both
+          // reject — so "full 64-char lines are bijective" only holds
+          // padding-free (ADVICE r19)
+          if (bl.contains('=')) fail("malformed stanza body")
           // full 64-char lines are bijective; the final short line must be
           // CANONICAL (see b64dCanonical — trailing-bit malleability)
           body.write(try {

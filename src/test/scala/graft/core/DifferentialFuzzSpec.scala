@@ -118,8 +118,18 @@ class DifferentialFuzzSpec extends AnyFunSuite {
         } else {
           val Array(name, posS, bitS, want) = line.split('\t')
           assert(name == vecName, "manifest ordering broken")
-          val mutant = vec.body.clone()
-          mutant(posS.toInt) = (mutant(posS.toInt) ^ (1 << bitS.toInt)).toByte
+          // v2 rows (payload framing, VERDICT r19 #5): `trunc L` cuts the
+          // body to L bytes, `ext n` appends n 0x00 bytes — length mutants
+          // bit flips cannot express, covering truncation-at-chunk-boundary,
+          // final-flag and trailing-garbage rules. Default row: bit flip.
+          val mutant = posS match {
+            case "trunc" => vec.body.take(bitS.toInt)
+            case "ext" => vec.body ++ new Array[Byte](bitS.toInt)
+            case _ =>
+              val m = vec.body.clone()
+              m(posS.toInt) = (m(posS.toInt) ^ (1 << bitS.toInt)).toByte
+              m
+          }
           val got = classify(vec, mutant)
           if (got != want)
             mismatches += s"$name pos=$posS bit=$bitS python=$want scala=$got"

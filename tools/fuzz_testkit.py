@@ -84,18 +84,38 @@ def vector(path):
     return kv, body
 
 
+def payload_boundaries(body, off):
+    """Chunk-boundary offsets inside the STREAM payload: the payload is a
+    16-byte nonce prefix then chunks of (<=64 KiB ciphertext + 16 tag).
+    Returns the absolute positions where chunk k ends / chunk k+1 begins."""
+    plen = len(body) - off - 16
+    full = age.CHUNK + 16
+    bounds = []
+    k = 1
+    while k * full < plen:  # strict: a boundary needs bytes after it
+        bounds.append(off + 16 + k * full)
+        k += 1
+    return bounds
+
+
 def regions(kv, body):
-    """Byte ranges to mutate: full armor block for armored vectors; else
-    the header, plus nonce-head and final-tag-tail for success vectors."""
+    """Byte ranges to bit-flip: full armor block for armored vectors; else
+    the header, plus — for any vector carrying payload bytes (v2, VERDICT
+    r19 #5) — the full 16-byte nonce prefix, a ±18-byte window around
+    every chunk boundary (where a chunking off-by-one would hide), and the
+    final-tag tail."""
     if age.is_armored(body):
         return [(0, len(body))]  # armor blocks are small by construction
     try:
         _, _, _, off = age.parse_header(body)
     except Exception:
         off = min(len(body), 256)  # intentionally-broken headers
+        return [(0, min(off, len(body)))]
     spans = [(0, min(off, len(body)))]
-    if kv.get("expect") == "success" and len(body) > off:
-        spans.append((off, min(off + 8, len(body))))          # nonce head
+    if len(body) > off:
+        spans.append((off, min(off + 16, len(body))))         # nonce prefix
+        for b in payload_boundaries(body, off):               # chunk seams
+            spans.append((max(off, b - 18), min(b + 18, len(body))))
         spans.append((max(off, len(body) - 16), len(body)))   # final tag
     # merge overlaps so no position is emitted twice
     spans.sort()
@@ -106,6 +126,29 @@ def regions(kv, body):
         else:
             merged.append((s, e))
     return merged
+
+
+def framing_mutants(body, off):
+    """v2 LENGTH mutants — bit flips cannot cover truncation/extension,
+    which is exactly where final-flag and empty-final-chunk rules live.
+    Truncations: a {1,16,17}-byte halo around the payload-data start,
+    every chunk boundary, and EOF (clamped to the payload region — header
+    truncation already has its own vector plus the whole-header flip
+    lane). Extensions: {1,16,17} appended 0x00 bytes (trailing bytes
+    after the final-flagged chunk must be rejected, not ignored)."""
+    ops = []
+    if len(body) <= off:
+        return ops
+    anchors = [off + 16] + payload_boundaries(body, off) + [len(body)]
+    lens = set()
+    for a in anchors:
+        for d in (-17, -16, -1, 0, 1, 16, 17):
+            length = a + d
+            if off <= length < len(body):
+                lens.add(length)
+    ops += [("trunc", length) for length in sorted(lens)]
+    ops += [("ext", n) for n in (1, 16, 17)]
+    return ops
 
 
 def main():
@@ -134,6 +177,22 @@ def main():
                             crash.append((f, pos, bit, cls))
                         if cls.startswith("accept"):
                             accept += 1
+            # v2: payload-framing length mutants (trunc/ext rows)
+            if not age.is_armored(body):
+                try:
+                    _, _, _, off = age.parse_header(body)
+                except Exception:
+                    off = len(body)
+                for op, arg in framing_mutants(body, off):
+                    m = body[:arg] if op == "trunc" else body + b"\x00" * arg
+                    cls = classify(m, identity=ident, passphrase=pw,
+                                   want_sha=kv.get("payload"))
+                    out.write(f"{f}\t{op}\t{arg}\t{cls}\n")
+                    n += 1
+                    if cls.startswith("crash:"):
+                        crash.append((f, op, arg, cls))
+                    if cls.startswith("accept"):
+                        accept += 1
             print(f"[fuzz] {f}: done ({n} total)", flush=True)
     print(f"[fuzz] {n} mutants, {accept} accepted, {len(crash)} crashes")
     if crash:

@@ -43,6 +43,17 @@ def _det_bytes(n):
     return out[:n]
 age.secrets.token_bytes = _det_bytes
 
+# X25519PrivateKey.generate() draws from OpenSSL's RNG, NOT token_bytes —
+# the one hole in the determinism story (r20: the pre-r20 committed suite
+# was NOT reproducible from this script because of it; ephemeral keys now
+# ride the same DRBG, so `expect`-identical re-runs are byte-identical).
+_RealX25519 = age.X25519PrivateKey
+class _DetX25519:
+    generate = staticmethod(
+        lambda: _RealX25519.from_private_bytes(_det_bytes(32)))
+    from_private_bytes = _RealX25519.from_private_bytes
+age.X25519PrivateKey = _DetX25519
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 GOLDEN = os.path.join(REPO, "src/test/resources/golden")
 OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
@@ -208,6 +219,25 @@ hfail("stanza_body_overlong_line", b"\n".join(_ol),
       "malformed stanza body",
       "66-char body line: wrapping is exactly 64 columns until the first "
       "short line; an over-long line is malformed framing")
+
+# padded 64-char body line: 47 bytes base64-encode to 63 chars, +1 '=' of
+# padding = exactly 64 columns ending in '='. The JDK's LENIENT decoder
+# accepts terminal padding inside such a line (47 bytes, body loop
+# continues) where upstream age's unpadded-wrapping rule and the twin's
+# canonical concatenated-body decode both reject — the class divergence
+# ADVICE r19 flagged (no committed 64-char body line happened to end one
+# bit-flip from '='). Empty terminator follows so the Python-side failure
+# is the canonical check, not line framing.
+_pl = base.split(b"\n")
+import base64 as _b64
+_pl.insert(1, b"-> padded")
+_pl.insert(2, _b64.b64encode(_det_bytes(47)))  # 63 chars + '=' = 64 cols
+_pl.insert(3, b"")
+assert len(_pl[2]) == 64 and _pl[2].endswith(b"=")
+hfail("stanza_body_padded_64col", b"\n".join(_pl),
+      "malformed stanza body",
+      "64-col body line with terminal '=' padding: spec wrapping is "
+      "unpadded base64; padded lines are malformed, not bijective")
 
 # scrypt stanza sharing a header with an X25519 stanza must be rejected
 # UNCONDITIONALLY (parse-level rule) — here decrypted with an IDENTITY,
