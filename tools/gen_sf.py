@@ -21,7 +21,16 @@ DAY_US = 86_400_000_000
 
 
 def write(name, table):
-    pq.write_table(table, f"{outdir}/{name}.parquet")
+    # Row-group sizing (r21, spark_optimization_guide §6): pyarrow's default
+    # (1 Mi rows / one giant group for small tables) makes every scan
+    # unsplittable — Spark's parquet reader cannot split below a row group,
+    # so a 50k-doc sf1 documents table ran as ONE task on a 32-core box
+    # (measured: dd27's 15-task scan stage had one 1.65 s straggler task).
+    # Cap groups at n_rows/256 (≥1024 rows) so any table exposes up to ~256
+    # independently readable groups at every sf, while groups never shrink
+    # below 1024 rows (metadata overhead). Values are unchanged — layout only.
+    rg = max(1024, table.num_rows // 256)
+    pq.write_table(table, f"{outdir}/{name}.parquet", row_group_size=rg)
     print(name, table.num_rows)
 
 
