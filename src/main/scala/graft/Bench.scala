@@ -211,6 +211,14 @@ object Bench {
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // r21 (VERDICT r20 #4): a storm sitting must not be the only artifact
+      // a round leaves behind. The primary file stays exactly what this
+      // sitting measured (never silently stale), but a quiet sitting ALSO
+      // lands at <out>.quiet.json, so round tooling can prefer the last
+      // quiet reading when the final sitting was storm-graded.
+      if (line.contains("\"quiet\":true"))
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath + ".quiet.json"),
+          (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }

@@ -79,8 +79,11 @@ object Relational {
     s
   }
 
-  private def shuffleHashIfBig(s: SparkSession, d: String, n: String): DataFrame = {
-    val df = t(s, d, n)
+  /** True when table `n`'s on-disk size exceeds the session's broadcast
+    * threshold — the size test behind [[shuffleHashIfBig]], exposed so a
+    * pre-joined subtree can re-apply the hint (hints do not propagate up
+    * through added joins). */
+  private def bigTable(s: SparkSession, d: String, n: String): Boolean = {
     val thr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       .map {
         case "-1" => 0L // broadcast disabled: every fact table is "big"
@@ -90,7 +93,11 @@ object Relational {
     def sz(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles).map(_.map(sz).sum).getOrElse(0L)
       else f.length
-    if (sz(new java.io.File(s"$d/$n.parquet")) > thr) df.hint("shuffle_hash") else df
+    sz(new java.io.File(s"$d/$n.parquet")) > thr
+  }
+  private def shuffleHashIfBig(s: SparkSession, d: String, n: String): DataFrame = {
+    val df = t(s, d, n)
+    if (bigTable(s, d, n)) df.hint("shuffle_hash") else df
   }
 
   /** One-time lang-partitioned documents layout shared by q53/q63 — built
@@ -160,7 +167,18 @@ object Relational {
     // fact-fact shuffle on orderkey that survives 100 TB.
     QueryDef("q03_join_topn", (s, d) => {
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      // r21: SHUFFLE_HASH on the orders side of the orderkey join. The
+      // planner broadcast-joined orders wherever its estimate fit (sf<=1),
+      // but orders scales WITH the corpus — collecting a fact-scaled
+      // relation to the driver and re-shipping it per executor is the
+      // wrong shape at every scale, and the lrev side is ALREADY hash-
+      // partitioned on l_orderkey by the aggregate's exchange, so the
+      // hash join adds only the orders-side exchange (A/B interleaved,
+      // R21TuneJoins: sf1 min 1.08 -> 0.72 s across two sittings, sf0.1
+      // med 0.76 -> 0.72 s). SHJ build side spills/AQE-skew-splits the
+      // same as q05's hinted joins at cluster scale.
       val o = t(s, d, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+        .hint("shuffle_hash")
       val lrev = t(s, d, "lineitem")
         .groupBy(col("l_orderkey"))
         .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
@@ -229,6 +247,13 @@ object Relational {
       // Session setup shared with q61 (bloomChildSession).
       val s = bloomChildSession(s0)
       val r = t(s, d, "region"); val n = t(s, d, "nation")
+      // r21 A/B (R21TuneQ05, interleaved in one JVM): pre-joining
+      // nation/region INTO customer (dims probed per customer row, 2
+      // fewer BHJs on the fact path) measured SLOWER at bench scale
+      // (sf0.1 med 0.69 -> 0.82 s; sf1 a wash) — the nested broadcasts
+      // serialize (n -> r -> c build chain) where this flat shape builds
+      // all five broadcast relations concurrently, and the build critical
+      // path, not per-row probe count, rules at these sizes. Kept flat.
       val c = shuffleHashIfBig(s, d, "customer")
       val o = shuffleHashIfBig(s, d, "orders")
       val su = t(s, d, "supplier")

@@ -2099,22 +2099,26 @@ object TextDedup {
       val bw = doc.filter(bucket === 0)
         .select(explode(array_distinct(fps)).as("fp")).distinct()
       // no isNotNull filter on the computed array (the pushdown
-      // double-eval class): explode structurally drops NULL (sub-W) docs
+      // double-eval class): explode structurally drops NULL (sub-W) docs.
+      // r21: explode the fps expression DIRECTLY instead of aliasing the
+      // array first — the aliased shape let Catalyst infer
+      // size(fps)>0/isnotnull(fps) constraints into the scan Filter, each
+      // re-inlining substring_run_fps_bin, so the dominant expression ran
+      // twice per train doc (plans/r21/dd27_*_before.txt node (3) vs (4)).
+      // n_grams re-derives as count(*) per doc: fps are array_distinct'd,
+      // so the exploded row count per doc IS size(fps). Same rows out.
       val tw = doc.filter(bucket =!= 0)
-        .select(col("doc_id"), array_distinct(fps).as("fps"))
-        .select(col("doc_id"), size(col("fps")).as("n_grams"),
-          explode(col("fps")).as("fp"))
+        .select(col("doc_id"), explode(array_distinct(fps)).as("fp"))
       // no broadcast HINT (dd10's discipline): a real benchmark suite is
       // ≪ the corpus and AQE broadcasts it from runtime stats; the
       // synthetic bench side here scales WITH the corpus (5% bucket), so
       // an unconditional hint would force an unbounded broadcast at
       // extreme sf — let the planner pick from measured sizes
       tw.join(bw.withColumn("hit", lit(1)), Seq("fp"), "left")
-        .groupBy(col("doc_id"), col("n_grams"))
-        .agg(count(col("hit")).as("n_hit"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
         .filter(lit(20) * col("n_hit") >= col("n_grams"))
-        .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
-          col("n_hit"))
+        .select(col("doc_id"), col("n_grams"), col("n_hit"))
         .orderBy("doc_id")
     }, Some("""
       WITH bench AS (SELECT doc_id, text FROM documents
@@ -2604,7 +2608,6 @@ object TextDedup {
     * consuming query executes; the state is vocabulary-bounded). */
   private[graft] def bpeTrain(docsDf: DataFrame, nRounds: Int)
       : (Seq[(Int, String, Long, Long, Long)], DataFrame) = {
-    val s = docsDf.sparkSession
     val cksumOf = // Σ h28(symbol) over one segmentation, as a fold
       "aggregate(seg, CAST(0 AS BIGINT), (acc, x) -> acc + " +
         "CAST(conv(substr(md5(CAST(x AS BINARY)), 1, 7), 16, 10) AS BIGINT))"
@@ -2626,17 +2629,10 @@ object TextDedup {
         expr("transform(sequence(1, char_length(word)), i -> substr(word, i, 1))"))
       .select("word", "n", "seg")
       .localCheckpoint()
-    val certs = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
-    var exhausted = false
-    for (r <- 1 to nRounds if !exhausted) {
-      // the adopted pair: distributed pair mining, 1-row argmax collect.
-      // A round can find NO adjacent pair (every word already reduced to
-      // one symbol — reachable on tiny corpora at high round counts,
-      // ADVICE r15): training terminates there with the certificate rows
-      // produced so far, instead of indexing into an empty collect. The
-      // fixed-round gate oracle (tx31, 3 rounds) assumes the corpus
-      // supports its round count — the sf tables do by construction.
-      val bestOpt = seg.filter(size(col("seg")) >= 2)
+    // distributed pair mining over a segmentation: the 1-row argmax frame
+    // (a, b, total) of the most frequent adjacent symbol pair
+    def bestOf(segDf: DataFrame): DataFrame =
+      segDf.filter(size(col("seg")) >= 2)
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(seg) - 1), i -> " +
             "named_struct('a', element_at(seg, i), 'b', element_at(seg, i + 1)))"))
@@ -2644,18 +2640,27 @@ object TextDedup {
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("n")).as("total"))
         .orderBy(col("total").desc, col("a"), col("b")).limit(1)
-        .collect().headOption // bounded: the single adopted merge of this round
-      if (bestOpt.isEmpty) { exhausted = true }
-      else {
-      val bestRow = bestOpt.get
-      val (a, b, total) = (bestRow.getString(0), bestRow.getString(1), bestRow.getLong(2))
+    val certs = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
+    // The adopted pair for round 1: 1-row argmax collect. A round can find
+    // NO adjacent pair (every word already reduced to one symbol —
+    // reachable on tiny corpora at high round counts, ADVICE r15):
+    // training terminates there with the certificate rows produced so
+    // far, instead of indexing into an empty collect. The fixed-round
+    // gate oracle (tx31, 3 rounds) assumes the corpus supports its round
+    // count — the sf tables do by construction.
+    var next: Option[(String, String, Long)] = bestOf(seg).collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for (r <- 1 to nRounds if next.isDefined) {
+      val (a, b, total) = next.get
       // greedy leftmost non-overlapping merge of (a,b), tx27's fold
       // shape but emitting the new symbol ARRAY instead of counters;
-      // the pair rides in as a broadcast 1-row frame so the fold text
-      // stays literal-free
-      val pairDf = { import s.implicits._; Seq((a, b)).toDF("a", "b") }
+      // the pair rides in as two literal columns (r21: lit() escapes any
+      // symbol safely, and dropping the former broadcast-crossJoin of a
+      // 1-row pair frame removes one broadcast exchange + its job per
+      // round) so the fold text stays literal-free
       val prev = seg
-      seg = seg.crossJoin(broadcast(pairDf))
+      seg = seg
+        .withColumn("a", lit(a)).withColumn("b", lit(b))
         .withColumn("seg2", expr(
           """aggregate(
                sequence(1, size(seg)),
@@ -2674,12 +2679,21 @@ object TextDedup {
       // blocks of superseded rounds are dropped eagerly so a 256-round
       // training run holds exactly one segmentation in block storage
       prev.unpersist(blocking = false)
+      // The round's certificate aggregates and the NEXT round's pair
+      // argmax both read the just-checkpointed blocks; they stay separate
+      // collects (an r21 A/B fused them through a 1-row broadcast-nested-
+      // loop join and LOST ~0.25 s/query: the broadcast build job plus
+      // the single-partition GlobalLimit exchange cost more than the
+      // executeTake collect they replaced).
       val st = seg.agg(
         sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
         sum(col("n") * expr(cksumOf)).as("cksum"))
         .collect()(0) // bounded: the round's 1-row certificate aggregates
       certs += ((r, a + b, total, st.getLong(0), st.getLong(1)))
-      }
+      next = if (r < nRounds)
+        bestOf(seg).collect().headOption
+          .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      else None
     }
     (certs.toSeq, seg)
   }

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * min/max kill 31 of 32. This ladder separates the terms and proves the
   * predicate IS pushed and DOES prune the moment the writer gives it
   * boundaries — on a /tmp twin of the same single file rewritten with
-  * 64 MB row groups, the slice scan collapses to the sf10m reading.
+  * 16 MiB row groups, the slice scan collapses to the sf10m reading.
   *
   * Stages (each: 1 warm + 3 timed noop-sink runs, best-of):
   *   scan_slice   — docs WHERE doc_id<200, count+sum(length(text))
@@ -46,7 +46,8 @@ object R20Probe {
     spark.sparkContext.setLogLevel("ERROR")
 
     // multi-row-group twin of the sf10 single file: same bytes, same
-    // sort order, the ONLY change is row-group boundaries every 16k rows
+    // sort order, the ONLY change is row-group boundaries every 16 MiB
+    // (parquet.block.size below; ADVICE r20 — doc and code now agree)
     val rgTwin = "/tmp/r20_docs_rg"
     spark.read.parquet("/root/repo/localdata/sf10/documents.parquet")
       .orderBy("doc_id")
