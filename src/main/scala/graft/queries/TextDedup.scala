@@ -219,7 +219,15 @@ object TextDedup {
     // whole-corpus consumers (dd08 etc.) keep the scale-honest bucket
     // shuffle join.
     val x = bands.as("x")
-    val y = if (broadcastRight) broadcast(bands.as("y")) else bands.as("y")
+    // non-broadcast path: pin the self-join to sort-merge (r21). The r20
+    // plan got SMJ only because the keep-join lineage kept the size
+    // estimate large; dd08's single-scan shape (agg output) estimates
+    // small enough that the planner would broadcast a frame that GROWS
+    // WITH THE CORPUS — the scale cliff PlanShapeSpec forbids. The merge
+    // hint states the r20-measured choice (SMJ vs SHJ wash, spill-
+    // graceful) instead of leaving it to a size estimate.
+    val y = if (broadcastRight) broadcast(bands.as("y"))
+            else bands.as("y").hint("merge")
     x.join(y, col("x.band") === col("y.band") && col("x.key") === col("y.key")
         && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("ida"), col("y.doc_id").as("idb"))
@@ -411,13 +419,24 @@ object TextDedup {
     // the survivors. Output is the shared-band histogram, so the result
     // stays tiny while the work (shingling + signatures + banded join)
     // scales with the corpus.
+    //
+    // r21 single-scan shape (guide §2.3/§2.4): md5 AND minhash_sig are
+    // both computed in ONE pass over the text, and the exact-dedup step
+    // is the same shuffle that picks the surviving signature —
+    // min(struct(doc_id, sig)) per fingerprint. Identical texts have
+    // identical signatures, so the struct-min's sig is byte-for-byte the
+    // sig of MIN(doc_id): same survivors, same pairs as the r20
+    // two-scan + keep-join formulation (oracle SQL unchanged, PASS).
+    // What moved: the second corpus scan and the keep-side broadcast
+    // build are gone; the one exchange carries (fp, doc_id, 8-long sig)
+    // metadata rows, never text.
     QueryDef("dd08_minhash_all", (s, d) => {
-      val doc = docs(s, d)
-      val keep = doc
-        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-        .groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      minhashBandPairs(doc.join(keep, "doc_id"))
+      val sigs = docs(s, d)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+          graft.functions.MinHashSig.minhash_sig(col("text")).as("sig"))
+        .groupBy("fp").agg(min(struct(col("doc_id"), col("sig"))).as("k"))
+        .select(col("k.doc_id").as("doc_id"), col("k.sig").as("sig"))
+      bandPairsOf(bandKeysOfSig(sigs))
         .groupBy("shared_bands")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("shared_bands")
@@ -2601,6 +2620,17 @@ object TextDedup {
       .orderBy("round")
   }
 
+  /** Single daemon thread for the per-round argmax overlap in
+    * [[bpeTrain]]: one in-flight concurrent job is the measured sweet
+    * spot (the cert and argmax jobs together already fill the tail),
+    * and a daemon thread can never hold the JVM open after the driver
+    * finishes. */
+  private lazy val bpeArgmaxPool =
+    java.util.concurrent.Executors.newSingleThreadExecutor(
+      (run: Runnable) => {
+        val t = new Thread(run, "bpe-argmax"); t.setDaemon(true); t
+      })
+
   /** The trainer core, returning BOTH the per-round certificates and the
     * FINAL segmentation (word, n, seg) — tx31 consumes the certificates;
     * tx32 consumes the trained segmentation as its serve-side vocabulary
@@ -2684,16 +2714,22 @@ object TextDedup {
       // collects (an r21 A/B fused them through a 1-row broadcast-nested-
       // loop join and LOST ~0.25 s/query: the broadcast build job plus
       // the single-partition GlobalLimit exchange cost more than the
-      // executeTake collect they replaced).
+      // executeTake collect they replaced). They ARE overlapped (r21,
+      // guide §2.6): the two jobs share no dependency — both read the
+      // checkpointed vocabulary blocks — so the argmax is submitted from
+      // a daemon thread while the caller runs the certificate collect,
+      // and the scheduler back-fills (interleaved A/B, sf0.1: med
+      // 0.721 → 0.619 s, every paired run faster; results identical).
+      val nextC: java.util.concurrent.Callable[Option[(String, String, Long)]] =
+        () => bestOf(seg).collect().headOption
+          .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      val nextF = if (r < nRounds) Some(bpeArgmaxPool.submit(nextC)) else None
       val st = seg.agg(
         sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
         sum(col("n") * expr(cksumOf)).as("cksum"))
         .collect()(0) // bounded: the round's 1-row certificate aggregates
       certs += ((r, a + b, total, st.getLong(0), st.getLong(1)))
-      next = if (r < nRounds)
-        bestOf(seg).collect().headOption
-          .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
-      else None
+      next = nextF.map(_.get()).getOrElse(None)
     }
     (certs.toSeq, seg)
   }

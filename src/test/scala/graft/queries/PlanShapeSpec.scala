@@ -114,6 +114,28 @@ class PlanShapeSpec extends AnyFunSuite {
       "dd08 re-grew the per-shingle explode")
   }
 
+  test("dd08 is single-scan: one corpus pass computes md5 AND minhash_sig (r21)") {
+    // the r20 shape scanned documents twice (md5 keep pass + keep-join +
+    // signatures over survivors); r21 folds exact dedup into the same
+    // exchange that picks the surviving signature (min(struct(doc_id,
+    // sig))), so the text is read once and the only join left is the
+    // band self-join. Two scans, or a join keyed on doc_id, means the
+    // two-pass shape came back.
+    // AQE's INITIAL plan prints the self-join's two identical subtrees
+    // un-deduplicated (exchange reuse is a runtime stage decision under
+    // AQE), so execute the query and assert on the FINAL plan.
+    val df = SparkEntry.queries("dd08_minhash_all")(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val dd08 = df.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(dd08).size == 1,
+      "dd08 scans the corpus more than once — the single-scan shape regressed")
+    assert("""Join \[?doc_id""".r.findFirstIn(dd08).isEmpty &&
+      !dd08.contains("BroadcastExchange"),
+      "dd08 re-grew the keep-side doc_id join / broadcast build")
+    assert("minhash_sig".r.findAllIn(dd08).size == 1,
+      "dd08's minhash_sig is evaluated more than once per document")
+  }
+
   test("no expensive expression is pushed into a scan's DataFilters (double-eval class)") {
     // A Filter on a computed column gets rewritten through its Project
     // into the scan's DataFilters, so the scan evaluates the expression
