@@ -123,10 +123,19 @@ class PlanShapeSpec extends AnyFunSuite {
     // two-pass shape came back.
     // AQE's INITIAL plan prints the self-join's two identical subtrees
     // un-deduplicated (exchange reuse is a runtime stage decision under
-    // AQE), so execute the query and assert on the FINAL plan.
+    // AQE), so execute the query and assert on the FINAL plan. Drive the
+    // DataFrame's OWN QueryExecution (a noop write runs a separate one,
+    // leaving df's AdaptiveSparkPlan un-executed — the r21 red test):
+    // collect() is cheap here, dd08's output is a tiny histogram.
     val df = SparkEntry.queries("dd08_minhash_all")(spark, sf)
-    df.write.format("noop").mode("overwrite").save()
-    val dd08 = df.queryExecution.executedPlan.toString
+    df.collect()
+    val full = df.queryExecution.executedPlan.toString
+    assert(full.contains("isFinalPlan=true"),
+      "dd08 plan assertions must run against the executed (final) AQE plan")
+    // AdaptiveSparkPlanExec.toString appends the "== Initial Plan ==" section
+    // (where the self-join subtrees are still duplicated); assert on the
+    // final plan section only.
+    val dd08 = full.split("== Initial Plan ==")(0)
     assert("Scan parquet".r.findAllIn(dd08).size == 1,
       "dd08 scans the corpus more than once — the single-scan shape regressed")
     assert("""Join \[?doc_id""".r.findFirstIn(dd08).isEmpty &&
