@@ -265,16 +265,28 @@ object Relational {
       val l = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"),
           cents(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_cents"))
+      // r22 (guide §1.2 per-row work, VERDICT r21 #3): the nation and
+      // region probes moved ABOVE the aggregate. Grouping by c_nationkey
+      // (int) instead of n_name (string) and joining the pre-joined 25-row
+      // nation⋈region dim onto the 25-row AGGREGATE removes two broadcast
+      // probes + a string group key from every fact row; inner-join-
+      // after-agg drops exactly the groups inner-join-before-agg would
+      // have dropped row-wise (n_nationkey is unique), so the result is
+      // identical — oracle-verified. nation⋈region is dim⋈dim (25x5):
+      // its build nests, but at nanosecond cost, unlike the rejected
+      // dims-into-customer pre-join above.
+      val nr = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(c,
           o("o_custkey") === c("c_custkey") && su("s_nationkey") === c("c_nationkey"))
-        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
-        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(o("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           o("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .groupBy(col("n_name"))
+        .groupBy(col("c_nationkey"))
         .agg(sum(col("rev_cents")).as("revenue_cents"))
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("revenue_cents"))
         .orderBy(col("n_name"))
     }, Some("""
       SELECT n_name,

@@ -225,7 +225,12 @@ object TextDedup {
     // small enough that the planner would broadcast a frame that GROWS
     // WITH THE CORPUS — the scale cliff PlanShapeSpec forbids. The merge
     // hint states the r20-measured choice (SMJ vs SHJ wash, spill-
-    // graceful) instead of leaving it to a size estimate.
+    // graceful) instead of leaving it to a size estimate. The pin is
+    // INTENTIONALLY blanket for every non-broadcast caller (dd08 via
+    // minhashAllPairs, dd15 via bandPairsFromSignatures, minhashBandPairs):
+    // all of them band the WHOLE corpus, so the same grows-with-corpus
+    // broadcast cliff applies to each, and SMJ is the spill-graceful
+    // choice wherever the build side is corpus-scaled (ADVICE r21).
     val y = if (broadcastRight) broadcast(bands.as("y"))
             else bands.as("y").hint("merge")
     x.join(y, col("x.band") === col("y.band") && col("x.key") === col("y.key")
@@ -2720,14 +2725,38 @@ object TextDedup {
       // a daemon thread while the caller runs the certificate collect,
       // and the scheduler back-fills (interleaved A/B, sf0.1: med
       // 0.721 → 0.619 s, every paired run faster; results identical).
+      // ADVICE r21: the shared pool thread inherits thread-locals from
+      // whichever caller FIRST created it, so the callable re-establishes
+      // THIS caller's session and job-scoped local properties before
+      // touching Spark (expr() parses via the active session; job-group
+      // cancellation must reach the argmax job too).
+      val sess = seg.sparkSession
+      val sc = sess.sparkContext
+      val rideAlongProps = Seq("spark.jobGroup.id", "spark.job.description",
+        "spark.job.interruptOnCancel", "spark.scheduler.pool")
+        .map(k => k -> sc.getLocalProperty(k))
+      val segNow = seg
       val nextC: java.util.concurrent.Callable[Option[(String, String, Long)]] =
-        () => bestOf(seg).collect().headOption
-          .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        () => {
+          org.apache.spark.sql.SparkSession.setActiveSession(sess)
+          rideAlongProps.foreach { case (k, v) => sc.setLocalProperty(k, v) }
+          bestOf(segNow).collect().headOption
+            .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+        }
       val nextF = if (r < nRounds) Some(bpeArgmaxPool.submit(nextC)) else None
-      val st = seg.agg(
-        sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
-        sum(col("n") * expr(cksumOf)).as("cksum"))
-        .collect()(0) // bounded: the round's 1-row certificate aggregates
+      val st =
+        try {
+          seg.agg(
+            sum(col("n") * size(col("seg")).cast("long")).as("n_tokens"),
+            sum(col("n") * expr(cksumOf)).as("cksum"))
+            .collect()(0) // bounded: the round's 1-row certificate aggregates
+        } catch { case e: Throwable =>
+          // ADVICE r21: a failed certificate collect must not leave the
+          // already-submitted argmax job orphaned against blocks the
+          // caller may subsequently unpersist
+          nextF.foreach(_.cancel(true))
+          throw e
+        }
       certs += ((r, a + b, total, st.getLong(0), st.getLong(1)))
       next = nextF.map(_.get()).getOrElse(None)
     }
