@@ -71,11 +71,42 @@ object Relational {
     }
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     val appThrKey = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    // r22: detect "caller left the gate at Spark's 10 GB default" by PARSED
+    // byte value, not string equality — Spark 4.1 renders the unset default
+    // as "10737418240b", so the string compare ("10GB") never matched and
+    // the intended 256 MB recalibration silently never happened on the
+    // default path: production q05/q61 ran WITHOUT the runtime bloom filter
+    // at every corpus ≤ 10 GB (found via plans/r22/q05_join5_agg_sf10 dump;
+    // the harness tools set builder-level confs, which masked it). The
+    // PlanShapeSpec mechanism lock kept passing because it pins a
+    // non-default 1KB threshold — the honored-pin path.
+    val appThrDefault = org.apache.spark.network.util.JavaUtils
+      .byteStringAsBytes(s0.conf.get(appThrKey)) == (10L << 30)
     s.conf.set(appThrKey,
-      if (s0.conf.get(appThrKey) == "10GB") "256MB" else s0.conf.get(appThrKey))
+      if (appThrDefault) "256MB" else s0.conf.get(appThrKey))
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
     s.conf.set("spark.sql.optimizer.runtime.bloomFilter.expectedNumItems", "5000000")
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "134217728")
+    // r22: bitmap capped at 16.8M bits = 2 MB (was 134M bits = 16 MB).
+    // Spark sizes numBits from the creation side's UNFILTERED row count
+    // (15M at sf10 → 120M bits) because the pushed date filter's
+    // selectivity is unknown without CBO stats; the actual post-filter
+    // key count is ~4.5M. The oversized bitmap put a 1.2 s single-task
+    // 8×15 MB merge on the critical path ahead of the fact-scan probe,
+    // and a 16 MB probe target falls out of per-core cache for the 60M
+    // might_contain calls. 2 MB is L2-resident; measured at sf10
+    // (R22TuneBloom, interleaved, 5 quiet rounds): min 3.629 → 3.323 s,
+    // best in 4/5 rounds, results identical (the bloom is advisory —
+    // false positives drop at the join). Scale-safe: the bloom's
+    // operating window is bounded above by creationSideThreshold (512 MB
+    // ≈ ≤17M keys), where a 2 MB filter degrades toward pass-through
+    // (never toward wrong results); beyond the window Spark disables the
+    // filter entirely, so there is no cluster-scale fpp cliff to size for.
+    // A caller-pinned non-default value is honored (same contract as the
+    // application-side gate above) so measurement harnesses can A/B the
+    // cap through the real production path.
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    s.conf.set(bitsKey,
+      if (s0.conf.get(bitsKey) == "67108864") "16777216" else s0.conf.get(bitsKey))
     s
   }
 
